@@ -1,0 +1,88 @@
+"""Join operators Spark lacks natively, composed from relational primitives.
+
+SURVEY.md §2.3 / §4: Spark has no ASOF JOIN strategy; the engine provides it
+as a composition (equi-join + range filter + argmax) that Catalyst plans with
+ordinary hash/sort-merge machinery, and an ``applyInPandas(merge_asof)``
+variant for wide-lookback cases where materializing every (probe, candidate)
+pair would blow up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_time: str,
+    build_time: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """For each probe row, attach the nearest build-side time at-or-before
+    (``backward``) / at-or-after (``forward``) the probe time, per ``on`` key.
+
+    Inner semantics (probe rows with no candidate are dropped), matching
+    DuckDB/pandas ASOF defaults.
+
+    Plan shape: equi-join on the key (shuffle or broadcast — Catalyst
+    decides), range filter, then argmax per probe row. The argmax re-groups
+    on the probe's full row identity, so ``probe`` columns must be unique per
+    row (callers pass a key-complete projection).
+
+    100 TB posture: the intermediate is |probe ⋈_key build| rows — fine when
+    per-key candidate lists are bounded (events per user per horizon). For
+    unbounded lookback use :func:`asof_join_pandas`, which sorts
+    per-partition instead of materializing pairs.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    probe_cols = probe.columns
+    b = build.withColumnRenamed(on, "__asof_key")
+    cond = probe[on] == b["__asof_key"]
+    if direction == "backward":
+        rng = b[build_time] <= probe[probe_time]
+        pick = F.max(build_time)
+    else:
+        rng = b[build_time] >= probe[probe_time]
+        pick = F.min(build_time)
+    joined = probe.join(b, cond & rng, "inner")
+    return joined.groupBy(*[probe[c] for c in probe_cols]).agg(pick.alias(build_time))
+
+
+def asof_join_pandas(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_time: str,
+    build_time: str,
+) -> DataFrame:
+    """Backward as-of join via per-key ``pandas.merge_asof``.
+
+    Scale path for unbounded lookback: co-groups both sides by key (one
+    shuffle each), then a sorted merge per group — no pairwise blowup.
+    """
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in probe.schema.fields
+    ) + f", {build_time} timestamp"
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=[*left.columns, build_time])
+        left = left.sort_values(probe_time)
+        right = right.sort_values(build_time)
+        merged = pd.merge_asof(
+            left, right[[build_time]], left_on=probe_time, right_on=build_time,
+            direction="backward",
+        )
+        return merged.dropna(subset=[build_time])
+
+    return (
+        probe.groupBy(on)
+        .cogroup(build.groupBy(on))
+        .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
+    )

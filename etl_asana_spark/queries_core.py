@@ -1,0 +1,759 @@
+"""Relational core queries (SURVEY.md §2.1 scans, §2.2–§2.4, §2.6, §2.7).
+
+Each function is a thin, named wrapper over engine primitives/operators,
+registered with its DuckDB oracle. Float-aggregate parity uses the
+decimal-exact helpers (functions.parity) — see that module for why.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .functions.parity import davg, dsum, sql_davg, sql_dsum
+from .operators.dedup import dedup_exact
+from .operators.joins import asof_join
+from .registry import load_tables, register_views
+
+# ---------------------------------------------------------------------------
+# §2.1 scans (#1, #2)
+# ---------------------------------------------------------------------------
+
+
+@register("q_scan_parquet", oracle="SELECT * FROM nation")
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#1 Full parquet scan: vectorized reader, all columns."""
+    return load_tables(spark, sf_dir)["nation"]
+
+
+@register(
+    "q_scan_pruned",
+    oracle="""
+    SELECT l_orderkey, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity < 10 AND l_returnflag = 'A'
+    """,
+)
+def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#2 Scan with column pruning + predicate pushdown.
+
+    The physical plan must show PushedFilters on l_quantity/l_returnflag and
+    ReadSchema of exactly 4 columns (asserted in tests/test_plans.py) — at
+    100 TB this is the difference between reading 2 columns and 11.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter((F.col("l_quantity") < 10) & (F.col("l_returnflag") == "A"))
+        .select("l_orderkey", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projection & filtering (#10–#12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_project_compute",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+           l_quantity * 2.5 AS qty_scaled
+    FROM lineitem
+    WHERE l_linestatus = 'F'
+    """,
+)
+def q_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#10 Projection with computed/renamed columns (per-row IEEE arithmetic
+    is order-free, so no decimal guard is needed without aggregation)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_linestatus") == "F")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("charged"),
+            (F.col("l_quantity") * 2.5).alias("qty_scaled"),
+        )
+    )
+
+
+@register(
+    "q_filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 1000 AND 200000
+      AND (o_orderstatus LIKE 'F%' OR regexp_matches(o_orderpriority, '^1-'))
+    """,
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#11 Conjunction/disjunction, IN, BETWEEN, LIKE, regexp."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_totalprice").between(1000, 200000)
+            & (F.col("o_orderstatus").like("F%") | F.col("o_orderpriority").rlike("^1-"))
+        )
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+@register(
+    "q_filter_null",
+    oracle="""
+    SELECT c_custkey,
+           NULLIF(c_mktsegment, 'MACHINERY') AS seg_or_null,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'SUPPRESSED') AS seg_filled
+    FROM customer
+    WHERE NULLIF(c_mktsegment, 'MACHINERY') IS NULL OR c_acctbal > 9000
+    """,
+)
+def q_filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#12 NULL semantics: nullif/coalesce/IS NULL under three-valued logic."""
+    t = load_tables(spark, sf_dir)
+    seg_or_null = F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))
+    return (
+        t["customer"]
+        .filter(seg_or_null.isNull() | (F.col("c_acctbal") > 9000))
+        .select(
+            "c_custkey",
+            seg_or_null.alias("seg_or_null"),
+            F.coalesce(seg_or_null, F.lit("SUPPRESSED")).alias("seg_filled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins (#13–#21)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_broadcast",
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice')} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#13 Broadcast hash join: bounded dim (part) broadcast to the fact scan.
+
+    Explicit ``F.broadcast`` hint — at 100 TB the fact side never moves; only
+    the dim ships to executors. No shuffle for the join (only for the agg).
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("revenue"))
+    )
+
+
+@register(
+    "q_join_shuffle",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS net_revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#14 Big×big equi-join: both sides shuffle on the key; AQE picks
+    SMJ/SHJ (and would split skewed partitions at scale)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "net_revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "q_join_outer",
+    oracle=f"""
+    SELECT c_custkey,
+           COUNT(o_orderkey) AS n_orders,
+           {sql_dsum('o_totalprice')} AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#15 Left outer join keeping order-less customers (COUNT of the
+    nullable side = 0 for them; SUM stays NULL)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice").alias("spend"),
+        )
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#16 Left semi join (EXISTS/IN rewrite target)."""
+    t = load_tables(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 150000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#17 Left anti join: orphan detection (customers with no orders)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@register(
+    "q_join_theta",
+    oracle="""
+    SELECT s_nationkey AS nationkey, COUNT(*) AS n_pairs
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    GROUP BY s_nationkey
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#18 Theta join: equi-conjunct (hashable) + inequality residual — the
+    equi part keeps this off the Cartesian path at scale."""
+    t = load_tables(spark, sf_dir)
+    s, c = t["supplier"], t["customer"]
+    return (
+        s.join(
+            c,
+            (s["s_nationkey"] == c["c_nationkey"]) & (s["s_acctbal"] > c["c_acctbal"]),
+        )
+        .groupBy(s["s_nationkey"].alias("nationkey"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS ts,
+           p.value,
+           CAST(v.view_ts AS TIMESTAMP) AS view_ts
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT user_id, ts AS view_ts FROM events
+               WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.view_ts <= p.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#19 As-of join: each purchase paired with the latest prior view by the
+    same user (engine operator; parity vs native DuckDB ASOF JOIN)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    return asof_join(purchases, views, on="user_id", probe_time="ts", build_time="view_ts")
+
+
+@register(
+    "q_join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#20 Cross join (explicit Cartesian; bounded sides only by design)."""
+    t = load_tables(spark, sf_dir)
+    return t["region"].select("r_name").crossJoin(t["nation"].select("n_name"))
+
+
+@register(
+    "q_join_star",
+    oracle=f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderstatus <> 'P'
+    GROUP BY r_name, n_name
+    """,
+)
+def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#21 Flagship multi-way star join: fact ⋈ dim chain with explicit
+    broadcasts for the bounded dims, then grouped revenue rollup.
+
+    At 100 TB: orders⋈customer is the only real shuffle (both large);
+    nation/region ship broadcast so the dim chain adds zero exchanges.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderstatus") != "P")
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations (#22–#32)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#22 Hash aggregate, TPC-H Q1 shape (pricing summary). Catalyst plans
+    partial (map-side) + final HashAggregate automatically."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc).alias("sum_disc_price"),
+        dsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q_agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {sql_dsum('l_extendedprice')} AS total_price,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship,
+           MIN(l_discount) AS min_disc,
+           MAX(l_discount) AS max_disc
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#23 Global (grand) aggregate, no grouping keys."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_extendedprice").alias("total_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_discount").alias("max_disc"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#24 Exact COUNT(DISTINCT): Catalyst's Expand + two-phase aggregate."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register("q_agg_approx_cd")  # rows-only: HLL estimates are engine-specific
+def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#25 Approximate count-distinct (HyperLogLog++). No SQL oracle — the
+    estimate is engine-specific; tests assert tolerance vs the exact count."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(CAST(median(o_totalprice) AS DOUBLE), 4) AS med_price,
+           ROUND(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE), 4) AS p25_price,
+           ROUND(CAST(quantile_cont(o_totalprice, 0.90) AS DOUBLE), 4) AS p90_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#26 Exact percentiles (continuous interpolation; rounded to absorb
+    the engines' different-but-equivalent interpolation arithmetic)."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 4).alias("med_price"),
+        F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25_price"),
+        F.round(F.percentile("o_totalprice", 0.90), 4).alias("p90_price"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle=f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c_acctbal')} AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#27 ROLLUP: region → nation hierarchy subtotals + grand total."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal").alias("total_bal"))
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle=f"""
+    SELECT c_mktsegment, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#28 CUBE: all grouping combinations."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@register(
+    "q_agg_gsets",
+    oracle=f"""
+    SELECT c_mktsegment, o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus))
+    """,
+)
+def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#29 GROUPING SETS via the SQL entry point (same Expand-based plan as
+    rollup/cube; exercises SURVEY §3.2's parser path)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, o_orderstatus,
+               COUNT(*) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus))
+        """
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#30 Set collection into arrays (sorted for deterministic parity)."""
+    t = load_tables(spark, sf_dir)
+    return t["customer"].groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@register(
+    "q_agg_cond",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           {sql_dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END")} AS urgent_revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#31 Conditional aggregation: count_if + SUM(CASE WHEN …) pivot-style."""
+    t = load_tables(spark, sf_dir)
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.count_if(urgent).alias("n_urgent"),
+        dsum(F.when(urgent, F.col("o_totalprice")).otherwise(0.0)).alias(
+            "urgent_revenue"
+        ),
+    )
+
+
+@register(
+    "q_agg_minmax_by",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice) AS best_order,
+           arg_min(o_orderkey, o_totalprice) AS worst_order,
+           MAX(o_totalprice) AS best_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#32 argmin/argmax: the order id carrying each customer's extreme price."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("best_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("worst_order"),
+        F.max("o_totalprice").alias("best_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts, limits, top-k (#38–#40)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sort_global",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def q_sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#38 Global total-order sort (range-partitioned exchange)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+@register(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#39 Top-k: ORDER BY + LIMIT → TakeOrderedAndProject (per-partition
+    top-k then driver merge, never a full sort). Unique-key tiebreak keeps
+    the row set deterministic."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_page_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 50 OFFSET 1000
+    """,
+)
+def q_page_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#40 Pagination (the Asana offset-token analog) over a total order."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(1000)
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations & dedup (#41–#44)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_set_union",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'HOUSEHOLD'
+    UNION ALL
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#41 UNION ALL (bag union; overlap preserved twice)."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    return (
+        c.filter(F.col("c_mktsegment") == "HOUSEHOLD")
+        .select("c_custkey")
+        .union(c.filter(F.col("c_acctbal") > 5000).select("c_custkey"))
+    )
+
+
+@register(
+    "q_set_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'HOUSEHOLD'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#42 INTERSECT (set semantics)."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    return (
+        c.filter(F.col("c_mktsegment") == "HOUSEHOLD")
+        .select("c_custkey")
+        .intersect(c.filter(F.col("c_acctbal") > 1000).select("c_custkey"))
+    )
+
+
+@register(
+    "q_set_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#43 EXCEPT ALL (bag difference — changed-row detection between syncs)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select(F.col("o_custkey").alias("custkey"))
+        .exceptAll(
+            t["customer"]
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select(F.col("c_custkey").alias("custkey"))
+        )
+    )
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment, c_custkey
+    FROM (
+        SELECT c_nationkey, c_mktsegment, c_custkey,
+               row_number() OVER (
+                   PARTITION BY c_nationkey, c_mktsegment ORDER BY c_custkey
+               ) AS rn
+        FROM customer
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#44 Exact dedup with a deterministic keep-rule (engine operator;
+    see operators.dedup for why not dropDuplicates)."""
+    t = load_tables(spark, sf_dir)
+    return dedup_exact(
+        t["customer"].select("c_nationkey", "c_mktsegment", "c_custkey"),
+        keys=["c_nationkey", "c_mktsegment"],
+        order_by=["c_custkey"],
+    )

@@ -1,0 +1,82 @@
+"""Table registry: the single place raw storage meets the engine.
+
+Centralizes (SURVEY.md §1.2):
+
+- which tables exist (the driver's ten parquet tables),
+- the ``events.ts`` nanosecond normalization — Spark 4 cannot natively read
+  INT64 TIMESTAMP(NANOS) parquet, so with ``nanosAsLong=true`` the column
+  arrives as a long of nanoseconds and is converted to a TimestampType of
+  whole microseconds HERE, exactly once. The conversion uses integer
+  division (``ts div 1000``) rather than float division: at 2024-epoch
+  magnitudes (~1.7e18 ns) a double has 256 ns ULP, so ``(ts/1000).cast(long)``
+  can be off by one microsecond; ``div`` is exact and matches DuckDB's own
+  nanos→micros truncation bit-for-bit.
+- temp-view registration so the SQL entry point sees the same normalized
+  tables as the DataFrame entry point.
+
+100 TB posture: this registry reads whatever parquet layout it is pointed at;
+partition pruning and predicate pushdown remain available because the
+normalization is a projection on top of the scan (Catalyst still pushes
+filters on all other columns down to the parquet reader).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import ensure_engine_confs
+
+#: The driver-materialized tables (TESTDATA.md; FIXTURES.md §A).
+TABLE_NAMES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Cache of loaded logical plans, keyed by (session id, sf_dir). DataFrames
+# are lazy plans — caching avoids re-listing parquet footers per query call.
+_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """events.ts: long nanoseconds → TimestampType truncated to microseconds."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one normalized table as a (lazy) DataFrame."""
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_events(df)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all registry tables (cached per session+dir)."""
+    key = (id(spark), sf_dir)
+    cached = _CACHE.get(key)
+    if cached is None:
+        cached = {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+        _CACHE[key] = cached
+    return cached
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose normalized tables as temp views for the spark.sql entry point."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def clear_cache() -> None:
+    _CACHE.clear()

@@ -1,0 +1,120 @@
+"""Local mirror of the driver's correctness gate (SURVEY.md §5.1).
+
+Runs a catalog query on Spark and its oracle on DuckDB over the same parquet
+directory, then compares row count + schema-insensitive, order-insensitive
+values — the same contract the driver's value-hash enforces, but with
+readable diffs. Used by tests/test_parity.py at sf0.001 (fast) and on demand
+at sf0.01 (the driver's actual gate scale).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import pandas as pd
+
+from .registry import TABLE_NAMES
+
+
+def duckdb_connect(sf_dir: str):
+    """DuckDB connection with the driver's ten table views registered."""
+    import duckdb
+
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v: Any) -> Any:
+    """Canonicalize one cell for order-insensitive comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return None if math.isnan(v) else v
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_cell(x) for x in v)
+    try:
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            return tuple(_canon_cell(x) for x in v.tolist())
+        if isinstance(v, np.generic):
+            return _canon_cell(v.item())
+    except ImportError:
+        pass
+    if isinstance(v, pd.Timestamp):
+        return v.to_datetime64().astype("datetime64[us]").item()
+    if v is pd.NaT:
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    return v
+
+
+def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
+    """Columns sorted by name, every cell canonicalized, rows sorted."""
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_canon_cell(row[c]) for c in cols)
+        for _, row in pdf[cols].iterrows()
+    ]
+    return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+
+
+def compare_frames(
+    actual: pd.DataFrame, expected: pd.DataFrame, float_atol: float = 0.0
+) -> list[str]:
+    """Return a list of human-readable problems (empty == parity)."""
+    problems: list[str] = []
+    a_cols, e_cols = sorted(actual.columns), sorted(expected.columns)
+    if a_cols != e_cols:
+        problems.append(f"column names differ: spark={a_cols} oracle={e_cols}")
+        return problems
+    if len(actual) != len(expected):
+        problems.append(f"row count differs: spark={len(actual)} oracle={len(expected)}")
+    a_rows, e_rows = canonical_rows(actual), canonical_rows(expected)
+    n_bad = 0
+    for i, (ar, er) in enumerate(zip(a_rows, e_rows)):
+        if ar == er:
+            continue
+        if float_atol and _rows_close(ar, er, float_atol):
+            continue
+        n_bad += 1
+        if n_bad <= 3:
+            problems.append(f"row {i}: spark={ar!r} oracle={er!r}")
+    if n_bad > 3:
+        problems.append(f"... {n_bad} mismatched rows total of {len(a_rows)}")
+    return problems
+
+
+def _rows_close(a: tuple, b: tuple, atol: float) -> bool:
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if x == y:
+            continue
+        if isinstance(x, float) and isinstance(y, float) and abs(x - y) <= atol:
+            continue
+        return False
+    return True
+
+
+def check_query(spark, con, key: str, sf_dir: str) -> list[str]:
+    """Run one catalog key on both engines and diff (driver-t2 mirror)."""
+    from . import catalog
+
+    df = catalog.queries()[key](spark, sf_dir)
+    pdf = df.toPandas()
+    sql = catalog.oracle_sql().get(key)
+    if sql is None:
+        return [] if len(pdf) >= 0 else ["unreachable"]
+    expected = con.execute(sql).fetchdf()
+    return compare_frames(pdf, expected)
