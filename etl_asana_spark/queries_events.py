@@ -1,0 +1,136 @@
+"""Event-time windowing over the events table, batch mode (SURVEY §2.10 #53–#55).
+
+These are the batch twins of the streaming jobs in ``streaming/``: identical
+aggregation expressions, SQL-checkable here, re-used under ``readStream``
+there. Oracle recipes:
+
+- tumbling  ≡ date_trunc('hour', ts) grouping;
+- sliding   ≡ explode each event into its ⌈window/slide⌉ = 2 epoch-aligned
+  windows (Spark aligns window starts to multiples of the slide);
+- session   ≡ gaps-and-islands (lag > gap ⇒ new island), probe-verified
+  equal to Spark's session_window (946 = 946 sessions at sf0.001).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .functions.parity import dsum, sql_dsum
+from .registry import load_tables
+
+
+@register(
+    "q_win_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#53 Tumbling 1-hour windows: per-hour, per-type event rollup."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("bucket"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_win_sliding",
+    oracle=f"""
+    WITH ev AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) AS BIGINT) AS slot
+        FROM events
+    )
+    SELECT make_timestamp((slot - off.i) * 1800 * 1000000) AS win_start,
+           make_timestamp(((slot - off.i) * 1800 + 3600) * 1000000) AS win_end,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM ev CROSS JOIN (VALUES (0), (1)) AS off(i)
+    GROUP BY 1, 2
+    """,
+)
+def q_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#54 Sliding windows (1 h window / 30 min slide): each event lands in
+    exactly window/slide = 2 epoch-aligned windows; the oracle reproduces
+    Spark's alignment by expanding each event into both."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_win_session",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL 30 MINUTES
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM ev
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS session_value
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#55 Session windows: 30-minute-gap activity sessions per user.
+    session_window.end = last event + gap, mirrored in the oracle."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sess"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -1,0 +1,310 @@
+"""Scalar-function and cast queries (SURVEY.md §2.8 #45–#51, §2.9 #52).
+
+Oracle-dialect notes baked in:
+- DuckDB length/levenshtein/year/... return BIGINT where Spark returns INT —
+  the oracle casts to Spark's type so the schema check passes.
+- DuckDB ``ceil(double)`` returns DOUBLE, Spark returns the input type —
+  both sides cast explicitly.
+- Transcendentals (ln) can differ in the last ulp across libm
+  implementations — rounded to 8 decimals on both sides (error ~1e-16 vs
+  cell 1e-8 keeps boundary risk negligible).
+- JSON goes through from_json/get_json_object (DuckDB 1.0 has no Variant;
+  SURVEY §2.8 #50).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .catalog import register
+from .registry import load_tables
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar function families
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up_name,
+           lower(p_brand) AS low_brand,
+           substring(p_name, 1, 8) AS name8,
+           CAST(length(p_name) AS INT) AS name_len,
+           string_split(p_type, ' ') AS type_words,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+           CAST(levenshtein(p_brand, 'Brand#10') AS INT) AS lev10,
+           trim(concat(' ', p_brand, ' ')) AS trimmed
+    FROM part
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#45 String family: case, substring, split, concat, regexp, edit distance.
+
+    Note: Spark regexp_replace replaces ALL matches; DuckDB needs the 'g'
+    flag for the same semantics.
+    """
+    t = load_tables(spark, sf_dir)
+    return t["part"].select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_brand").alias("low_brand"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.length("p_name").alias("name_len"),
+        F.split("p_type", " ").alias("type_words"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
+        F.levenshtein("p_brand", F.lit("Brand#10")).alias("lev10"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mon,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+               AS days_since_epoch_start,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_sec,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_day
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#46 Date/time family: trunc, parts, diff, add, epoch, to_date —
+    the reference's R2 ISO-8601 coercion surface re-expressed."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("string").alias(
+            "due_date"
+        ),
+        F.unix_timestamp("o_orderdate").alias("unix_sec"),
+        F.to_date("o_orderdate").cast("string").alias("order_day"),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_r1,
+           abs(l_discount - 0.05) AS disc_dev,
+           sqrt(l_quantity) AS qty_sqrt,
+           l_quantity * l_quantity AS qty_sq,
+           round(ln(l_quantity + 1), 8) AS qty_ln,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+           CASE WHEN l_quantity - 5 = 0 THEN NULL
+                ELSE l_extendedprice / (l_quantity - 5) END AS price_per_excess
+    FROM lineitem
+    WHERE l_linestatus = 'O'
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#47 Math family incl. null-safe division: ANSI mode makes x/0 an
+    error, so the engine uses try_divide (≡ CASE WHEN oracle)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_linestatus") == "O")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 1).alias("price_r1"),
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.sqrt("l_quantity").alias("qty_sqrt"),
+            (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+            F.round(F.log(F.col("l_quantity") + 1), 8).alias("qty_ln"),
+            F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+            F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 5).alias(
+                "price_per_excess"
+            ),
+        )
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           embedding[1:3] AS first3,
+           CAST(embedding[1] AS FLOAT) AS e0,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS doubled,
+           CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                AS DOUBLE) AS vec_sum,
+           list_sort(embedding[1:4], 'ASC') AS first4_sorted
+    FROM embeddings
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#48 Array family + higher-order functions (transform/aggregate) —
+    all JVM-side; this is the no-UDF vector-math substrate for §2.12."""
+    t = load_tables(spark, sf_dir)
+    emb = F.col("embedding")
+    return t["embeddings"].select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.slice(emb, 1, 3).alias("first3"),
+        F.element_at(emb, 1).alias("e0"),
+        F.transform(emb, lambda x: x.cast("double") * 2.0).alias("doubled"),
+        F.aggregate(
+            emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ).alias("vec_sum"),
+        F.array_sort(F.slice(emb, 1, 4)).alias("first4_sorted"),
+    )
+
+
+@register(
+    "q_fn_map",
+    oracle="""
+    SELECT p_partkey,
+           map_extract(MAP {'brand': p_brand, 'type': p_type}, 'brand')[1] AS brand_val,
+           map_keys(MAP {'brand': p_brand, 'type': p_type}) AS attr_keys,
+           CAST(cardinality(MAP {'brand': p_brand, 'type': p_type}) AS INT) AS n_attrs
+    FROM part
+    WHERE p_size > 40
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#49 Map family — the custom-field EAV carrier type (SURVEY §1.1):
+    construct, extract, keys, cardinality (values projected to scalars so
+    the oracle compares arrow-stable types)."""
+    t = load_tables(spark, sf_dir)
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return (
+        t["part"]
+        .filter(F.col("p_size") > 40)
+        .select(
+            "p_partkey",
+            F.element_at(m, "brand").alias("brand_val"),
+            F.map_keys(m).alias("attr_keys"),
+            F.size(m).alias("n_attrs"),
+        )
+    )
+
+
+@register(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CAST(json_extract_string(props, '$.missing') AS INT) AS missing_val
+    FROM events
+    WHERE event_type IN ('click', 'error')
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#50 JSON extraction from events.props — semi-structured payloads kept
+    as strings (the Asana nested-JSON analog); from_json for typed access."""
+    t = load_tables(spark, sf_dir)
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
+    return (
+        t["events"]
+        .filter(F.col("event_type").isin("click", "error"))
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").alias("k_str"),
+            parsed.getField("k").alias("k_int"),
+            F.get_json_object("props", "$.missing").cast("int").alias("missing_val"),
+        )
+    )
+
+
+@register(
+    "q_fn_cond",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 150000 THEN 'large'
+                WHEN o_totalprice >= 50000 THEN 'medium'
+                ELSE 'small' END AS size_tier,
+           greatest(o_totalprice, 100000.0) AS floor_100k,
+           least(o_totalprice, 100000.0) AS cap_100k,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_label
+    FROM orders
+    """,
+)
+def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#51 Conditional family: CASE ladder, greatest/least, coalesce/nullif."""
+    t = load_tables(spark, sf_dir)
+    price = F.col("o_totalprice")
+    return t["orders"].select(
+        "o_orderkey",
+        F.when(price >= 150000, "large")
+        .when(price >= 50000, "medium")
+        .otherwise("small")
+        .alias("size_tier"),
+        F.greatest(price, F.lit(100000.0)).alias("floor_100k"),
+        F.least(price, F.lit(100000.0)).alias("cap_100k"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_label"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 casts (#52)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cast_types",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_money_str,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_cents,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor_int,
+           TRY_CAST(o_orderpriority AS DOUBLE) AS bad_cast,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str
+    FROM orders
+    """,
+)
+def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#52 Cast matrix under ANSI mode: string↔numeric round-trip, money
+    decimal, fallible cast via try_cast (NULL, not error/silent-garbage),
+    timestamp→date→string.
+
+    Dialect hazards this query pins down (and tests document):
+    - Spark CAST(double AS BIGINT) truncates; DuckDB ROUNDS — the engine's
+      canonical int-ization is floor(), spelled on both sides.
+    - DECIMAL and DATE surface differently through arrow (Decimal objects /
+      datetime.date vs float64 / datetime64), so money decimals and dates
+      are projected as strings at the engine boundary.
+    """
+    t = load_tables(spark, sf_dir)
+    money = F.col("o_totalprice").cast("decimal(18,2)")
+    return t["orders"].select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        money.cast("string").alias("price_money_str"),
+        money.cast("double").alias("price_cents"),
+        F.floor("o_totalprice").alias("price_floor_int"),
+        F.col("o_orderpriority").try_cast("double").alias("bad_cast"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+    )

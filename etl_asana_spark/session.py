@@ -53,6 +53,18 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
             # A conf may be static in exotic deployments; engine code only
             # hard-requires nanosAsLong + timeZone, both dynamic in Spark 4.
             pass
+    try:
+        # If the caller left Spark's stock 200 shuffle partitions, right-size
+        # to the machine: at test scale 200 tiny partitions is scheduling
+        # overhead; on a cluster an operator sets this (or AQE coalesces).
+        # An explicit non-default caller value is respected.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8),
+            )
+    except Exception:
+        pass
     return spark
 
 

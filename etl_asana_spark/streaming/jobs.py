@@ -1,0 +1,158 @@
+"""Structured Streaming jobs (SURVEY §2.10 #56–#62, lifecycle §3.3).
+
+Each job is a complete stream: file source → event-time transformation →
+sink, executed with ``Trigger.AvailableNow`` so a bounded run drains the
+source deterministically (the replayable-batch form of incremental sync) and
+returns the sink contents as a batch DataFrame. The aggregation expressions
+are the same ones the batch queries in ``queries_events`` oracle-check.
+
+Design notes for the 100 TB/continuous deployment:
+- the file source scales by listing only new files per micro-batch
+  (checkpointed log); at real volume the same code points at a bucket prefix
+  with date partitions.
+- watermarks bound state: 10 minutes of event-time lateness is kept per
+  window/key; everything older is evicted after emission.
+- ``foreach_batch_upsert`` is the load stage: last-modified-wins merge per
+  micro-batch, the streaming twin of operators.dedup.upsert_last_modified_wins.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import ensure_engine_confs
+
+_STAGE_DIRS: dict[str, str] = {}
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """File streaming sources list a DIRECTORY of arriving files; the
+    testdata is a single parquet file, so stage a symlink dir (read-only on
+    the source, per-process temp for the link)."""
+    staged = _STAGE_DIRS.get(sf_dir)
+    if staged is None or not os.path.isdir(staged):
+        staged = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(f"{sf_dir}/events.parquet", f"{staged}/events.parquet")
+        _STAGE_DIRS[sf_dir] = staged
+    return staged
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the registry normalization.
+
+    The schema must be supplied for file streams; it is taken from the batch
+    registry read (ts arrives as long nanos under nanosAsLong, normalized
+    here exactly like the batch path).
+    """
+    ensure_engine_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_events_stream_dir(sf_dir))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming plan to completion (AvailableNow) into a memory sink."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#56–#58 Source + watermark + stateful windowed aggregation.
+
+    Same plan as q_win_tumbling, incremental: late rows beyond the 10-minute
+    watermark are dropped, window state is evicted once the watermark passes
+    window end.
+    """
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("win.start").alias("bucket"), "event_type", "n_events", "total_value")
+    )
+    return _run_to_memory(agg, "append")
+
+
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#59 Stateful exact dedup across micro-batches, state bounded by the
+    watermark (dropDuplicatesWithinWatermark)."""
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    return _run_to_memory(deduped, "append")
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#60 Stream-static join: enrich the event stream with a static dim
+    (broadcast per micro-batch; the static side never becomes state)."""
+    categories = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("signup", "conversion"),
+            ("purchase", "conversion"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    joined = ev.join(F.broadcast(categories), "event_type")
+    agg = (
+        joined.groupBy(F.window("ts", "6 hours").alias("win"), "category")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("bucket"), "category", "n_events")
+    )
+    return _run_to_memory(agg, "append")
+
+
+def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#61 foreachBatch load stage: per micro-batch last-modified-wins upsert
+    into a parquet target keyed by user_id (newest event per user survives —
+    the streaming twin of the reference's R3 upsert)."""
+    from ..operators.dedup import upsert_last_modified_wins
+
+    target = tempfile.mkdtemp(prefix="upsert_target_")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        newest = upsert_last_modified_wins(
+            batch_df.select("user_id", "ts", "event_type", "value"),
+            key="user_id",
+            modified_col="ts",
+            tiebreak=["event_type"],
+        )
+        # Idempotent-per-batch append; the read side re-applies the keep-rule,
+        # so replays of a batch cannot change the final answer.
+        newest.write.mode("append").parquet(target)
+
+    ev = _stream_events(spark, sf_dir)
+    query = (
+        ev.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    merged = spark.read.parquet(target)
+    return upsert_last_modified_wins(
+        merged, key="user_id", modified_col="ts", tiebreak=["event_type"]
+    )

@@ -1,0 +1,62 @@
+"""Streaming property checks (SURVEY §5.4): AvailableNow replays are
+deterministic, so a bounded streaming run must equal its batch twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_asana_spark import catalog
+from etl_asana_spark.registry import load_tables
+from etl_asana_spark.testing import canonical_rows
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    """Append mode emits exactly the windows closed by the final watermark
+    (end <= max(ts) - 10 min); those must match the batch twin bit-for-bit."""
+    stream_out = catalog.queries()["q_stream_tumbling"](spark, sf_dir).toPandas()
+    ev = load_tables(spark, sf_dir)["events"]
+    watermark = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    ).collect()[0]["wm"]
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .filter(F.col("win.end") <= F.lit(watermark))
+        .select(F.col("win.start").alias("bucket"), "event_type", "n_events", "total_value")
+        .toPandas()
+    )
+    assert len(stream_out) > 0
+    assert canonical_rows(stream_out) == canonical_rows(batch)
+
+
+def test_stream_dedup_keeps_all_distinct(spark, sf_dir):
+    out = catalog.queries()["q_stream_dedup"](spark, sf_dir)
+    n_events = load_tables(spark, sf_dir)["events"].count()
+    assert out.count() == n_events  # event_ids are unique: dedup is a no-op
+    assert out.select("event_id").distinct().count() == n_events
+
+
+def test_stream_upsert_one_row_per_user(spark, sf_dir):
+    out = catalog.queries()["q_stream_upsert"](spark, sf_dir)
+    ev = load_tables(spark, sf_dir)["events"]
+    n_users = ev.select("user_id").distinct().count()
+    assert out.count() == n_users
+    # survivor carries each user's max ts
+    expected = ev.groupBy("user_id").agg(F.max("ts").alias("ts"))
+    got = out.select("user_id", "ts")
+    assert canonical_rows(got.toPandas()) == canonical_rows(expected.toPandas())
+
+
+def test_stream_static_join_covers_closed_windows(spark, sf_dir):
+    out = catalog.queries()["q_stream_static_join"](spark, sf_dir).toPandas()
+    ev = load_tables(spark, sf_dir)["events"]
+    watermark = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    ).collect()[0]["wm"]
+    n_closed = (
+        ev.withColumn("win", F.window("ts", "6 hours"))
+        .filter(F.col("win.end") <= F.lit(watermark))
+        .count()
+    )
+    assert out["n_events"].sum() == n_closed
+    assert set(out["category"]) == {"engagement", "conversion", "ops"}
