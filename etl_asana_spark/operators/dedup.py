@@ -1,4 +1,4 @@
-"""Deduplication operators: exact now; fuzzy families live alongside (M7).
+"""Deduplication operator family (SURVEY §2.12 #68/#69 + north-star mandate).
 
 Exact dedup is implemented as a deterministic keep-rule (row_number over an
 explicit ordering) rather than ``dropDuplicates``: at 100 TB, "an arbitrary
@@ -6,6 +6,19 @@ survivor per key" is not reproducible across runs/partitionings, and the
 reference's load stage semantics (last-modified-wins upsert) need an explicit
 ordering anyway. Catalyst plans this as a single hash-partitioned window —
 same shuffle cost as dropDuplicates, deterministic result.
+
+Fuzzy families, all linear-ish by blocking (never all-pairs at scale):
+
+- MinHash LSH   — Jaccard near-dups; banding turns O(n²) into a shuffle on
+                  hash buckets (pyspark.ml MinHashLSH, fixed seed).
+- SimHash       — 64-bit weighted-bit signature; candidate pairs via 16-bit
+                  band equality, verified by Hamming distance. Pure Catalyst
+                  expressions (xxhash64 + bit ops), no ml dependency.
+- n-gram Jaccard— exact set Jaccard with shared-shingle blocking: only pairs
+                  sharing ≥1 shingle are ever materialized.
+- embedding cos — near-dups in embedding space; exact all-pairs here, with
+                  the documented scale path being the LSH/IVF bucketing from
+                  operators.similarity.
 """
 
 from __future__ import annotations
@@ -44,3 +57,203 @@ def upsert_last_modified_wins(
     """
     order = [F.col(modified_col).desc(), *[F.col(c).desc() for c in tiebreak]]
     return dedup_exact(df, [key], order)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy dedup
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    num_hash_tables: int = 5,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash LSH over hashed token sets.
+
+    Returns (id_a, id_b, jaccard_dist) with id_a < id_b and
+    jaccard_dist <= 1 - threshold. Banding keeps the join linear in
+    colliding candidates — the canonical web-scale text-dedup shape.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    tok = Tokenizer(inputCol=text_col, outputCol="__toks")
+    tf = HashingTF(
+        inputCol="__toks", outputCol="__features", numFeatures=num_features, binary=True
+    )
+    featurized = tf.transform(tok.transform(docs.select(id_col, text_col)))
+    lsh = MinHashLSH(
+        inputCol="__features", outputCol="__hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(featurized)
+    pairs = model.approxSimilarityJoin(
+        featurized, featurized, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.col("jaccard_dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document, entirely in Catalyst expressions.
+
+    bit_i(sig) = 1 iff Σ_tokens (bit_i(xxhash64(token)) ? +1 : −1) ≥ 0.
+    Duplicate tokens weight naturally by frequency.
+
+    Written as one SQL expression: the PySpark shiftleft/shiftright wrappers
+    only take literal shift amounts, but the SQL functions accept the
+    lambda-bound bit index — and the whole signature stays in codegen.
+    """
+    sig = F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            transform(sequence(0, 63), i ->
+              aggregate(
+                transform(split({text_col}, '\\\\s+'), t -> xxhash64(t)),
+                0,
+                (acc, h) -> acc + IF((shiftright(h, i) & 1L) = 1L, 1, -1))),
+            sequence(0, 63),
+            (v, i) -> IF(v >= 0, shiftleft(1L, i), 0L)),
+          0L,
+          (acc, b) -> acc | b)
+        """
+    )
+    return docs.select(id_col, sig.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs: SimHash banding (4×16-bit) for candidates, Hamming
+    verification on candidates. Pigeonhole guarantee: any pair with Hamming
+    distance ≤ 3 must agree on a full band, so recall is exact for d ≤ 3 and
+    probabilistic for 4..max_hamming (raise the band count for tighter
+    guarantees). Candidate generation is a shuffle on band values — linear.
+    """
+    sigs = simhash_signatures(docs, id_col, text_col)
+    bands = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT n-gram-set Jaccard near-dup pairs with shared-shingle blocking.
+
+    Only pairs sharing at least one shingle are materialized (the blocking
+    join), so cost tracks collision volume, not n². Returns
+    (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    from .text import shingles
+
+    sh = (
+        docs.select(id_col, F.split(F.col(text_col), r"\s+").alias("toks"))
+        .select(id_col, F.explode(shingles("toks", n)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_cosine_dups(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs in embedding space (cos >= threshold).
+
+    All-pairs here (correct and fine to ~10⁴ vectors); the scale path is
+    identical code over LSH/IVF candidate buckets (operators.similarity) —
+    block first, then this exact verification join per bucket.
+    """
+    from ..functions.vector import cosine
+
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("vec_a", "vec_b").alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (SURVEY §2.12 #70/#71).
+
+Three tiers, increasingly sub-linear:
+
+- ``cosine_topk`` — exact brute force: broadcast the query, one columnar
+  scan, TakeOrderedAndProject. The baseline every approximate method is
+  recall-checked against. At 100 TB this is one full scan per query — fine
+  for batch scoring, wrong for interactive lookup.
+- ``ann_brp_lsh`` — BucketedRandomProjectionLSH (pyspark.ml): hash vectors
+  into random-hyperplane buckets; probe only colliding buckets. Sub-linear
+  candidate generation, tunable recall via bucketLength/numHashTables.
+- ``ivf_topk`` — inverted-file index: KMeans coarse quantizer partitions the
+  corpus; queries probe the ``nprobe`` nearest centroids only. The classic
+  FAISS-style scale path: centroid assignment is a broadcast join, each probe
+  reads ~nprobe/k of the data (partition pruning if written bucketed by
+  centroid).
+
+Determinism: fixed seeds everywhere (testdata convention seed=42).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine
+
+EMBEDDING_DIM_HINT = 64  # testdata embeddings are 64-dim float32
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query row (broadcast query side).
+
+    Returns (query_id, vec_id, cos) — k rows per query, deterministic
+    tie-break on vec_id. ``query`` must carry (query_id, query_vec).
+    """
+    from pyspark.sql import Window
+
+    scored = embeddings.crossJoin(F.broadcast(query)).select(
+        "query_id",
+        id_col,
+        cosine(vec_col, "query_vec").alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def ann_brp_lsh(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane bucketing (Euclidean LSH).
+
+    Euclidean distance on L2-NORMALIZED vectors is monotone in cosine
+    (‖a−b‖² = 2−2cos), so nearest-by-L2 ≡ nearest-by-cosine; the LSH model
+    therefore indexes normalized vectors and results are recall-checked
+    against :func:`cosine_topk` in tests.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from ..functions.vector import l2_normalize
+
+    base = embeddings.select(
+        id_col, array_to_vector(l2_normalize(vec_col)).alias("features")
+    )
+    probes = query.select(
+        "query_id", array_to_vector(l2_normalize("query_vec")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(base)
+    # approxSimilarityJoin emits candidate pairs within the distance
+    # threshold 2.0 (the max possible for unit vectors), ranked per query.
+    pairs = model.approxSimilarityJoin(
+        model.transform(probes), model.transform(base), 2.0, distCol="dist"
+    ).select(
+        F.col("datasetA.query_id").alias("query_id"),
+        F.col(f"datasetB.{id_col}").alias(id_col),
+        (1 - F.col("dist") * F.col("dist") / 2).alias("cos_approx"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_approx"), F.asc(id_col))
+    return (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Build: KMeans(seed) coarse centroids; every vector assigned to its
+    nearest centroid (one broadcast join — centroids are tiny by
+    construction). Probe: each query scores only vectors in its ``nprobe``
+    nearest cells. Expected work ≈ nprobe/n_centroids of brute force.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    featurized = embeddings.select(
+        id_col, vec_col, array_to_vector(vec_col).alias("features")
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features")
+    model = km.fit(featurized)
+    assigned = model.transform(featurized).select(
+        id_col, vec_col, F.col("prediction").alias("cell")
+    )
+
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = embeddings.sparkSession.createDataFrame(
+        centroids, "cell int, centroid array<double>"
+    )
+    # nprobe nearest cells per query (tiny: |queries| × n_centroids).
+    from pyspark.sql import Window
+
+    q_cells = query.crossJoin(F.broadcast(cent_df)).select(
+        "query_id",
+        "query_vec",
+        "cell",
+        cosine("query_vec", "centroid").alias("cell_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    probe_cells = (
+        q_cells.withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= nprobe)
+        .select("query_id", "query_vec", "cell")
+    )
+    # Score only the probed cells' members.
+    candidates = assigned.join(F.broadcast(probe_cells), "cell").select(
+        "query_id", id_col, cosine(vec_col, "query_vec").alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        candidates.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

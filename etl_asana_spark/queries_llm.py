@@ -1,0 +1,365 @@
+"""LLM-training-data pipeline queries (SURVEY §2.12 #68–#76 + extensions).
+
+Dedup families, similarity search, text analysis, embedding math, multimodal
+plumbing — registered with SQL oracles wherever DuckDB can express the
+semantics (exact dedup, n-gram Jaccard, cosine top-k, embedding near-dups,
+token/TF-IDF/quality/lang-id analytics); hash-free families (xxhash64-based
+fingerprints/SimHash) and approximate indexes (MinHash LSH, BRP-LSH, IVF)
+are rows-only with property tests in tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .operators import dedup, multimodal, similarity, text
+from .registry import load_tables
+
+# ---------------------------------------------------------------------------
+# Dedup (#68, #69 + SimHash / n-gram / embedding families)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact_docs",
+    oracle="""
+    SELECT doc_id, text, lang
+    FROM (
+        SELECT doc_id, text, lang,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#68 Exact text dedup (hash-groupBy keep-rule). The corpus has no
+    byte-identical duplicates, so output == input — asserted by the oracle."""
+    t = load_tables(spark, sf_dir)
+    return dedup.dedup_exact(
+        t["documents"].select("doc_id", "text", "lang"),
+        keys=["text"],
+        order_by=["doc_id"],
+    )
+
+
+@register("q_dedup_minhash")
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#69 MinHash LSH near-dup pairs (Jaccard ≥ 0.5, seed=42). Approximate →
+    rows-only; precision property-checked vs exact n-gram Jaccard in tests."""
+    t = load_tables(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(t["documents"], jaccard_threshold=0.5)
+
+
+@register("q_dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (banded candidates + Hamming ≤ 8). xxhash64
+    has no DuckDB twin → rows-only; invariants tested."""
+    t = load_tables(spark, sf_dir)
+    return dedup.simhash_pairs(t["documents"], max_hamming=8)
+
+
+@register(
+    "q_dedup_ngram",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE lang = 'fr'
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, unnest(
+            [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             FOR i IN generate_series(1, len(t) - 2)]
+        ) AS s
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.2
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard pairs (shared-shingle blocking), French
+    slice. Threshold 0.2 keeps real candidate pairs in the answer set."""
+    t = load_tables(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(
+        t["documents"].filter(F.col("lang") == "fr"), n=3, threshold=0.2
+    )
+
+
+@register(
+    "q_dedup_embed",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 8) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.8
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates (cos ≥ 0.8). Exact all-pairs at this
+    scale; the 100 TB path blocks by LSH/IVF bucket first (same verify join).
+    """
+    t = load_tables(spark, sf_dir)
+    pairs = dedup.embedding_cosine_dups(t["embeddings"], threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("cos", 8).alias("cos"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (#70, #71)
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(t: dict[str, DataFrame]) -> DataFrame:
+    return (
+        t["embeddings"]
+        .filter(F.col("vec_id") == 0)
+        .select(F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+
+
+@register(
+    "q_sim_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT 0 AS query_id, vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        CAST(qv AS DOUBLE[])), 8) AS cos
+    FROM embeddings, q
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(qv AS DOUBLE[])) DESC, vec_id
+    LIMIT 5
+    """,
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#70 Exact cosine top-5 for a probe vector — the brute-force baseline
+    (zip_with/aggregate dot product, broadcast probe, TakeOrdered)."""
+    t = load_tables(spark, sf_dir)
+    out = similarity.cosine_topk(t["embeddings"], _query_vec(t), k=5)
+    return out.select("query_id", "vec_id", F.round("cos", 8).alias("cos"))
+
+
+@register("q_sim_ann")
+def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#71 ANN top-5 via random-hyperplane LSH (seed=42) — sub-linear scale
+    path; recall vs exact checked in tests."""
+    t = load_tables(spark, sf_dir)
+    return similarity.ann_brp_lsh(t["embeddings"], _query_vec(t), k=5)
+
+
+@register("q_sim_ivf")
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 (KMeans coarse quantizer, 16 cells, seed=42). nprobe=8:
+    uniform-random vectors are IVF's worst case (neighbors scatter across
+    cells) — measured recall on this corpus: 2/5 @ nprobe=4, 4/5 @ 8, 5/5
+    @ 10. Clustered real-world embeddings do far better at low nprobe."""
+    t = load_tables(spark, sf_dir)
+    return similarity.ivf_topk(t["embeddings"], _query_vec(t), k=5, nprobe=8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (#72–#74 + lang-id / quality / fingerprint)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE lang = 'en'
+    )
+    GROUP BY token
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#72 Tokenize + corpus term/document frequencies (explode → groupBy —
+    the partial-aggregating map-side-combine shape)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .filter(F.col("lang") == "en")
+        .select("doc_id", F.explode(text.ws_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"), F.countDistinct("doc_id").alias("doc_freq"))
+    )
+
+
+@register(
+    "q_text_tfidf",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE lang = 'es'
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tokens)
+    SELECT tf.doc_id, tf.token,
+           ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 8) AS tfidf
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#73 Relational TF-IDF (tf × ln(N/df)) — joins + aggregates only, no
+    ml dependency, so it scales like any aggregation pipeline."""
+    t = load_tables(spark, sf_dir)
+    tokens = (
+        t["documents"]
+        .filter(F.col("lang") == "es")
+        .select("doc_id", F.explode(text.ws_tokens("text")).alias("token"))
+    )
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tokens.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = tokens.select("doc_id").distinct().count()
+    return (
+        tf.join(df, "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 8
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_measured,
+           n_chars AS n_chars_declared,
+           length(text) = n_chars AS length_consistent,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 8) AS avg_word_len
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#74 Corpus stats per doc, cross-validating the declared n_chars."""
+    t = load_tables(spark, sf_dir)
+    toks = text.ws_tokens("text")
+    return t["documents"].select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.col("n_chars").alias("n_chars_declared"),
+        (F.length("text").cast("long") == F.col("n_chars")).alias("length_consistent"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(toks), 8
+        ).alias("avg_word_len"),
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           ROUND(CAST(length(text) - length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                 AS DOUBLE) / length(text), 8) AS punct_ratio,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the','of','and','to','in','is','that','for')))
+                 AS DOUBLE) / len(string_split(text, ' ')), 8) AS stopword_ratio
+    FROM documents WHERE lang = 'en'
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring features: punctuation + English-stopword ratios
+    (threshold-filter inputs for corpus cleaning)."""
+    t = load_tables(spark, sf_dir)
+    toks = text.ws_tokens("text")
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[\w\s]", ""))
+    n_stop = F.size(F.filter(toks, lambda tk: tk.isin(*text.STOPWORDS["en"])))
+    return (
+        t["documents"]
+        .filter(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            n_chars.cast("long").alias("n_chars"),
+            F.size(toks).cast("long").alias("n_words"),
+            F.round(n_punct.cast("double") / n_chars, 8).alias("punct_ratio"),
+            F.round(n_stop.cast("double") / F.size(toks), 8).alias("stopword_ratio"),
+        )
+    )
+
+
+@register("q_text_langid")
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-hit argmax). Rows-only: the argmax
+    tie-break is struct-ordering-specific; invariants tested instead."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", "lang", text.language_id("text").alias("lang_pred")
+    )
+
+
+@register("q_text_fingerprint")
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints (xxhash64 full text + min/max shingle hash) —
+    no DuckDB xxhash64 twin → rows-only; determinism tested."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", "text", text.ws_tokens("text").alias("toks")
+    )
+    fps = text.doc_fingerprint("text", "toks", n=3)
+    return docs.select("doc_id", *[c.alias(name) for name, c in fps.items()])
+
+
+# ---------------------------------------------------------------------------
+# Embedding math (#76) + multimodal (#75)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_emb_norm",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 8) AS l2,
+           list_transform(embedding,
+                 x -> ROUND(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+                      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 8)) AS unit_vec
+    FROM embeddings
+    """,
+)
+def q_emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#76 L2 norms + unit vectors via array HOFs — stays columnar/codegen,
+    no UDF, which is what makes 100 TB embedding normalization a plain scan."""
+    from .functions.vector import l2_norm, l2_normalize
+
+    t = load_tables(spark, sf_dir)
+    return t["embeddings"].select(
+        "vec_id",
+        F.round(l2_norm("embedding"), 8).alias("l2"),
+        F.transform(l2_normalize("embedding"), lambda x: F.round(x, 8)).alias(
+            "unit_vec"
+        ),
+    )
+
+
+@register("q_multimodal")
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#75 Multimodal plumbing: binary payload + metadata struct →
+    Arrow-batched decode/feature-extract via mapInPandas (decode kernel
+    stubbed deterministically; see operators.multimodal)."""
+    t = load_tables(spark, sf_dir)
+    media = multimodal.attach_binary_payload(t["documents"])
+    return multimodal.extract_features(media)

@@ -1,0 +1,173 @@
+"""User-defined function surface (SURVEY §2.11 #63–#67).
+
+Engine policy (100 TB posture): built-in JVM expressions first; when Python
+is unavoidable, Arrow-batched pandas UDFs / applyInPandas — never
+row-at-a-time pickling in a hot path. The row-at-a-time scalar UDF and the
+Python UDTF are included because they are part of the capability surface,
+with their cost stated here rather than discovered in production.
+
+Every UDx here is oracle-checked against the equivalent relational SQL — the
+point is that the UDx computes something SQL could verify, on data SQL can
+reach.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .catalog import register
+from .registry import load_tables, register_views
+
+
+@register(
+    "q_udf_python",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words
+    FROM documents
+    WHERE lang = 'en'
+    """,
+)
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#63 Row-at-a-time Python scalar UDF (word count).
+
+    The slow path: every row crosses JVM→Python pickled. Kept for API
+    parity; q_udf_pandas is the same computation at Arrow batch speed.
+    """
+    t = load_tables(spark, sf_dir)
+
+    @F.udf("int")
+    def n_words(text: str) -> int:
+        return len(text.split(" "))
+
+    return (
+        t["documents"]
+        .filter(F.col("lang") == "en")
+        .select("doc_id", n_words("text").alias("n_words"))
+    )
+
+
+@register(
+    "q_udf_pandas",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_computed,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+    FROM documents
+    """,
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#64 Vectorized pandas UDF: whole Arrow batches, pandas string ops."""
+    t = load_tables(spark, sf_dir)
+
+    @pandas_udf("long")
+    def char_count(texts: pd.Series) -> pd.Series:
+        return texts.str.len().astype("int64")
+
+    @pandas_udf("long")
+    def word_count(texts: pd.Series) -> pd.Series:
+        return texts.str.split(" ").str.len().astype("int64")
+
+    return t["documents"].select(
+        "doc_id",
+        char_count("text").alias("n_chars_computed"),
+        word_count("text").alias("n_words"),
+    )
+
+
+@register(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT lang,
+           ROUND(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 6) AS median_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#65 Grouped-aggregate pandas UDF (UDAF): per-language median doc
+    length computed in pandas, checked against the relational median."""
+    t = load_tables(spark, sf_dir)
+
+    @pandas_udf("double")
+    def median_chars(chars: pd.Series) -> float:
+        return float(chars.median())
+
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(F.round(median_chars("n_chars"), 6).alias("median_chars"))
+    )
+
+
+@register(
+    "q_udtf_grouped_map",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN (MAX(n_chars) OVER byl) = (MIN(n_chars) OVER byl) THEN 0.5
+                ELSE CAST(n_chars - MIN(n_chars) OVER byl AS DOUBLE)
+                     / (MAX(n_chars) OVER byl - MIN(n_chars) OVER byl)
+           END AS chars_scaled
+    FROM documents
+    WINDOW byl AS (PARTITION BY lang)
+    """,
+)
+def q_udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#66 Grouped-map applyInPandas: min-max scale doc length within each
+    language (per-group DataFrame→DataFrame; one shuffle on the group key,
+    then pure pandas per group — the custom-stateful-transform workhorse)."""
+    t = load_tables(spark, sf_dir)
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["n_chars"].min(), pdf["n_chars"].max()
+        if hi == lo:
+            scaled = pd.Series(0.5, index=pdf.index)
+        else:
+            scaled = (pdf["n_chars"] - lo).astype("float64") / float(hi - lo)
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "chars_scaled": scaled}
+        )
+
+    return (
+        t["documents"]
+        .select("doc_id", "lang", "n_chars")
+        .groupBy("lang")
+        .applyInPandas(scale, schema="doc_id long, lang string, chars_scaled double")
+    )
+
+
+@register(
+    "q_udtf_tokens",
+    oracle="""
+    SELECT doc_id, CAST(u.i AS INT) AS pos, u.token
+    FROM documents,
+         (SELECT unnest(string_split(text, ' ')) AS token,
+                 generate_subscripts(string_split(text, ' '), 1) AS i) u
+    WHERE lang = 'de'
+    """,
+)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#67 Python UDTF: one row in → token rows out (table function),
+    lateral-joined in SQL. Row-at-a-time Python; the production-scale
+    equivalent is posexplode(split(...)) — which the oracle mirrors."""
+    from pyspark.sql.functions import udtf
+
+    register_views(spark, sf_dir)
+
+    @udtf(returnType="pos int, token string")
+    class Tokens:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i + 1, tok
+
+    spark.udtf.register("engine_tokens", Tokens)
+    return spark.sql(
+        """
+        SELECT d.doc_id, f.pos, f.token
+        FROM documents d, LATERAL engine_tokens(d.text) f
+        WHERE d.lang = 'de'
+        """
+    )

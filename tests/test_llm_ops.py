@@ -1,0 +1,108 @@
+"""Property checks for LLM-pipeline ops with no SQL oracle (SURVEY §5.2/§5.4):
+approximate indexes are checked against their exact counterparts, hash-based
+signatures for determinism and metric invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_asana_spark import catalog
+from etl_asana_spark.operators import dedup, similarity
+from etl_asana_spark.registry import load_tables
+
+
+def _exact_topk_ids(spark, sf_dir, k=5):
+    t = load_tables(spark, sf_dir)
+    q = (
+        t["embeddings"]
+        .filter(F.col("vec_id") == 0)
+        .select(F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    rows = similarity.cosine_topk(t["embeddings"], q, k=k).collect()
+    return [r["vec_id"] for r in rows]
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    exact = set(_exact_topk_ids(spark, sf_dir))
+    ann = {r["vec_id"] for r in catalog.queries()["q_sim_ann"](spark, sf_dir).collect()}
+    assert 0 in ann  # the probe itself is its own nearest neighbor
+    assert len(exact & ann) >= 3  # seeded LSH recall floor on 5 candidates
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    exact = set(_exact_topk_ids(spark, sf_dir))
+    ivf = {r["vec_id"] for r in catalog.queries()["q_sim_ivf"](spark, sf_dir).collect()}
+    assert 0 in ivf
+    assert len(exact & ivf) >= 3  # nprobe=4/16 recall floor, fixed seed
+
+
+def test_minhash_pairs_are_true_near_dups(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(t["documents"], jaccard_threshold=0.5).collect()
+    docs = {
+        r["doc_id"]: set(r["text"].split())
+        for r in t["documents"].select("doc_id", "text").collect()
+    }
+    for row in pairs:
+        a, b = docs[row["id_a"]], docs[row["id_b"]]
+        true_j = len(a & b) / len(a | b)
+        # LSH distance is computed on hashed token sets; allow hash-collision
+        # slack around the 0.5 similarity threshold.
+        assert true_j >= 0.4, (row, true_j)
+        assert row["id_a"] < row["id_b"]
+
+
+def test_simhash_deterministic_and_metric(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    s1 = dedup.simhash_signatures(t["documents"]).collect()
+    s2 = dedup.simhash_signatures(t["documents"]).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    # identical text ⇒ identical signature
+    dup = t["documents"].select("doc_id", F.lit("alpha beta gamma").alias("text"))
+    sigs = {r["simhash"] for r in dedup.simhash_signatures(dup).collect()}
+    assert len(sigs) == 1
+    pairs = dedup.simhash_pairs(t["documents"], max_hamming=8).collect()
+    for row in pairs:
+        assert 0 <= row["hamming"] <= 8
+
+
+def test_fingerprint_deterministic(spark, sf_dir):
+    fn = catalog.queries()["q_text_fingerprint"]
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert a == b
+    for row in fn(spark, sf_dir).collect():
+        assert row["min_shingle_hash"] <= row["max_shingle_hash"]
+
+
+def test_langid_predictions_in_vocab_langs(spark, sf_dir):
+    out = catalog.queries()["q_text_langid"](spark, sf_dir).collect()
+    # corpus text is synthetic ENGLISH bag-of-words regardless of the lang
+    # label, so the heuristic may only ever say en (or und when no stopword).
+    assert {r["lang_pred"] for r in out} <= {"en", "und"}
+    en_rate = sum(r["lang_pred"] == "en" for r in out) / len(out)
+    assert en_rate > 0.5
+
+
+def test_multimodal_features_shape_and_determinism(spark, sf_dir):
+    fn = catalog.queries()["q_multimodal"]
+    out = fn(spark, sf_dir)
+    assert out.columns == [
+        "doc_id", "media_type", "n_bytes", "checksum", "width", "height", "feat"
+    ]
+    rows = out.collect()
+    docs = load_tables(spark, sf_dir)["documents"]
+    assert len(rows) == docs.count()
+    n_chars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    for r in rows:
+        assert r["n_bytes"] == n_chars[r["doc_id"]]  # ASCII text: bytes == chars
+        assert len(r["feat"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in r["feat"])
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, fn(spark, sf_dir).collect()))
+
+
+def test_unit_vectors_have_unit_norm(spark, sf_dir):
+    out = catalog.queries()["q_emb_norm"](spark, sf_dir).collect()
+    for row in out:
+        n = sum(x * x for x in row["unit_vec"]) ** 0.5
+        assert abs(n - 1.0) < 1e-6, row["vec_id"]
