@@ -1,0 +1,155 @@
+"""Ingestion queries (SURVEY §2.1 #3–#8, §7 M8) — Asana-shaped JSON → rows.
+
+The R1/R2/R3 reconstruction of the reference's pipeline (SURVEY §0.3; the
+snapshot is empty, so shapes come from the public Asana API), run offline on
+the committed deterministic fixtures (fixtures/*.ndjson, seed=42). Oracles
+read the same files via DuckDB ``read_json`` with an explicit column spec —
+the same no-inference discipline the Spark side uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .sources import asana
+from .sources.fixtures import FIXTURES_DIR, N_TASKS, ensure_fixtures
+
+_B1 = str(FIXTURES_DIR / "tasks_batch1.ndjson")
+_B2 = str(FIXTURES_DIR / "tasks_batch2.ndjson")
+
+#: DuckDB read_json column spec — mirrors asana.TASK_SCHEMA field for field.
+_COLS = (
+    "{'gid':'VARCHAR','name':'VARCHAR','notes':'VARCHAR','completed':'BOOLEAN',"
+    "'completed_at':'VARCHAR','created_at':'VARCHAR','modified_at':'VARCHAR',"
+    "'due_on':'VARCHAR','start_on':'VARCHAR',"
+    "'assignee':'STRUCT(gid VARCHAR, name VARCHAR)',"
+    "'parent':'STRUCT(gid VARCHAR)',"
+    "'projects':'STRUCT(gid VARCHAR, name VARCHAR)[]',"
+    "'memberships':'STRUCT(project STRUCT(gid VARCHAR), "
+    "section STRUCT(gid VARCHAR, name VARCHAR))[]',"
+    "'tags':'STRUCT(gid VARCHAR, name VARCHAR)[]',"
+    "'num_likes':'BIGINT',"
+    "'custom_fields':'STRUCT(gid VARCHAR, name VARCHAR, type VARCHAR, "
+    "display_value VARCHAR)[]'}"
+)
+
+
+def _read_json(path: str) -> str:
+    return f"read_json('{path}', format='newline_delimited', columns={_COLS})"
+
+
+@register(
+    "q_ingest_json",
+    oracle=f"""
+    SELECT gid, name, completed, num_likes,
+           CAST(created_at AS TIMESTAMP) AS created_ts,
+           CAST(modified_at AS TIMESTAMP) AS modified_ts,
+           CAST(CAST(due_on AS DATE) AS VARCHAR) AS due_date,
+           assignee.gid AS assignee_gid,
+           parent.gid AS parent_gid,
+           CAST(len(tags) AS BIGINT) AS n_tags,
+           CAST(length(notes) AS BIGINT) AS notes_len
+    FROM {_read_json(_B1)}
+    """,
+)
+def q_ingest_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#3 JSON ingest with explicit schema + R2 scalar coercion (ISO-8601 →
+    timestamp/date, nested refs → foreign-key columns)."""
+    tasks = asana.read_tasks(spark, _B1)
+    out = asana.coerce_task_scalars(tasks)
+    return out.withColumn("n_tags", F.col("n_tags").cast("long")).withColumn(
+        "notes_len", F.col("notes_len").cast("long"))
+
+
+@register(
+    "q_ingest_flatten",
+    oracle=f"""
+    SELECT t.gid AS task_gid, tag.gid AS tag_gid, tag.name AS tag_name
+    FROM {_read_json(_B1)} t, unnest(t.tags) AS u(tag)
+    """,
+)
+def q_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#4 nested→relational flatten: tags array-of-structs → bridge rows.
+    ``explode`` is a generator inside the scan stage — zero shuffle."""
+    return asana.flatten_tags(asana.read_tasks(spark, _B1))
+
+
+@register(
+    "q_ingest_cf_pivot",
+    oracle=f"""
+    SELECT t.gid,
+           max(CASE WHEN cf.name = 'priority' THEN cf.display_value END) AS cf_priority,
+           CAST(max(CASE WHEN cf.name = 'estimate' THEN cf.display_value END)
+                AS DOUBLE) AS cf_estimate,
+           max(CASE WHEN cf.name = 'team' THEN cf.display_value END) AS cf_team
+    FROM {_read_json(_B1)} t, unnest(t.custom_fields) AS u(cf)
+    GROUP BY t.gid
+    """,
+)
+def q_ingest_cf_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#5 custom-field EAV → named typed columns. Spark side is a pure
+    projection (map_from_entries + element_at): no shuffle, no field-name
+    discovery scan — the declared-fields discipline that survives 100 TB.
+    (Oracle uses the equivalent unnest+conditional-agg relational form.)"""
+    return asana.pivot_custom_fields(asana.read_tasks(spark, _B1))
+
+
+@register(
+    "q_load_upsert",
+    oracle=f"""
+    WITH unioned AS (
+        SELECT gid, name, modified_at, completed FROM {_read_json(_B1)}
+        UNION ALL
+        SELECT gid, name, modified_at, completed FROM {_read_json(_B2)}
+    ), ranked AS (
+        SELECT gid, name, modified_at, completed,
+               row_number() OVER (PARTITION BY gid ORDER BY modified_at DESC) AS rn
+        FROM unioned
+    )
+    SELECT gid, name, CAST(modified_at AS TIMESTAMP) AS modified_ts, completed
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_load_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#8 last-modified-wins upsert across two sync batches: one window over
+    a single shuffle on gid; newest modified_at survives per key."""
+    b1 = asana.read_tasks(spark, _B1).select("gid", "name", "modified_at", "completed")
+    b2 = asana.read_tasks(spark, _B2).select("gid", "name", "modified_at", "completed")
+    merged = asana.upsert_batches(b1, b2)
+    return merged.select(
+        "gid", "name",
+        F.col("modified_at").cast("timestamp").alias("modified_ts"),
+        "completed",
+    )
+
+
+@register(
+    "q_ingest_incremental",
+    oracle=f"""
+    SELECT gid, name, modified_at
+    FROM {_read_json(_B2)}
+    WHERE modified_at > (SELECT max(modified_at) FROM {_read_json(_B1)})
+    """,
+)
+def q_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#7 incremental sync: checkpoint = max(modified_at) of the last batch;
+    re-extract returns only newer rows. The checkpoint read is a scalar
+    aggregate (sync-token state); the filter is a pushed-down string compare."""
+    b1 = asana.read_tasks(spark, _B1)
+    ckpt = asana.max_modified(b1)
+    b2 = asana.read_tasks(spark, _B2)
+    return asana.incremental_filter(b2, ckpt).select("gid", "name", "modified_at")
+
+
+@register("q_source_paginated")
+def q_source_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#6 paginated REST source, offline replay: page-plan DataFrame →
+    ``mapInPandas`` fetch on executors → ``from_json`` typed parse. Rows-only
+    (transport is not SQL-expressible); equality with the direct read is
+    property-tested in tests/test_ingest.py."""
+    ensure_fixtures(FIXTURES_DIR)
+    pages = asana.page_plan(spark, _B1, total=N_TASKS, page_size=50)
+    parsed = asana.parse_fetched(asana.fetch_pages(pages))
+    return asana.coerce_task_scalars(parsed)

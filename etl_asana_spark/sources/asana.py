@@ -1,0 +1,235 @@
+"""Asana-shaped ingestion: typed JSON → relational DataFrames (SURVEY §2.1).
+
+Re-expresses the reference's extract/transform stages (R1/R2 reconstruction,
+SURVEY §0.3 — the snapshot is empty, so semantics derive from the public
+Asana API shape) as declarative Spark ops:
+
+- explicit ``StructType`` schema (no sampling-based inference — at 100 TB a
+  schema-inference pass is a full extra scan, and silent drift is worse);
+- ISO-8601 string → timestamp/date coercion as a projection (casts push
+  through Catalyst; the JSON parse itself prunes unreferenced fields because
+  Spark's JSON reader honors the required schema);
+- nested arrays → bridge tables via ``explode`` (generator, no shuffle);
+- custom-field EAV array → map → named columns (pure expressions);
+- last-modified-wins upsert = one window per key (single shuffle on ``gid``);
+- paginated REST fetch as a page-plan DataFrame fanned out with
+  ``mapInPandas`` so the network loop runs on executors, not the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import upsert_last_modified_wins
+from ..session import ensure_engine_confs
+from .fixtures import FIXTURES_DIR, ensure_fixtures
+
+# --------------------------------------------------------------------------
+# Schemas (explicit; FIXTURES.md §B). gid stays StringType — Asana gids are
+# decimal strings that can exceed double-exact integer range (SURVEY §1.1).
+# --------------------------------------------------------------------------
+
+_REF = T.StructType([
+    T.StructField("gid", T.StringType()),
+    T.StructField("name", T.StringType()),
+])
+
+TASK_SCHEMA = T.StructType([
+    T.StructField("gid", T.StringType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("notes", T.StringType()),
+    T.StructField("completed", T.BooleanType()),
+    T.StructField("completed_at", T.StringType()),
+    T.StructField("created_at", T.StringType()),
+    T.StructField("modified_at", T.StringType()),
+    T.StructField("due_on", T.StringType()),
+    T.StructField("start_on", T.StringType()),
+    T.StructField("assignee", _REF),
+    T.StructField("parent", T.StructType([T.StructField("gid", T.StringType())])),
+    T.StructField("projects", T.ArrayType(_REF)),
+    T.StructField("memberships", T.ArrayType(T.StructType([
+        T.StructField("project", T.StructType([T.StructField("gid", T.StringType())])),
+        T.StructField("section", _REF),
+    ]))),
+    T.StructField("tags", T.ArrayType(_REF)),
+    T.StructField("num_likes", T.LongType()),
+    T.StructField("custom_fields", T.ArrayType(T.StructType([
+        T.StructField("gid", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("display_value", T.StringType()),
+    ]))),
+])
+
+STORY_SCHEMA = T.StructType([
+    T.StructField("gid", T.StringType()),
+    T.StructField("task_gid", T.StringType()),
+    T.StructField("created_at", T.StringType()),
+    T.StructField("created_by", T.StructType([T.StructField("gid", T.StringType())])),
+    T.StructField("type", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def read_tasks(spark: SparkSession, path: str | Path) -> DataFrame:
+    """#3 JSON document ingest: ndjson → typed nested rows (explicit schema)."""
+    ensure_engine_confs(spark)
+    ensure_fixtures(FIXTURES_DIR)
+    return spark.read.schema(TASK_SCHEMA).json(str(path))
+
+
+def coerce_task_scalars(tasks: DataFrame) -> DataFrame:
+    """R2 scalar coercion: ISO-8601 strings → timestamp/date; nested refs → keys.
+
+    ``cast('timestamp')`` parses the ``...T...Z`` form as a UTC instant under
+    the engine's pinned UTC session — matching DuckDB's Z-tolerant TIMESTAMP
+    cast exactly (probed; SURVEY §5.2 dialect subset).
+    """
+    return tasks.select(
+        F.col("gid"),
+        F.col("name"),
+        F.col("completed"),
+        F.col("num_likes"),
+        F.col("created_at").cast("timestamp").alias("created_ts"),
+        F.col("modified_at").cast("timestamp").alias("modified_ts"),
+        # DateType exercised by the cast; stringified for oracle parity
+        # (DuckDB DATE arrives as midnight-datetime via pandas otherwise).
+        F.col("due_on").cast("date").cast("string").alias("due_date"),
+        F.col("assignee.gid").alias("assignee_gid"),
+        F.col("parent.gid").alias("parent_gid"),
+        F.size("tags").alias("n_tags"),
+        F.length("notes").alias("notes_len"),
+    )
+
+
+def flatten_tags(tasks: DataFrame) -> DataFrame:
+    """#4 nested→relational: tags array-of-structs → task↔tag bridge rows."""
+    return tasks.select(
+        F.col("gid").alias("task_gid"),
+        F.explode("tags").alias("tag"),
+    ).select(
+        "task_gid",
+        F.col("tag.gid").alias("tag_gid"),
+        F.col("tag.name").alias("tag_name"),
+    )
+
+
+def flatten_memberships(tasks: DataFrame) -> DataFrame:
+    """#4 variant: memberships → (task, project, section) bridge rows."""
+    return tasks.select(
+        F.col("gid").alias("task_gid"),
+        F.explode("memberships").alias("m"),
+    ).select(
+        "task_gid",
+        F.col("m.project.gid").alias("project_gid"),
+        F.col("m.section.gid").alias("section_gid"),
+        F.col("m.section.name").alias("section_name"),
+    )
+
+
+def pivot_custom_fields(tasks: DataFrame) -> DataFrame:
+    """#5 custom-field EAV array → one named, typed column per field.
+
+    ``map_from_entries`` + ``element_at`` is a pure projection — no
+    groupBy().pivot() shuffle, no second pass to discover field names. Field
+    names are declared (like the schema): at 100 TB an EAV pivot must not
+    require a distinct-scan of the field-name domain.
+    """
+    cf = F.map_from_entries(
+        F.transform("custom_fields", lambda x: F.struct(x["name"], x["display_value"]))
+    )
+    return tasks.select(
+        "gid",
+        F.element_at(cf, "priority").alias("cf_priority"),
+        F.element_at(cf, "estimate").try_cast("double").alias("cf_estimate"),
+        F.element_at(cf, "team").alias("cf_team"),
+    )
+
+
+def upsert_batches(*batches: DataFrame) -> DataFrame:
+    """#8 last-modified-wins upsert across sync batches (keyed on gid)."""
+    out = batches[0]
+    for b in batches[1:]:
+        out = out.unionByName(b)
+    return upsert_last_modified_wins(out, key="gid", modified_col="modified_at")
+
+
+def incremental_filter(tasks: DataFrame, checkpoint_iso: str) -> DataFrame:
+    """#7 incremental sync: only rows modified after the checkpoint.
+
+    The checkpoint is scalar state (a sync token in the reference's model);
+    comparing ISO-8601 strings lexicographically == comparing instants, so
+    the predicate pushes down to the JSON scan as a plain string comparison.
+    """
+    return tasks.filter(F.col("modified_at") > F.lit(checkpoint_iso))
+
+
+def max_modified(tasks: DataFrame) -> str:
+    """Read the next checkpoint token (scalar aggregate → driver; legitimate
+    driver-side state, not a data-path collect)."""
+    return tasks.agg(F.max("modified_at").alias("m")).collect()[0]["m"]
+
+
+# --------------------------------------------------------------------------
+# Paginated REST source (#6) — offline replay of the page loop.
+# --------------------------------------------------------------------------
+
+PAGE_SCHEMA = T.StructType([
+    T.StructField("page_no", T.IntegerType()),
+    T.StructField("offset", T.IntegerType()),
+    T.StructField("limit", T.IntegerType()),
+    T.StructField("path", T.StringType()),
+])
+
+
+def page_plan(spark: SparkSession, path: str | Path, total: int,
+              page_size: int = 100) -> DataFrame:
+    """Build the page-plan DataFrame: one row per GET the extract loop would
+    issue (Asana caps ``limit`` at 100). On a cluster, `repartition(n_pages)`
+    gives one page per task → parallel fetch with per-executor rate limiting."""
+    rows = [
+        (i, i * page_size, page_size, str(path))
+        for i in range((total + page_size - 1) // page_size)
+    ]
+    return spark.createDataFrame(rows, PAGE_SCHEMA).repartition(max(len(rows), 1))
+
+
+def fetch_pages(pages: DataFrame,
+                fetcher: Callable[[str, int, int], list[str]] | None = None) -> DataFrame:
+    """#6 distributed page fetch: ``mapInPandas`` over the page plan.
+
+    ``fetcher(path, offset, limit) -> list[json_line]`` abstracts the
+    transport. The default replays fixture ndjson slices (no network in this
+    environment); a live deployment would swap in an HTTPS GET with
+    token-bucket pacing honoring Asana's 429/Retry-After. Raw JSON lines come
+    back as one string column; parsing happens engine-side via ``from_json``
+    with the declared schema, so transport and typing stay decoupled.
+    """
+    import pandas as pd
+
+    fetch = fetcher or _replay_fixture_page
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                out.extend(fetch(r.path, int(r.offset), int(r.limit)))
+            yield pd.DataFrame({"raw": out})
+
+    return pages.mapInPandas(run, "raw string")
+
+
+def _replay_fixture_page(path: str, offset: int, limit: int) -> list[str]:
+    with open(path) as f:
+        lines = f.read().splitlines()
+    return lines[offset:offset + limit]
+
+
+def parse_fetched(raw: DataFrame) -> DataFrame:
+    """Typed parse of fetched pages: from_json with the task schema."""
+    return raw.select(F.from_json("raw", TASK_SCHEMA).alias("t")).select("t.*")

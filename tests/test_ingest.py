@@ -1,0 +1,65 @@
+"""Property tests for the ingestion layer (SURVEY §2.1 #3–#8, M8).
+
+Oracle parity for the SQL-checkable keys runs in test_parity.py; these cover
+the rows-only paginated source and the invariants the oracle can't express.
+"""
+
+from __future__ import annotations
+
+from etl_asana_spark import catalog
+from etl_asana_spark.sources import asana
+from etl_asana_spark.sources.fixtures import FIXTURES_DIR, N_NEW, N_TASKS, N_UPDATED
+from etl_asana_spark.testing import canonical_rows
+
+_B1 = str(FIXTURES_DIR / "tasks_batch1.ndjson")
+_B2 = str(FIXTURES_DIR / "tasks_batch2.ndjson")
+
+
+def test_paginated_source_equals_direct_read(spark):
+    """#6: the distributed page-replay fetch reconstructs the direct scan."""
+    qs = catalog.queries()
+    pag = qs["q_source_paginated"](spark, _B1).toPandas()
+    direct = qs["q_ingest_json"](spark, _B1).toPandas()
+    common = sorted(set(pag.columns) & set(direct.columns))
+    assert len(pag) == N_TASKS
+    assert canonical_rows(pag[common]) == canonical_rows(direct[common])
+
+
+def test_upsert_key_count_and_winner(spark):
+    """#8: output has one row per distinct gid; batch2 wins on overlaps."""
+    b1 = asana.read_tasks(spark, _B1).select("gid", "name", "modified_at", "completed")
+    b2 = asana.read_tasks(spark, _B2).select("gid", "name", "modified_at", "completed")
+    merged = asana.upsert_batches(b1, b2)
+    assert merged.count() == N_TASKS + N_NEW
+    # every overlapping gid's surviving modified_at equals batch2's (strictly newer)
+    b2_versions = {r["gid"]: r["modified_at"] for r in b2.collect()}
+    for r in merged.collect():
+        if r["gid"] in b2_versions:
+            assert r["modified_at"] == b2_versions[r["gid"]]
+
+
+def test_upsert_idempotent(spark):
+    """Upserting the merged result with itself is a no-op."""
+    b1 = asana.read_tasks(spark, _B1).select("gid", "name", "modified_at", "completed")
+    b2 = asana.read_tasks(spark, _B2).select("gid", "name", "modified_at", "completed")
+    merged = asana.upsert_batches(b1, b2)
+    again = asana.upsert_batches(merged, merged)
+    assert canonical_rows(again.toPandas()) == canonical_rows(merged.toPandas())
+
+
+def test_incremental_returns_only_newer(spark):
+    """#7: rows at-or-before the checkpoint are excluded."""
+    b1 = asana.read_tasks(spark, _B1)
+    ckpt = asana.max_modified(b1)
+    out = asana.incremental_filter(asana.read_tasks(spark, _B2), ckpt)
+    assert out.count() == N_UPDATED + N_NEW  # all batch2 rows are newer by design
+    assert out.filter(f"modified_at <= '{ckpt}'").count() == 0
+
+
+def test_membership_flatten_covers_all_tasks(spark):
+    """#4: every task has >=1 membership bridge row; sections from the fixed set."""
+    tasks = asana.read_tasks(spark, _B1)
+    bridge = asana.flatten_memberships(tasks)
+    assert bridge.select("task_gid").distinct().count() == N_TASKS
+    names = {r["section_name"] for r in bridge.select("section_name").distinct().collect()}
+    assert names <= {"Backlog", "In Progress", "Done"}
