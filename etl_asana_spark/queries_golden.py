@@ -1,0 +1,206 @@
+"""Golden end-to-end queries (SURVEY §5.3) — multi-operator compositions.
+
+The per-operator catalog proves each §2 row in isolation; these prove the
+compositions a real workload runs: TPC-H-shaped analytics over the star
+schema (adapted to the synthetic domains — no TPC-H-literal predicates,
+FIXTURES.md §A), an event-funnel analysis, and an end-to-end document-
+cleaning pipeline chaining the LLM-data operators.
+
+Every query is fully oracle-checked; top-k outputs carry explicit unique
+tie-breaks so LIMIT is deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .functions.parity import dsum, sql_dsum
+from .operators import text
+from .registry import load_tables
+
+_CUTOFF = "1998-07-01 00:00:00"
+
+
+@register(
+    "q_golden_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{_CUTOFF}'
+      AND l_shipdate  > TIMESTAMP '{_CUTOFF}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_golden_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter → 3-way join → per-order revenue →
+    top 10. Plan: both dim-side filters push to their scans; customer (and
+    orders under AQE) broadcast; single agg shuffle; TakeOrdered top-k."""
+    t = load_tables(spark, sf_dir)
+    cut = F.lit(_CUTOFF).cast("timestamp")
+    return (
+        t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"].filter(F.col("o_orderdate") < cut),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"].filter(F.col("l_shipdate") > cut),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_golden_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_golden_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer over a quarter-ish
+    window, nation enrichment, top 20 losers."""
+    t = load_tables(spark, sf_dir)
+    lo = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-07-01 00:00:00").cast("timestamp")
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"].filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"].filter(F.col("l_returnflag") == "R"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_golden_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_golden_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a correlated non-equi conjunct → left-semi
+    join (equi on l_orderkey + range on shipdate), then a tiny agg."""
+    t = load_tables(spark, sf_dir)
+    lo = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-07-01 00:00:00").cast("timestamp")
+    o = t["orders"].filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    li = t["lineitem"]
+    return (
+        o.join(li, (li["l_orderkey"] == o["o_orderkey"])
+               & (li["l_shipdate"] > o["o_orderdate"]), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_golden_events_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS first_purchase
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > v.first_view
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.first_view, p.first_purchase,
+           p.first_purchase IS NOT NULL AS converted
+    FROM v LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q_golden_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase funnel per user: first view, first purchase strictly
+    after it, conversion flag. Two aggregations + one outer join, all keyed
+    on user_id — a single partitioning reused across stages."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("first_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("first_purchase")))
+    return (
+        v.join(p, "user_id", "left")
+        .select("user_id", "first_view", "first_purchase",
+                F.col("first_purchase").isNotNull().alias("converted"))
+    )
+
+
+@register(
+    "q_golden_doc_pipeline",
+    oracle="""
+    WITH en AS (
+        SELECT doc_id, text FROM documents WHERE lang = 'en'
+    ), feats AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               ROUND(CAST(len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the','of','and','to','in','is','that','for')))
+                     AS DOUBLE) / len(string_split(text, ' ')), 8) AS stopword_ratio
+        FROM en
+    )
+    SELECT doc_id, n_chars, n_words, stopword_ratio
+    FROM feats
+    WHERE n_words >= 20 AND stopword_ratio <= 0.6
+    ORDER BY n_words DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q_golden_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: language filter → quality features →
+    threshold filter → top 50 longest survivors. The whole pipeline is one
+    scan + one TakeOrdered — no shuffle until the final top-k."""
+    t = load_tables(spark, sf_dir)
+    toks = text.ws_tokens("text")
+    n_words = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda tk: tk.isin(*text.STOPWORDS["en"])))
+    return (
+        t["documents"].filter(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            n_words.alias("n_words"),
+            F.round(n_stop.cast("double") / n_words, 8).alias("stopword_ratio"),
+        )
+        .filter((F.col("n_words") >= 20) & (F.col("stopword_ratio") <= 0.6))
+        .orderBy(F.desc("n_words"), "doc_id")
+        .limit(50)
+    )
