@@ -32,6 +32,13 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.stream_static_join(spark, sf_dir)
 
 
+@register("q_stream_session")
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#62 custom stateful sessionization (applyInPandasWithState), 30-min
+    gap — property-checked against batch session_window in tests."""
+    return jobs.sessionize_stream(spark, sf_dir)
+
+
 @register("q_stream_upsert")
 def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#61 foreachBatch last-modified-wins upsert load (replay-idempotent)."""

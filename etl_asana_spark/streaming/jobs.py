@@ -125,6 +125,77 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "append")
 
 
+def sessionize_stream(spark: SparkSession, sf_dir: str,
+                      gap_minutes: int = 30) -> DataFrame:
+    """#62 Arbitrary stateful op: custom sessionization via
+    ``applyInPandasWithState`` (the escalation hatch for when
+    ``session_window`` semantics don't fit).
+
+    Per-user state = (session_start, last_ts, n_events). Within a batch,
+    events are merged in event-time order; a gap > ``gap_minutes`` closes the
+    running session and emits it. The trailing open session arms an
+    event-time timeout at ``last_ts + gap``; when the watermark passes it,
+    the timed-out callback emits the session and clears state.
+
+    Scale: state is 3 scalars per active user key, sharded by the groupBy
+    hash across executors; eviction is watermark-driven, so state size is
+    bounded by (active users in the gap window), not history length.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessionize(key: tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        out = []
+
+        def emit(start_us: int, end_us: int, n: int) -> None:
+            out.append((key[0], start_us, end_us, n))
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            emit(start_us, last_us, n)
+            state.remove()
+        else:
+            ts_us = []
+            for pdf in pdfs:
+                ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+            ts_us.sort()
+            if state.exists:
+                start_us, last_us, n = state.get
+            else:
+                start_us, last_us, n = ts_us[0], ts_us[0] - 1, 0
+            for t in ts_us:
+                if t - last_us > gap_us and n > 0:
+                    emit(start_us, last_us, n)
+                    start_us, n = t, 0
+                last_us = t
+                n += 1
+            state.update((start_us, last_us, n))
+            state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60 * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "session_start": [pd.Timestamp(r[1], unit="us") for r in out],
+                    "session_end": [pd.Timestamp(r[2], unit="us") for r in out],
+                    "n_events": [r[3] for r in out],
+                }
+            )
+
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType="user_id bigint, session_start timestamp, "
+                         "session_end timestamp, n_events bigint",
+        stateStructType="start_us bigint, last_us bigint, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return _run_to_memory(sessions, "update")
+
+
 def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#61 foreachBatch load stage: per micro-batch last-modified-wins upsert
     into a parquet target keyed by user_id (newest event per user survives —

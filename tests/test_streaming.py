@@ -60,3 +60,34 @@ def test_stream_static_join_covers_closed_windows(spark, sf_dir):
     )
     assert out["n_events"].sum() == n_closed
     assert set(out["category"]) == {"engagement", "conversion", "ops"}
+
+
+def test_stream_session_matches_batch_session_window(spark, sf_dir):
+    """#62: custom applyInPandasWithState sessionization reproduces batch
+    session_window exactly for every emit-eligible session (a session is
+    emitted once closed by an in-batch gap or by event-time timeout; only a
+    trailing session still open at the final watermark may stay in state)."""
+    out = catalog.queries()["q_stream_session"](spark, sf_dir)
+    ev = load_tables(spark, sf_dir)["events"]
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    emitted = {tuple(r) for r in out.collect()}
+    expected = {tuple(r) for r in batch.collect()}
+    assert emitted <= expected
+    watermark = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    ).collect()[0]["wm"]
+    must_emit = {
+        tuple(r)
+        for r in batch.filter(
+            F.col("session_end") + F.expr("INTERVAL 30 MINUTES") < F.lit(watermark)
+        ).collect()
+    }
+    assert must_emit <= emitted
