@@ -151,6 +151,18 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("cos", 8).alias("cos"))
 
 
+@register("q_sim_cosine_topk_batched")
+def q_sim_cosine_topk_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#70 variant: exact cosine top-5 via Arrow-batched numpy matmul with
+    per-partition partial top-k — the shape that wins once per-partition
+    matmul work amortizes the Python worker tax (see operators.similarity).
+    Rows-only (float sum order differs from the HOF fold); identity of the
+    (query_id, vec_id) result set is asserted in tests."""
+    t = load_tables(spark, sf_dir)
+    out = similarity.cosine_topk_batched(t["embeddings"], _query_vec(t), k=5)
+    return out.select("query_id", "vec_id", F.round("cos", 8).alias("cos"))
+
+
 @register("q_sim_ann")
 def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#71 ANN top-5 via random-hyperplane LSH (seed=42) — sub-linear scale

@@ -106,3 +106,14 @@ def test_unit_vectors_have_unit_norm(spark, sf_dir):
     for row in out:
         n = sum(x * x for x in row["unit_vec"]) ** 0.5
         assert abs(n - 1.0) < 1e-6, row["vec_id"]
+
+
+def test_batched_cosine_matches_hof_exact(spark, sf_dir):
+    """The numpy-batched brute force returns the same neighbor set as the
+    JVM HOF brute force (scores may differ in float low bits, ids must not)."""
+    qs = catalog.queries()
+    hof = qs["q_sim_cosine_topk"](spark, sf_dir)
+    batched = qs["q_sim_cosine_topk_batched"](spark, sf_dir)
+    ids = lambda df: [(r["query_id"], r["vec_id"]) for r in
+                      df.orderBy("query_id", F.desc("cos"), "vec_id").collect()]
+    assert ids(hof) == ids(batched)
