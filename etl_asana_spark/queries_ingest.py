@@ -143,6 +143,18 @@ def q_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asana.incremental_filter(b2, ckpt).select("gid", "name", "modified_at")
 
 
+@register("q_etl_pipeline")
+def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole reference program in one call (pipelines.run_asana_etl):
+    ingest both sync batches → last-modified-wins merge → typed task table.
+    Rows-only; full-program idempotence/incremental-equivalence properties
+    are asserted in tests/test_pipeline.py."""
+    from .pipelines import run_asana_etl
+    from .sources.asana import coerce_task_scalars
+
+    return coerce_task_scalars(run_asana_etl(spark).tasks)
+
+
 @register("q_source_paginated")
 def q_source_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#6 paginated REST source, offline replay: page-plan DataFrame →
