@@ -757,3 +757,102 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["c_nationkey", "c_mktsegment"],
         order_by=["c_custkey"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Reshaping: pivot / unpivot / time spine (relational-surface completeness)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_f,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_o,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order counts by priority × status. Values are
+    DECLARED (pivot(col, values)) — the two-pass distinct-discovery form is
+    an anti-pattern at scale, exactly like schema inference."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+    FROM part
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long): part metrics to (key, metric, value) rows —
+    a generator-style projection, no shuffle."""
+    t = load_tables(spark, sf_dir)
+    return t["part"].select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
+@register(
+    "q_time_spine",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+               date_trunc('day', MAX(CAST(ts AS TIMESTAMP))) AS hi
+        FROM events
+    ), spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+    ), daily AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               COUNT(*) AS n_events
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT spine.day, COALESCE(daily.n_events, 0) AS n_events
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+)
+def q_time_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time spine / calendar gap-fill: dense daily series over the events
+    range with zero-filled purchase counts. The spine is generated from the
+    aggregated bounds (sequence+explode on ONE row — no driver loop), then
+    outer-joined to the daily aggregate; days with no purchases surface as 0
+    instead of silently missing."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
