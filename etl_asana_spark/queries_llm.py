@@ -375,3 +375,85 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     media = multimodal.attach_binary_payload(t["documents"])
     return multimodal.extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: reproducible sampling / capping / distribution analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sample_hash",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 % 10 = 3
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling: a ~10% slice whose membership is a pure
+    function of the id (Knuth multiplicative hash, identical arithmetic on
+    both engines). The scale-correct way to cut training-data slices:
+    reproducible across runs, engines, partitionings, and re-extractions —
+    unlike rng ``sample()``, whose output depends on partition layout."""
+    t = load_tables(spark, sf_dir)
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(10)
+    return t["documents"].filter(bucket == 3).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_cap_per_source",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap: keep the 10 longest docs per source — the standard
+    domain-balancing primitive (no single crawl may dominate the corpus).
+    Plans as WindowGroupLimit: each partition keeps ≤10 rows before the
+    shuffle, so the cap costs k·|sources| shuffle rows at any corpus size."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        t["documents"].select("doc_id", "source", "n_chars")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .drop("__rn")
+    )
+
+
+@register(
+    "q_hist_tokens",
+    oracle="""
+    SELECT CAST(floor(len(string_split(text, ' ')) / 10) * 10 AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_words,
+           CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_words
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_hist_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (10-wide buckets) — the distribution check run
+    before/after every filtering stage to catch curation regressions. One
+    scan + one tiny agg; bucket arithmetic stays in codegen."""
+    t = load_tables(spark, sf_dir)
+    n_words = F.size(text.ws_tokens("text")).cast("long")
+    return (
+        t["documents"]
+        .select((F.floor(n_words / 10) * 10).cast("long").alias("bucket_lo"),
+                n_words.alias("nw"))
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("nw").alias("min_words"),
+             F.max("nw").alias("max_words"))
+    )
