@@ -103,3 +103,87 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+#: Output schema of resize — binary stays binary (payload-out plumbing).
+RESIZED_SCHEMA = (
+    "doc_id long, payload binary, width int, height int, n_bytes long"
+)
+
+
+def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize kernel over binary payloads (mapInPandas, binary in → binary
+    out). The STUB 'resize' deterministically re-scales the byte length by
+    the pixel ratio (so size-dependent downstream behavior is realistic);
+    a real deployment replaces the kernel with PIL ``Image.resize`` /
+    ``thumbnail`` and the Spark contract (RESIZED_SCHEMA) is unchanged.
+
+    Plumbing notes that DO carry to 100 TB: payload-out schemas keep the
+    data columnar end-to-end (no driver round-trip), and resize parallelism
+    is partition count — repartition upstream if decode-bound.
+    """
+    import pandas as pd
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_meta"]
+            ):
+                payload = bytes(payload)
+                src_px = max(int(meta["width"]) * int(meta["height"]), 1)
+                ratio = min((target_w * target_h) / src_px, 1.0)
+                new_len = max(int(len(payload) * ratio), 1)
+                out = (payload * (new_len // max(len(payload), 1) + 1))[:new_len]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": out,
+                        "width": target_w,
+                        "height": target_h,
+                        "n_bytes": len(out),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+#: Frame sampling: one input row → k frame rows (one-to-many mapInPandas).
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary, frame_bytes long"
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling over 'video' payloads: each input row yields
+    ``n_frames`` evenly-spaced frame rows. STUB kernel slices the payload
+    into deterministic chunks; a real deployment replaces it with ffmpeg
+    keyframe extraction. The one-to-many Arrow-batch shape (a single
+    ``mapInPandas`` emitting more rows than it reads) is the real contract —
+    the fan-out happens executor-side with no explode of pre-materialized
+    arrays and no driver involvement.
+    """
+    import pandas as pd
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if not payload:
+                    raise NotImplementedError("empty payload: stub undefined")
+                step = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    frame = payload[i * step : i * step + step]
+                    if not frame:
+                        frame = payload[-step:]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": i,
+                            "frame": frame,
+                            "frame_bytes": len(frame),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(frame_batches, schema=FRAME_SCHEMA)

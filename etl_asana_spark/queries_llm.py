@@ -377,6 +377,24 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media)
 
 
+@register("q_multimodal_resize")
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#75 resize stage: binary in → binary out at 224×224 (stub kernel,
+    real Arrow-batched plumbing; rows-only)."""
+    t = load_tables(spark, sf_dir)
+    media = multimodal.attach_binary_payload(t["documents"])
+    return multimodal.resize_media(media, 224, 224)
+
+
+@register("q_multimodal_frames")
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#75 frame sampling: one payload row → 4 evenly-spaced frame rows
+    (one-to-many mapInPandas fan-out, executor-side; rows-only)."""
+    t = load_tables(spark, sf_dir)
+    media = multimodal.attach_binary_payload(t["documents"])
+    return multimodal.sample_frames(media, n_frames=4)
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation: reproducible sampling / capping / distribution analysis
 # ---------------------------------------------------------------------------

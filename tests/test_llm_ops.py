@@ -117,3 +117,30 @@ def test_batched_cosine_matches_hof_exact(spark, sf_dir):
     ids = lambda df: [(r["query_id"], r["vec_id"]) for r in
                       df.orderBy("query_id", F.desc("cos"), "vec_id").collect()]
     assert ids(hof) == ids(batched)
+
+
+def test_multimodal_resize_binary_roundtrip(spark, sf_dir):
+    """Resize keeps binary-out schema, fixed target dims, non-empty payloads."""
+    qs = catalog.queries()
+    out = qs["q_multimodal_resize"](spark, sf_dir)
+    assert dict(out.dtypes)["payload"] == "binary"
+    pdf = out.toPandas()
+    n_docs = load_tables(spark, sf_dir)["documents"].count()
+    assert len(pdf) == n_docs
+    assert (pdf["width"] == 224).all() and (pdf["height"] == 224).all()
+    assert (pdf["n_bytes"] > 0).all()
+    # deterministic stub: second run byte-identical
+    pdf2 = qs["q_multimodal_resize"](spark, sf_dir).toPandas()
+    assert list(pdf.sort_values("doc_id")["n_bytes"]) == list(
+        pdf2.sort_values("doc_id")["n_bytes"])
+
+
+def test_multimodal_frame_sampling_fanout(spark, sf_dir):
+    """Frame sampling emits exactly n_frames rows per doc, frames non-empty."""
+    out = catalog.queries()["q_multimodal_frames"](spark, sf_dir).toPandas()
+    n_docs = load_tables(spark, sf_dir)["documents"].count()
+    assert len(out) == 4 * n_docs
+    assert set(out["frame_idx"]) == {0, 1, 2, 3}
+    assert (out["frame_bytes"] > 0).all()
+    per_doc = out.groupby("doc_id").size()
+    assert (per_doc == 4).all()
