@@ -475,3 +475,31 @@ def q_hist_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("nw").alias("min_words"),
              F.max("nw").alias("max_words"))
     )
+
+
+@register(
+    "q_text_bpe_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(
+                    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                    t -> regexp_matches(t, '^[A-Za-z]+$')))
+                AS BIGINT) AS n_word_tokens
+    FROM documents
+    """,
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#72 variant: BPE-ish pre-tokenization counts (letter runs / digit
+    runs / single punctuation — the segmentation a BPE tokenizer refines).
+    Stays in codegen via regexp_extract_all; the token-budget estimator for
+    corpus planning."""
+    t = load_tables(spark, sf_dir)
+    toks = text.bpe_ish_tokens("text")
+    return t["documents"].select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda tk: tk.rlike("^[A-Za-z]+$")))
+         .cast("long").alias("n_word_tokens"),
+    )
