@@ -72,14 +72,14 @@ def sql_dsum(expr: str) -> str:
     BOTH dialects — some oracle texts (GROUPING SETS) also run through
     ``spark.sql``, so this string must parse on both engines."""
     return (
-        f"CAST(SUM(CAST(floor(({expr}) * 1000000.0 + 0.5) AS DECIMAL(38,0)))"
-        " AS DOUBLE) / 1000000.0"
+        f"(CAST(SUM(CAST(floor(({expr}) * 1000000.0 + 0.5) AS DECIMAL(38,0)))"
+        " AS DOUBLE) / 1000000.0)"
     )
 
 
 def sql_davg(expr: str) -> str:
     """SQL mirror of ``davg``."""
     return (
-        f"CAST(SUM(CAST(floor(({expr}) * 1000000.0 + 0.5) AS DECIMAL(38,0)))"
-        f" AS DOUBLE) / 1000000.0 / COUNT({expr})"
+        f"(CAST(SUM(CAST(floor(({expr}) * 1000000.0 + 0.5) AS DECIMAL(38,0)))"
+        f" AS DOUBLE) / 1000000.0 / COUNT({expr}))"
     )
