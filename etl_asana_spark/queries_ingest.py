@@ -165,3 +165,61 @@ def q_source_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = asana.page_plan(spark, _B1, total=N_TASKS, page_size=50)
     parsed = asana.parse_fetched(asana.fetch_pages(pages))
     return asana.coerce_task_scalars(parsed)
+
+
+_STORIES = str(FIXTURES_DIR / "stories.ndjson")
+_STORY_COLS = (
+    "{'gid':'VARCHAR','task_gid':'VARCHAR','created_at':'VARCHAR',"
+    "'created_by':'STRUCT(gid VARCHAR)','type':'VARCHAR','text':'VARCHAR'}"
+)
+
+
+@register(
+    "q_ingest_stories",
+    oracle=f"""
+    WITH s AS (
+        SELECT * FROM read_json('{_STORIES}', format='newline_delimited',
+                                columns={_STORY_COLS})
+    ), merged AS (
+        SELECT gid, completed FROM (
+            SELECT gid, completed, modified_at,
+                   row_number() OVER (PARTITION BY gid ORDER BY modified_at DESC) AS rn
+            FROM (
+                SELECT gid, completed, modified_at FROM {_read_json(_B1)}
+                UNION ALL
+                SELECT gid, completed, modified_at FROM {_read_json(_B2)}
+            )
+        ) WHERE rn = 1
+    )
+    SELECT m.gid AS task_gid, m.completed,
+           COUNT(s.gid) AS n_stories,
+           COUNT(CASE WHEN s.type = 'comment' THEN 1 END) AS n_comments,
+           MAX(CAST(s.created_at AS TIMESTAMP)) AS last_activity
+    FROM merged m LEFT JOIN s ON s.task_gid = m.gid
+    GROUP BY m.gid, m.completed
+    """,
+)
+def q_ingest_stories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#3/#4 companion resource: stories (task activity) ingested with their
+    own schema and rolled up per surviving task — comment counts + last
+    activity, the per-entity enrichment the reference's per-task detail
+    fetch produces."""
+    stories = asana.read_stories(spark, _STORIES)
+    b1 = asana.read_tasks(spark, _B1).select("gid", "completed", "modified_at")
+    b2 = asana.read_tasks(spark, _B2).select("gid", "completed", "modified_at")
+    merged = asana.upsert_batches(b1, b2).drop("modified_at")
+    s = stories.select(
+        F.col("gid").alias("story_gid"),
+        F.col("task_gid"),
+        F.col("type"),
+        F.col("created_at").cast("timestamp").alias("created_ts"),
+    )
+    return (
+        merged.join(s, merged["gid"] == s["task_gid"], "left")
+        .groupBy(F.col("gid").alias("task_gid"), "completed")
+        .agg(
+            F.count("story_gid").alias("n_stories"),
+            F.count(F.when(F.col("type") == "comment", 1)).alias("n_comments"),
+            F.max("created_ts").alias("last_activity"),
+        )
+    )

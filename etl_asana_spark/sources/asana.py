@@ -233,3 +233,10 @@ def _replay_fixture_page(path: str, offset: int, limit: int) -> list[str]:
 def parse_fetched(raw: DataFrame) -> DataFrame:
     """Typed parse of fetched pages: from_json with the task schema."""
     return raw.select(F.from_json("raw", TASK_SCHEMA).alias("t")).select("t.*")
+
+
+def read_stories(spark: SparkSession, path: str | Path) -> DataFrame:
+    """#3 companion resource: task stories/comments (explicit schema)."""
+    ensure_engine_confs(spark)
+    ensure_fixtures(FIXTURES_DIR)
+    return spark.read.schema(STORY_SCHEMA).json(str(path))
