@@ -100,7 +100,8 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                         "feat": feats,
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:  # empty Arrow batch/partition: yield nothing
+                yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
@@ -144,7 +145,8 @@ def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224) -> 
                         "n_bytes": len(out),
                     }
                 )
-            yield pd.DataFrame(rows)
+            if rows:  # empty Arrow batch/partition: yield nothing
+                yield pd.DataFrame(rows)
 
     return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
 
@@ -184,6 +186,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                             "frame_bytes": len(frame),
                         }
                     )
-            yield pd.DataFrame(rows)
+            if rows:  # empty Arrow batch/partition: yield nothing
+                yield pd.DataFrame(rows)
 
     return media.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
