@@ -240,3 +240,66 @@ def read_stories(spark: SparkSession, path: str | Path) -> DataFrame:
     ensure_engine_confs(spark)
     ensure_fixtures(FIXTURES_DIR)
     return spark.read.schema(STORY_SCHEMA).json(str(path))
+
+
+class RateLimitedFetcher:
+    """Token-bucket pacing + bounded retry for the page fetcher (#6).
+
+    Wraps any ``fetcher(path, offset, limit) -> list[json_line]`` with the
+    client-side behavior a REST extract needs (Asana: 150 req/min per token,
+    429 + Retry-After on breach): steady-state pacing at ``rate_per_sec``
+    with bursts up to ``burst``, and exponential backoff on a retryable
+    exception. One instance lives per executor worker process (it rides
+    along in the mapInPandas closure), so cluster-wide pressure =
+    rate_per_sec × fetch tasks — size accordingly, or front with a shared
+    quota service; the per-worker bucket is the correct primitive either way.
+
+    Offline this wraps the fixture replay — the pacing logic is identical,
+    only the transport differs.
+    """
+
+    def __init__(
+        self,
+        fetcher: Callable[[str, int, int], list[str]] | None = None,
+        rate_per_sec: float = 2.5,
+        burst: int = 5,
+        max_retries: int = 4,
+    ) -> None:
+        self._fetch = fetcher or _replay_fixture_page
+        self._rate = rate_per_sec
+        self._capacity = float(burst)
+        self._tokens = float(burst)
+        self._last = 0.0
+        self._max_retries = max_retries
+
+    def _take_token(self) -> None:
+        import time
+
+        now = time.monotonic()
+        if self._last:
+            self._tokens = min(
+                self._capacity, self._tokens + (now - self._last) * self._rate
+            )
+        self._last = now
+        if self._tokens < 1.0:
+            wait = (1.0 - self._tokens) / self._rate
+            time.sleep(wait)
+            self._tokens = 1.0
+            self._last = time.monotonic()
+        self._tokens -= 1.0
+
+    def __call__(self, path: str, offset: int, limit: int) -> list[str]:
+        import time
+
+        delay = 0.5
+        for attempt in range(self._max_retries + 1):
+            self._take_token()
+            try:
+                return self._fetch(path, offset, limit)
+            except (OSError, IOError):
+                # transport error (the offline analog of 429/5xx): back off
+                if attempt == self._max_retries:
+                    raise
+                time.sleep(delay)
+                delay *= 2
+        raise AssertionError("unreachable")

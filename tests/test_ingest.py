@@ -63,3 +63,41 @@ def test_membership_flatten_covers_all_tasks(spark):
     assert bridge.select("task_gid").distinct().count() == N_TASKS
     names = {r["section_name"] for r in bridge.select("section_name").distinct().collect()}
     assert names <= {"Backlog", "In Progress", "Done"}
+
+
+def test_rate_limited_fetcher_paces_and_matches():
+    """Token bucket: after the burst, calls are paced at ~rate_per_sec; the
+    fetched pages are byte-identical to the unpaced fetch."""
+    import time
+
+    limited = asana.RateLimitedFetcher(rate_per_sec=50.0, burst=2)
+    start = time.monotonic()
+    pages = [limited(_B1, off, 10) for off in range(0, 100, 10)]  # 10 calls
+    elapsed = time.monotonic() - start
+    # 10 calls, burst 2 → ≥8 paced waits at 20 ms each
+    assert elapsed >= 8 / 50.0
+    direct = [asana._replay_fixture_page(_B1, off, 10) for off in range(0, 100, 10)]
+    assert pages == direct
+
+
+def test_rate_limited_fetcher_retries_transient_errors():
+    calls = {"n": 0}
+
+    def flaky(path, offset, limit):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("simulated 429/timeout")
+        return asana._replay_fixture_page(path, offset, limit)
+
+    limited = asana.RateLimitedFetcher(flaky, rate_per_sec=1000.0, burst=10)
+    out = limited(_B1, 0, 5)
+    assert len(out) == 5 and calls["n"] == 3
+
+
+def test_paginated_source_with_rate_limit(spark):
+    """End-to-end: the paced fetcher drops into fetch_pages unchanged."""
+    pages = asana.page_plan(spark, _B1, total=N_TASKS, page_size=100)
+    fetched = asana.parse_fetched(
+        asana.fetch_pages(pages, asana.RateLimitedFetcher(rate_per_sec=100.0))
+    )
+    assert fetched.count() == N_TASKS
