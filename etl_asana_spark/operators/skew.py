@@ -49,6 +49,11 @@ def salted_join(
     unique id, or event payload columns) — must NOT be the join key alone,
     which would put every hot-key row back in one bucket.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        # right/full would surface each unmatched dim row n_salts times
+        # (the dim side is replicated); those joins need a different shape.
+        raise ValueError(f"salted_join supports fact-preserving joins only, got {how!r}")
     salted_fact = fact.withColumn(_SALT, _deterministic_salt(salt_src, n_salts))
     salted_dim = dim.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -80,3 +80,30 @@ def test_sink_roundtrip_formats(spark, sf_dir):
         sinks.write_table(nation, target, fmt=fmt)
         back = sinks.read_back(spark, target, fmt=fmt)
         assert back.count() == nation.count(), fmt
+
+
+def test_salted_join_left_keeps_unmatched_fact(spark, sf_dir):
+    """Left salted join preserves unmatched fact rows exactly once."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "user_id")
+    half_dim = (
+        t["events"].select("user_id").distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("flag", F.lit(1))
+    )
+    plain = ev.join(half_dim, ["user_id"], "left")
+    salted = skew.salted_join(
+        ev, half_dim, ["user_id"], n_salts=4, salt_src=["event_id"], how="left"
+    )
+    assert canonical_rows(salted.toPandas()) == canonical_rows(plain.toPandas())
+
+
+def test_salted_join_rejects_dim_preserving_joins(spark, sf_dir):
+    import pytest as _pytest
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "user_id")
+    dim = t["events"].select("user_id").distinct()
+    with _pytest.raises(ValueError, match="fact-preserving"):
+        skew.salted_join(ev, dim, ["user_id"], n_salts=4,
+                         salt_src=["event_id"], how="full")
