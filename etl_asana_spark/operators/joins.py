@@ -20,6 +20,7 @@ def asof_join(
     probe_time: str,
     build_time: str,
     direction: str = "backward",
+    payload_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """For each probe row, attach the nearest build-side time at-or-before
     (``backward``) / at-or-after (``forward``) the probe time, per ``on`` key.
@@ -49,7 +50,22 @@ def asof_join(
         rng = b[build_time] >= probe[probe_time]
         pick = F.min(build_time)
     joined = probe.join(b, cond & rng, "inner")
-    return joined.groupBy(*[probe[c] for c in probe_cols]).agg(pick.alias(build_time))
+    matched = joined.groupBy(*[probe[c] for c in probe_cols]).agg(
+        pick.alias(build_time)
+    )
+    if not payload_cols:
+        return matched
+    # Attach build-side payloads by joining back on (key, matched time).
+    # Ties (same key+time, different payload) are resolved deterministically
+    # before the join-back so the as-of result stays one row per probe row.
+    from .dedup import dedup_exact
+
+    payload = dedup_exact(
+        build.select(on, build_time, *payload_cols),
+        keys=[on, build_time],
+        order_by=list(payload_cols),
+    )
+    return matched.join(payload, [on, build_time], "inner")
 
 
 def asof_join_pandas(

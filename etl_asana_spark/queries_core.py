@@ -856,3 +856,35 @@ def q_time_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(daily, "day", "left").select(
         "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
     )
+
+
+@register(
+    "q_join_asof_payload",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS ts,
+           CAST(v.view_ts AS TIMESTAMP) AS view_ts,
+           v.view_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT user_id, ts AS view_ts, value AS view_value FROM events
+               WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.view_ts <= p.ts
+    """,
+)
+def q_join_asof_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#19 As-of join carrying build-side payload columns: each purchase gets
+    the latest prior view's timestamp AND its value (argmax → deterministic
+    join-back on the matched key+time)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("value").alias("view_value")
+    )
+    return asof_join(
+        purchases, views, on="user_id", probe_time="ts", build_time="view_ts",
+        payload_cols=("view_value",),
+    ).select("event_id", "user_id", "ts", "view_ts", "view_value")
