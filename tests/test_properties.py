@@ -1,0 +1,78 @@
+"""Property-based invariants on generated inputs (hypothesis).
+
+The oracle suite checks fixed datasets; these drive the same operators with
+adversarial generated ones — duplicate keys, equal timestamps, negative and
+tiny values — where keep-rule and fixed-point bugs actually live. Example
+counts are small (a Spark job per example), but each example is a shaped
+stress case, not a happy path.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from etl_asana_spark.functions.parity import dsum
+from etl_asana_spark.operators.dedup import dedup_exact, upsert_last_modified_wins
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+#: (key, version, payload) rows; keys/versions drawn from tiny domains so
+#: collisions (the interesting case) are common.
+_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),      # key: heavy collisions
+        st.integers(min_value=0, max_value=9),      # version: frequent ties
+        st.integers(min_value=-1000, max_value=1000),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS)
+def test_upsert_keeps_exactly_max_version_per_key(spark, rows):
+    df = spark.createDataFrame(rows, "k int, v int, payload int")
+    out = upsert_last_modified_wins(df, key="k", modified_col="v",
+                                    tiebreak=["payload"]).collect()
+    expected_keys = {k for k, _, _ in rows}
+    assert {r["k"] for r in out} == expected_keys
+    assert len(out) == len(expected_keys)
+    for r in out:
+        max_v = max(v for k, v, _ in rows if k == r["k"])
+        assert r["v"] == max_v
+        # tie discipline: among (k, max_v) rows the max payload survives
+        assert r["payload"] == max(
+            p for k, v, p in rows if k == r["k"] and v == max_v
+        )
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS)
+def test_dedup_exact_idempotent(spark, rows):
+    df = spark.createDataFrame(rows, "k int, v int, payload int")
+    once = dedup_exact(df, keys=["k"], order_by=["v", "payload"])
+    twice = dedup_exact(once, keys=["k"], order_by=["v", "payload"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@settings(**_SETTINGS)
+@given(
+    values=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dsum_invariant_under_permutation(spark, values):
+    """Fixed-point sums are a pure function of the multiset of inputs."""
+    fwd = spark.createDataFrame([(float(v),) for v in values], "x double")
+    rev = spark.createDataFrame([(float(v),) for v in reversed(values)], "x double")
+    a = fwd.repartition(3).agg(dsum("x").alias("s")).collect()[0]["s"]
+    b = rev.repartition(7).agg(dsum("x").alias("s")).collect()[0]["s"]
+    assert a == b  # bit-identical
