@@ -257,3 +257,88 @@ def embedding_cosine_dups(
         .select("id_a", "id_b", cosine("vec_a", "vec_b").alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list → (node, component)
+    with component = the smallest node id reachable from ``node``.
+
+    The clustering step of fuzzy dedup: near-dup PAIRS become GROUPS, and one
+    canonical doc survives per group. Spark has no native CC; this is
+    iterative smallest-label propagation in plain DataFrame ops — each
+    round every node takes min(own label, neighbors' labels); rounds ≤ graph
+    diameter (≤ ``max_iter`` hard stop).
+
+    Scale shape: one shuffle per round keyed on node id; labels frame is
+    (n_nodes × 2) longs. localCheckpoint() per round truncates the lineage
+    (an iterative plan otherwise grows exponentially in the optimizer).
+    The driver-side loop is control flow only — per-round work is fully
+    distributed; convergence is one scalar count per round.
+    """
+    sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").union(
+        edges.selectExpr(f"{dst} AS a", f"{src} AS b")
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(sym["a"].alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pair_df: DataFrame,
+    docs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy-dedup end game: near-dup pairs → components → one row per doc
+    with its cluster id, cluster size, and whether it is the canonical
+    survivor (smallest id in its cluster). Docs in no pair are their own
+    singleton cluster."""
+    cc = connected_components(pair_df, src=id_a, dst=id_b)
+    return (
+        docs.select(id_col)
+        .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.min(id_col).over(Window.partitionBy("cluster_id")))
+    )

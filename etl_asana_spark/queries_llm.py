@@ -503,3 +503,55 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(toks, lambda tk: tk.rlike("^[A-Za-z]+$")))
          .cast("long").alias("n_word_tokens"),
     )
+
+
+@register(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, unnest(
+                [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 FOR i IN generate_series(1, len(t) - 2)]
+            ) AS s
+            FROM toks
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.2
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ), comp AS (
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT c.doc_id, c.cluster_id,
+           COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+           c.doc_id = MIN(c.doc_id) OVER (PARTITION BY c.cluster_id) AS is_canonical
+    FROM comp c
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup end game: corpus-wide n-gram Jaccard pairs (≥0.2) →
+    connected components (iterative label propagation) → cluster id/size +
+    canonical-survivor flag per doc (25 real pairs merge at sf0.01). Oracle =
+    DuckDB recursive-CTE transitive closure over the identical pair set."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("doc_a", "doc_b")
+    return dedup.dedup_clusters(pairs, docs)

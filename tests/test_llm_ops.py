@@ -144,3 +144,32 @@ def test_multimodal_frame_sampling_fanout(spark, sf_dir):
     assert (out["frame_bytes"] > 0).all()
     per_doc = out.groupby("doc_id").size()
     assert (per_doc == 4).all()
+
+
+def test_connected_components_on_known_graph(spark):
+    """Chain, triangle, pair, and isolated nodes resolve to min-id labels."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain → component 1
+         (20, 21), (21, 22), (20, 22),  # triangle → component 20
+         (10, 11)],                   # pair → component 10
+        "src long, dst long",
+    )
+    labels = {r["node"]: r["component"]
+              for r in dedup.connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1,
+                      20: 20, 21: 20, 22: 20,
+                      10: 10, 11: 10}
+
+
+def test_dedup_clusters_partition_and_canonical(spark, sf_dir):
+    """Clusters partition the corpus; exactly one canonical doc per cluster;
+    cluster count + sizes are consistent."""
+    out = catalog.queries()["q_dedup_clusters"](spark, sf_dir).toPandas()
+    n_docs = load_tables(spark, sf_dir)["documents"].count()
+    assert len(out) == n_docs                     # every doc exactly once
+    by_cluster = out.groupby("cluster_id")
+    assert (by_cluster["is_canonical"].sum() == 1).all()   # one survivor each
+    assert (by_cluster.size() == by_cluster["cluster_size"].first()).all()
+    # survivors are each cluster's min doc_id
+    canon = out[out["is_canonical"]]
+    assert (canon["doc_id"] == canon["cluster_id"]).all()
