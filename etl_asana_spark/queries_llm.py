@@ -555,3 +555,57 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("doc_a", "doc_b")
     return dedup.dedup_clusters(pairs, docs)
+
+
+@register(
+    "q_mix_corpus",
+    oracle="""
+    WITH stats AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS src_tokens
+        FROM documents GROUP BY source
+    ), totals AS (
+        SELECT CAST(SUM(src_tokens) AS DOUBLE) AS total,
+               CAST(COUNT(*) AS DOUBLE) AS n_src
+        FROM stats
+    )
+    SELECT d.doc_id, d.source,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents d
+    JOIN stats s ON s.source = d.source
+    CROSS JOIN totals t
+    WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+          < least(1.0, (t.total * 0.5 / t.n_src) / s.src_tokens)
+    """,
+)
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: rebalance sources toward a uniform
+    per-source token budget (here: 50% of the corpus split evenly across
+    sources). Each source keeps a deterministic hash slice sized
+    ``min(1, budget_share / source_tokens)`` — over-represented sources are
+    down-sampled, small sources kept whole. Membership is a pure function of
+    doc_id (reproducible across engines/partitionings); the two aggregates
+    are tiny (per-source) and broadcast back — no global window, no skewed
+    single-partition stage."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    n_tokens = F.size(text.ws_tokens("text")).cast("long")
+    stats = docs.groupBy("source").agg(
+        F.sum(F.size(text.ws_tokens("text"))).cast("double").alias("src_tokens")
+    )
+    totals = stats.agg(
+        F.sum("src_tokens").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_src"),
+    )
+    bucket = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ).cast("double") / F.lit(4294967296.0)
+    keep_frac = F.least(
+        F.lit(1.0), (F.col("total") * 0.5 / F.col("n_src")) / F.col("src_tokens")
+    )
+    return (
+        docs.join(F.broadcast(stats), "source")
+        .crossJoin(F.broadcast(totals))
+        .filter(bucket < keep_frac)
+        .select("doc_id", "source", n_tokens.alias("n_tokens"))
+    )
