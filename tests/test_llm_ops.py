@@ -173,3 +173,22 @@ def test_dedup_clusters_partition_and_canonical(spark, sf_dir):
     # survivors are each cluster's min doc_id
     canon = out[out["is_canonical"]]
     assert (canon["doc_id"] == canon["cluster_id"]).all()
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark, sf_dir):
+    """Train/val/test split: disjoint, covers everything, stable under
+    repartitioning, roughly proportional."""
+    from etl_asana_spark.operators.curation import hash_split
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    splits = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = docs.count()
+    ids = {name: {r["doc_id"] for r in df.select("doc_id").collect()}
+           for name, df in splits.items()}
+    assert sum(len(s) for s in ids.values()) == n          # exhaustive
+    assert len(ids["train"] | ids["val"] | ids["test"]) == n  # disjoint
+    assert 0.6 * n < len(ids["train"]) < 0.95 * n          # ~proportional
+    # stability: same membership on a repartitioned copy
+    again = hash_split(docs.repartition(17), "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert {r["doc_id"] for r in again["val"].select("doc_id").collect()} == ids["val"]
