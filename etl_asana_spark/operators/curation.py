@@ -48,3 +48,73 @@ def hash_split(
         out[name] = df.filter((bucket >= lo) & (bucket < hi))
         lo = hi
     return out
+
+
+PACKED_SCHEMA = (
+    "seq_id long, doc_ids array<long>, n_docs int, total_tokens long"
+)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    parts: int | None = None,
+) -> DataFrame:
+    """Greedy sequence packing: concatenate docs into training rows of at
+    most ``max_tokens`` tokens (first-fit over a deterministic doc order).
+
+    The pretraining batch-construction step: short documents are packed
+    together so every training row is near the context length. Exact global
+    first-fit is inherently sequential, so the engine packs per partition —
+    docs are range-partitioned and sorted by id (deterministic membership
+    AND order, so reruns give identical sequences), each partition packs its
+    run independently, and ``seq_id`` namespaces by partition. Packing
+    efficiency loss vs global is at most one underfull tail sequence per
+    partition — negligible when partitions hold thousands of docs, which is
+    the 100 TB operating point.
+
+    Docs longer than ``max_tokens`` get a sequence of their own (real
+    pipelines chunk them upstream; packing must not drop them).
+    """
+    import pandas as pd
+
+    n_parts = parts or max(docs.rdd.getNumPartitions(), 1)
+    arranged = (
+        docs.select(id_col, token_col)
+        .repartitionByRange(n_parts, F.col(id_col))
+        .sortWithinPartitions(id_col)
+    )
+
+    def pack(batches):
+        pid = None
+        seqs: list[tuple[list[int], int]] = []
+        cur_ids: list[int] = []
+        cur_tok = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if pid is None:
+                pid = int(pdf[id_col].iloc[0])  # namespace: first id in part
+            for did, tok in zip(pdf[id_col], pdf[token_col]):
+                tok = int(tok)
+                if cur_ids and cur_tok + tok > max_tokens:
+                    seqs.append((cur_ids, cur_tok))
+                    cur_ids, cur_tok = [], 0
+                cur_ids.append(int(did))
+                cur_tok += tok
+        if cur_ids:
+            seqs.append((cur_ids, cur_tok))
+        if not seqs:
+            return
+        yield pd.DataFrame(
+            {
+                "seq_id": [pid * 1_000_000 + i for i in range(len(seqs))],
+                "doc_ids": [ids for ids, _ in seqs],
+                "n_docs": [len(ids) for ids, _ in seqs],
+                "total_tokens": [t for _, t in seqs],
+            }
+        )
+
+    return arranged.mapInPandas(pack, schema=PACKED_SCHEMA)

@@ -609,3 +609,17 @@ def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < keep_frac)
         .select("doc_id", "source", n_tokens.alias("n_tokens"))
     )
+
+
+@register("q_pack_sequences")
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy first-fit of docs into ≤512-token training
+    rows, per range partition with deterministic order (rows-only; exact
+    packing is order-dependent, invariants tested in tests/test_llm_ops.py)."""
+    from .operators.curation import pack_sequences
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", F.size(text.ws_tokens("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, max_tokens=512, parts=8)

@@ -192,3 +192,27 @@ def test_hash_split_disjoint_exhaustive_stable(spark, sf_dir):
     again = hash_split(docs.repartition(17), "doc_id",
                        {"train": 0.8, "val": 0.1, "test": 0.1})
     assert {r["doc_id"] for r in again["val"].select("doc_id").collect()} == ids["val"]
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Packing: every doc appears exactly once; no sequence exceeds the
+    budget unless it is a single oversized doc; deterministic across runs."""
+    from etl_asana_spark.operators.curation import pack_sequences
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens")
+    )
+    MAX = 120
+    packed = pack_sequences(docs, max_tokens=MAX, parts=8).toPandas()
+    all_ids = [d for ids in packed["doc_ids"] for d in ids]
+    assert sorted(all_ids) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )
+    tokens = {r["doc_id"]: r["n_tokens"] for r in docs.collect()}
+    for ids, total in zip(packed["doc_ids"], packed["total_tokens"]):
+        assert total == sum(tokens[d] for d in ids)
+        assert total <= MAX or len(ids) == 1   # oversized docs ride alone
+    again = pack_sequences(docs.repartition(13), max_tokens=MAX, parts=8).toPandas()
+    a = sorted(map(tuple, packed[["seq_id", "total_tokens"]].values.tolist()))
+    b = sorted(map(tuple, again[["seq_id", "total_tokens"]].values.tolist()))
+    assert a == b  # deterministic despite upstream partitioning
