@@ -623,3 +623,133 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(text.ws_tokens("text")).cast("long").alias("n_tokens")
     )
     return pack_sequences(docs, max_tokens=512, parts=8)
+
+
+@register(
+    "q_contamination",
+    oracle="""
+    WITH bench AS (
+        SELECT doc_id AS bench_id, text FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 % 50 = 7
+    ), bench_sh AS (
+        SELECT DISTINCT bench_id, unnest(
+            [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             FOR i IN generate_series(1, len(t) - 2)]
+        ) AS s
+        FROM (SELECT bench_id, string_split(text, ' ') AS t FROM bench)
+    ), corpus_sh AS (
+        SELECT DISTINCT doc_id, unnest(
+            [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             FOR i IN generate_series(1, len(t) - 2)]
+        ) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT c.doc_id, b.bench_id, COUNT(*) AS shared_ngrams
+    FROM corpus_sh c JOIN bench_sh b ON c.s = b.s
+    WHERE c.doc_id != b.bench_id
+    GROUP BY c.doc_id, b.bench_id
+    HAVING COUNT(*) >= 5
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag corpus docs sharing ≥5 distinct
+    word trigrams with any doc in a held-out 'benchmark' slice (a
+    deterministic 2% hash sample stands in for the eval set). The join is
+    shingle-blocked — corpus×bench pairs only materialize on shared
+    n-grams, and the bench side is tiny so Catalyst broadcasts it."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    bench = docs.filter(
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 50 == 7
+    ).select(F.col("doc_id").alias("bench_id"), "text")
+
+    def shingled(df, idc):
+        toks = text.ws_tokens("text")
+        return (
+            df.select(idc, toks.alias("t"))
+            .select(idc, F.explode(text.shingles("t", 3)).alias("s"))
+            .distinct()
+        )
+
+    c = shingled(docs, "doc_id")
+    b = shingled(bench, "bench_id")
+    return (
+        c.join(F.broadcast(b), "s")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= 5)
+    )
+
+
+@register(
+    "q_scrub_pii",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text || ' reach me: user' || doc_id ||
+                            '@mail.example or +1-555-01' || doc_id % 100,
+                            '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+             '\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{2,6}', '<PHONE>', 'g') AS scrubbed,
+           length(text || ' reach me: user' || doc_id ||
+                  '@mail.example or +1-555-01' || doc_id % 100) AS len_before
+    FROM documents
+    """,
+)
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails and phone numbers (the
+    corpus has none, so deterministic synthetic PII is appended per doc —
+    the scrubber must then remove exactly what was planted). Pure
+    regexp_replace: JVM-side, full scan speed, no UDF."""
+    t = load_tables(spark, sf_dir)
+    dirty = F.concat(
+        F.col("text"), F.lit(" reach me: user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +1-555-01"), (F.col("doc_id") % 100).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(dirty, r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{2,6}", "<PHONE>",
+    )
+    return t["documents"].select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.length(dirty).cast("long").alias("len_before"),
+    )
+
+
+@register(
+    "q_repetition_score",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, unnest(
+            [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             FOR i IN generate_series(1, len(t) - 2)]
+        ) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ), freq AS (
+        SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY doc_id, s
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_ngrams,
+           CAST(MAX(c) AS BIGINT) AS top_ngram_count,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 8) AS repetition_ratio
+    FROM freq
+    GROUP BY doc_id
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / boilerplate scoring: share of a doc's trigrams taken by
+    its single most-repeated trigram (Gopher-style repetition filter input).
+    High ratio → templated or spammy text."""
+    t = load_tables(spark, sf_dir)
+    toks = text.ws_tokens("text")
+    sh = (
+        t["documents"].select("doc_id", toks.alias("t"))
+        .select("doc_id", F.explode(text.shingles("t", 3)).alias("s"))
+    )
+    freq = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("c"))
+    return freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n_ngrams"),
+        F.max("c").alias("top_ngram_count"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 8).alias("repetition_ratio"),
+    )
