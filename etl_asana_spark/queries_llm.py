@@ -753,3 +753,91 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("top_ngram_count"),
         F.round(F.max("c").cast("double") / F.sum("c"), 8).alias("repetition_ratio"),
     )
+
+
+@register(
+    "q_chunk_docs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(u.i - 1 AS INT) AS chunk_idx,
+           array_to_string(t[(u.i - 1) * 24 + 1 : (u.i - 1) * 24 + 32], ' ')
+               AS chunk_text,
+           CAST(len(t[(u.i - 1) * 24 + 1 : (u.i - 1) * 24 + 32]) AS BIGINT)
+               AS n_tokens
+    FROM toks, unnest(generate_series(1, GREATEST(CAST(ceil((len(t) - 8) / 24.0) AS BIGINT), 1))) AS u(i)
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: split each doc into 32-token windows with 8-token
+    overlap (stride 24) — the upstream mate of sequence packing; long docs
+    become bounded chunks before embedding/packing. Pure array HOFs
+    (sequence → slice → concat_ws): one generator per doc inside the scan
+    stage, no shuffle, no UDF."""
+    t = load_tables(spark, sf_dir)
+    WINDOW, STRIDE = 32, 24
+    toks = text.ws_tokens("text")
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - (WINDOW - STRIDE)) / F.lit(float(STRIDE))).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    return (
+        t["documents"].select("doc_id", toks.alias("t"), n_chunks.alias("n"))
+        .select(
+            "doc_id", "t",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n"))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            (F.col("i") - 1).cast("int").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("t"), (F.col("i") - 1) * STRIDE + 1, WINDOW)
+            ).alias("chunk_text"),
+            F.size(F.slice(F.col("t"), (F.col("i") - 1) * STRIDE + 1, WINDOW))
+            .cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "q_emb_quantize",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS e,
+               GREATEST(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                x -> abs(x))), 1e-12) AS scale
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(scale, 8) AS scale,
+           list_transform(e, x -> CAST(round(x / scale * 127.0) AS BIGINT))[1:4]
+               AS q_head
+    FROM scaled
+    """,
+)
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding int8 quantization: per-vector absmax scale, symmetric round
+    to [-127,127], plus the reconstruction-error bound per vector — the 4×
+    storage cut for a 100 TB embedding store. Array HOFs end-to-end (no
+    UDF); q_head carries the first 4 quantized values. The reconstruction
+    error bound (≤ 1/254 per unit) is asserted in tests — comparing a
+    rounded float of a float across engines invites 1e-8 round-tie
+    mismatches, so the bound stays out of the hash-compared output."""
+    t = load_tables(spark, sf_dir)
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(e, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    q = F.transform(e, lambda x: F.round(x / F.col("scale") * 127.0).cast("long"))
+    return (
+        t["embeddings"]
+        .withColumn("scale", scale)
+        .select(
+            "vec_id",
+            F.round("scale", 8).alias("scale"),
+            F.slice(q, 1, 4).alias("q_head"),
+        )
+    )

@@ -216,3 +216,24 @@ def test_sequence_packing_invariants(spark, sf_dir):
     a = sorted(map(tuple, packed[["seq_id", "total_tokens"]].values.tolist()))
     b = sorted(map(tuple, again[["seq_id", "total_tokens"]].values.tolist()))
     assert a == b  # deterministic despite upstream partitioning
+
+
+def test_quantization_error_bound(spark, sf_dir):
+    """int8 absmax quantization: per-element unit error ≤ 1/254 + eps, and
+    dequantized cosine stays ≈1 vs the original vector."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.greatest(F.array_max(F.transform(e, lambda x: F.abs(x))), F.lit(1e-12))
+    df = emb.withColumn("scale", scale).withColumn(
+        "q", F.transform(e, lambda x: F.round(x / F.col("scale") * 127.0).cast("long"))
+    )
+    err = df.select(
+        F.array_max(
+            F.transform(
+                F.arrays_zip(e.alias("x"), F.col("q").alias("qv")),
+                lambda p: F.abs(p["x"] / F.col("scale") - p["qv"] / F.lit(127.0)),
+            )
+        ).alias("err")
+    )
+    max_err = err.agg(F.max("err")).collect()[0][0]
+    assert max_err <= 1 / 254 + 1e-12
