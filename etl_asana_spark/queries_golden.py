@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import register
-from .functions.parity import dsum, sql_dsum
+from .functions.parity import davg, dsum, sql_davg, sql_dsum
 from .operators import text
 from .registry import load_tables
 
@@ -346,4 +346,102 @@ def q_golden_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.datediff("active_week", "cohort_week") / 7).cast("long").alias("week_offset"),
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "q_profile_table",
+    oracle=f"""
+    SELECT 'l_quantity' AS col, COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_nulls,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
+           {sql_davg('l_quantity')} AS mean_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*),
+           CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+           COUNT(DISTINCT l_discount),
+           MIN(l_discount), MAX(l_discount),
+           {sql_davg('l_discount')}
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*),
+           CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+           COUNT(DISTINCT l_extendedprice),
+           MIN(l_extendedprice), MAX(l_extendedprice),
+           {sql_davg('l_extendedprice')}
+    FROM lineitem
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column row/null/distinct counts + min/max/mean
+    for the lineitem measures — the data-quality gate run before and after
+    every load. All columns profile in ONE scan (a single multi-aggregate
+    pass, unpivoted to rows), not one scan per column."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    cols = ["l_quantity", "l_discount", "l_extendedprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            davg(c).alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    stacked = wide.selectExpr(
+        "stack({n}, {args}) AS (col, n_rows, n_nulls, n_distinct, min_v, max_v, mean_v)".format(
+            n=len(cols),
+            args=", ".join(
+                f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__mean"
+                for c in cols
+            ),
+        )
+    )
+    return stacked
+
+
+@register(
+    "q_anomaly_days",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type, day, n,
+               AVG(n) OVER (PARTITION BY event_type) AS mu,
+               stddev_pop(n) OVER (PARTITION BY event_type) AS sigma
+        FROM daily
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+           ROUND((n - mu) / sigma, 6) AS z
+    FROM stats
+    WHERE abs((n - mu) / sigma) > 2.0
+    """,
+)
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: days whose per-type event count deviates
+    more than 2σ from that type's mean (population stddev over the full
+    horizon — a fixed two-pass shape: one agg, one broadcast-size window).
+    The monitoring query a pipeline runs after every daily load."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(w)) / F.stddev_pop("n").over(w)
+    return (
+        daily.withColumn("z_raw", z)  # materialize the window before WHERE
+        .filter(F.abs(F.col("z_raw")) > 2.0)  # unrounded filter (oracle parity)
+        .select("event_type", "day", F.col("n").cast("long").alias("n_events"),
+                F.round("z_raw", 6).alias("z"))
     )
