@@ -888,3 +888,29 @@ def q_join_asof_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, views, on="user_id", probe_time="ts", build_time="view_ts",
         payload_cols=("view_value",),
     ).select("event_id", "user_id", "ts", "view_ts", "view_value")
+
+
+@register(
+    "q_correlated_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier s
+    WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+                       WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2 shape): best-balance supplier
+    per nation, written as SQL and run through the engine's spark.sql entry
+    point (SURVEY §3.2) against the registry's temp views. Catalyst's
+    RewriteCorrelatedScalarSubquery decorrelates it into an aggregate +
+    join — no per-row subquery execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM supplier s
+        WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+                           WHERE s2.s_nationkey = s.s_nationkey)
+        """
+    )
