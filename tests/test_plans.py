@@ -88,3 +88,43 @@ def test_semi_join_is_semi_not_inner_distinct(spark, sf_dir):
     """EXISTS/IN must plan a LeftSemi (streams, no dedup pass)."""
     df = catalog.queries()["q_join_semi"](spark, sf_dir)
     assert "LeftSemi" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_golden_local_volume_broadcasts_dim_chain(spark, sf_dir):
+    """Q5 shape: supplier and nation⋈region must broadcast — only the
+    customer⋈orders⋈lineitem fact spine may shuffle. At 100 TB a sort-merge
+    against a 25-row dim would shuffle the whole fact table for nothing."""
+    s = _summary(spark, "q_golden_local_volume", sf_dir)
+    assert s.n_broadcast_joins >= 3  # supplier, nation, region
+    assert s.n_cartesian == 0
+
+
+def test_golden_disjunctive_keeps_equi_join(spark, sf_dir):
+    """Q19 shape: the OR-of-ANDs must NOT degrade the join to a cartesian —
+    Catalyst keeps p_partkey = l_partkey as the equi condition and evaluates
+    the disjunction as a residual filter."""
+    s = _summary(spark, "q_golden_disjunctive", sf_dir)
+    assert s.n_cartesian == 0
+    assert s.n_broadcast_joins == 1  # part broadcasts
+    assert s.pushed_filters, "no predicate reached the scan"
+
+
+def test_golden_waiting_suppliers_plans_semi_and_anti(spark, sf_dir):
+    """Q21 shape: EXISTS → LeftSemi, NOT EXISTS → LeftAnti; never a join +
+    distinct/filter rewrite (which would materialize the duplicates it
+    exists to avoid)."""
+    plan = (
+        catalog.queries()["q_golden_waiting_suppliers"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_golden_top_supplier_scalar_max_is_broadcast(spark, sf_dir):
+    """Q15 shape: the scalar max joins back as a 1-row broadcast, not a
+    global sort; revenue agg shuffles exactly once per agg."""
+    s = _summary(spark, "q_golden_top_supplier", sf_dir)
+    assert s.n_broadcast_joins >= 1
+    assert s.n_cartesian == 0
