@@ -841,3 +841,29 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(q, 1, 4).alias("q_head"),
         )
     )
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 % 100 <
+          CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 25 ELSE 50 END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep-fractions (10%
+    of English, 25% of Chinese, 50% of the rest) — the corpus-rebalancing
+    cut that up-weights low-resource strata. Same Knuth multiplicative hash
+    as q_sample_hash, so membership is a pure function of (doc_id, lang):
+    reproducible across engines and partitionings, and composable with the
+    other curation slices (a doc's bucket never changes)."""
+    t = load_tables(spark, sf_dir)
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+    keep_pct = (
+        F.when(F.col("lang") == "en", F.lit(10))
+        .when(F.col("lang") == "zh", F.lit(25))
+        .otherwise(F.lit(50))
+    )
+    return t["documents"].filter(bucket < keep_pct).select("doc_id", "lang")

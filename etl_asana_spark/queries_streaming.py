@@ -43,3 +43,10 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#61 foreachBatch last-modified-wins upsert load (replay-idempotent)."""
     return jobs.foreach_batch_upsert(spark, sf_dir)
+
+
+@register("q_stream_stream_join")
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join (views ⋈ purchases within 1 hour),
+    state bounded by dual watermarks + the event-time range condition."""
+    return jobs.stream_stream_join(spark, sf_dir)

@@ -227,3 +227,38 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert_last_modified_wins(
         merged, key="user_id", modified_col="ts", tiebreak=["event_type"]
     )
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    views in the preceding hour (the real-time attribution join).
+
+    Both sides carry watermarks and the join condition bounds event time
+    (view_ts ∈ [purchase_ts - 1h, purchase_ts]), so Spark can compute how
+    long each side's rows must be retained and evict join state as the
+    watermarks advance — without the time bound the state would grow
+    forever. Per-key state shards across executors on user_id.
+    """
+    views = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "10 minutes")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "view_ts", "purchase_ts", "purchase_value")
+    return _run_to_memory(joined, "append")

@@ -91,3 +91,30 @@ def test_stream_session_matches_batch_session_window(spark, sf_dir):
         ).collect()
     }
     assert must_emit <= emitted
+
+
+def test_stream_stream_join_equals_batch_join(spark, sf_dir):
+    """Inner stream-stream joins emit a match as soon as both rows have
+    arrived; the single-file AvailableNow drain is one micro-batch, so the
+    emitted set must equal the batch join exactly (watermarks only bound
+    state for cross-batch matches)."""
+    out = catalog.queries()["q_stream_stream_join"](spark, sf_dir).toPandas()
+    ev = load_tables(spark, sf_dir)["events"]
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"))
+    batch = (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("user_id", "view_ts", "purchase_ts", "purchase_value")
+        .toPandas()
+    )
+    assert len(out) > 0
+    assert canonical_rows(out) == canonical_rows(batch)
