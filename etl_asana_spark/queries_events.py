@@ -134,3 +134,63 @@ def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@register(
+    "q_scd2",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS prev_type
+        FROM events
+    ), changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current
+    FROM changes
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: each user's event_type observation feed
+    collapsed to state-change intervals (valid_from / valid_to / is_current).
+    One hash exchange on user_id serves both window passes; output size is
+    proportional to state CHANGES, not observations. event_id tiebreaks the
+    ordering so ties in ts cannot make the intervals engine-dependent."""
+    from .operators.scd import scd2_history
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return scd2_history(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        key="user_id",
+        state_col="event_type",
+        ts_col="ts",
+        tiebreak=["event_id"],
+    )
+
+
+@register("q_agg_hll_rollup")
+def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counts: per-day HLL sketches of user_id,
+    union-merged into weekly distinct-user estimates. THE scale pattern for
+    distinct counts over rollup hierarchies — at 100 TB you materialize the
+    small daily sketch table once and answer any coarser granularity by
+    merging sketches, never rescanning the fact. (Estimates are
+    engine-specific → rows-only check; accuracy is asserted against exact
+    counts in tests/test_llm_ops.py.)"""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy(F.date_trunc("week", "day").alias("week"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+        .orderBy("week")
+    )

@@ -223,3 +223,37 @@ def q_ingest_stories(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("created_ts").alias("last_activity"),
         )
     )
+
+
+_SECTIONS_CSV = str(FIXTURES_DIR / "sections.csv")
+
+
+@register(
+    "q_ingest_csv",
+    oracle=f"""
+    SELECT section_gid, project_gid, name, position,
+           CAST(created_at AS TIMESTAMP) AS created_ts
+    FROM read_csv('{_SECTIONS_CSV}', header=true,
+                  columns={{'section_gid':'VARCHAR','project_gid':'VARCHAR',
+                           'name':'VARCHAR','position':'INTEGER',
+                           'created_at':'VARCHAR'}})
+    WHERE position <= 3
+    """,
+)
+def q_ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with an EXPLICIT schema — never inferSchema (a second full
+    scan of the data at 100 TB) — timestamps parsed from ISO strings after
+    the read so malformed cells surface as NULLs, not job failures. Reads
+    the committed sections fixture (Asana project sections export shape)."""
+    schema = (
+        "section_gid string, project_gid string, name string, "
+        "position int, created_at string"
+    )
+    return (
+        spark.read.schema(schema).option("header", True).csv(_SECTIONS_CSV)
+        .filter(F.col("position") <= 3)
+        .select(
+            "section_gid", "project_gid", "name", "position",
+            F.col("created_at").cast("timestamp").alias("created_ts"),
+        )
+    )

@@ -237,3 +237,22 @@ def test_quantization_error_bound(spark, sf_dir):
     )
     max_err = err.agg(F.max("err")).collect()[0][0]
     assert max_err <= 1 / 254 + 1e-12
+
+
+def test_hll_rollup_accuracy(spark, sf_dir):
+    """Sketch-merged weekly estimates must track exact distinct counts within
+    HLL's error envelope (lgConfigK=12 default → ~1.6% stderr; assert 5%)."""
+    approx = {
+        r["week"]: r["approx_users"]
+        for r in catalog.queries()["q_agg_hll_rollup"](spark, sf_dir).collect()
+    }
+    ev = load_tables(spark, sf_dir)["events"]
+    exact = {
+        r["week"]: r["n"]
+        for r in ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for wk, est in approx.items():
+        assert abs(est - exact[wk]) <= max(2, 0.05 * exact[wk]), (wk, est, exact[wk])
