@@ -194,3 +194,70 @@ def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
         .orderBy("week")
     )
+
+
+@register(
+    "q_join_interval",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS prev_type
+        FROM events WHERE event_type <> 'purchase'
+    ), changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    ), intervals AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM changes
+    )
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           i.state AS context_state, p.value AS purchase_value
+    FROM events p
+    JOIN intervals i
+      ON p.user_id = i.user_id
+     AND CAST(p.ts AS TIMESTAMP) >= i.valid_from
+     AND (i.valid_to IS NULL OR CAST(p.ts AS TIMESTAMP) < i.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: each purchase looked up against the SCD2
+    state history (built from the non-purchase feed) to recover the user's
+    activity state at purchase time. The equi key (user_id) carries the
+    join — the validity range is a post-join residual — so this plans as a
+    keyed hash/sort-merge join, NEVER a nested-loop over intervals; at
+    100 TB both sides shuffle once on user_id and intervals-per-user is
+    small by construction (changes, not observations)."""
+    from .operators.scd import scd2_history
+
+    ev = load_tables(spark, sf_dir)["events"]
+    intervals = scd2_history(
+        ev.filter(F.col("event_type") != "purchase")
+        .select("user_id", "event_type", "ts", "event_id"),
+        key="user_id",
+        state_col="event_type",
+        ts_col="ts",
+        tiebreak=["event_id"],
+    ).select(
+        F.col("user_id").alias("i_user_id"), "state", "valid_from", "valid_to"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return (
+        purchases.join(
+            intervals,
+            (F.col("user_id") == F.col("i_user_id"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        )
+        .select(
+            "event_id", "user_id", F.col("ts").alias("purchase_ts"),
+            F.col("state").alias("context_state"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
