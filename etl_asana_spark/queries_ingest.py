@@ -257,3 +257,55 @@ def q_ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("created_at").cast("timestamp").alias("created_ts"),
         )
     )
+
+
+_SECTIONS_DIRTY_CSV = str(FIXTURES_DIR / "sections_dirty.csv")
+
+
+@register(
+    "q_ingest_quarantine",
+    oracle=f"""
+    WITH staged AS (
+        SELECT section_gid, name,
+               TRY_CAST(position AS INTEGER) AS position,
+               TRY_CAST(created_at AS TIMESTAMP) AS created_ts,
+               (section_gid IS NOT NULL)
+                 AND TRY_CAST(position AS INTEGER) IS NOT NULL
+                 AND COALESCE(TRY_CAST(position AS INTEGER), 0) > 0
+                 AND TRY_CAST(created_at AS TIMESTAMP) IS NOT NULL AS is_valid
+        FROM read_csv('{_SECTIONS_DIRTY_CSV}', header=true,
+                      columns={{'section_gid':'VARCHAR','project_gid':'VARCHAR',
+                               'name':'VARCHAR','position':'VARCHAR',
+                               'created_at':'VARCHAR'}})
+    )
+    SELECT section_gid, name, position, created_ts, is_valid
+    FROM staged
+    """,
+)
+def q_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality quarantine gate: stage every CSV column as STRING (so a
+    malformed cell can never kill the job), validate with try_cast + rule
+    predicates, and flag rows instead of dropping them — the loader then
+    routes is_valid=false to a quarantine sink for inspection while the
+    clean slice proceeds. Explicit string-staging beats PERMISSIVE-mode
+    magic at scale: the validation rules are visible, testable SQL, and the
+    same expressions run identically on any engine."""
+    schema = (
+        "section_gid string, project_gid string, name string, "
+        "position string, created_at string"
+    )
+    staged = spark.read.schema(schema).option("header", True).csv(_SECTIONS_DIRTY_CSV)
+    pos = F.try_to_number(F.col("position"), F.lit("S999")).cast("int")
+    ts = F.expr("try_cast(created_at AS timestamp)")
+    return staged.select(
+        "section_gid",
+        "name",
+        pos.alias("position"),
+        ts.alias("created_ts"),
+        (
+            F.col("section_gid").isNotNull()
+            & pos.isNotNull()
+            & (F.coalesce(pos, F.lit(0)) > 0)
+            & ts.isNotNull()
+        ).alias("is_valid"),
+    )

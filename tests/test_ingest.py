@@ -101,3 +101,18 @@ def test_paginated_source_with_rate_limit(spark):
         asana.fetch_pages(pages, asana.RateLimitedFetcher(rate_per_sec=100.0))
     )
     assert fetched.count() == N_TASKS
+
+
+def test_quarantine_gate_flags_without_dropping(spark):
+    """The gate stages every row (malformed cells can't kill the job) and
+    flags instead of dropping: 8 fixture rows in, 8 rows out, with exactly
+    the 4 known-bad rows marked invalid for the quarantine sink."""
+    df = catalog.queries()["q_ingest_quarantine"](spark, "")
+    rows = {r["section_gid"]: r for r in df.collect()}
+    assert len(rows) == 8  # nothing dropped (the null-gid row keys as None)
+    bad = {gid for gid, r in rows.items() if not r["is_valid"]}
+    # sec_102: position "two"; sec_103: bad date; None: missing gid;
+    # sec_106: negative position fails the >0 rule
+    assert bad == {"sec_102", "sec_103", None, "sec_106"}
+    good = rows["sec_101"]
+    assert good["position"] == 1 and good["created_ts"] is not None
