@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "etl_asana_spark.queries_ingest",
     "etl_asana_spark.queries_golden",
     "etl_asana_spark.queries_golden2",
+    "etl_asana_spark.queries_scale",
     "etl_asana_spark.queries_streaming",
 )
 

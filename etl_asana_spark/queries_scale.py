@@ -1,0 +1,227 @@
+"""Scale-pattern queries: exact re-aggregatable statistics, runtime-filter
+joins, and multi-dimensional data layout (SURVEY §4 scale engineering).
+
+These are the patterns that only start to matter past ~1 TB:
+
+- ``q_agg_stats`` — corr/covar/stddev computed from exact fixed-point
+  moments instead of the engines' streaming co-moment aggregates, so the
+  result is bit-identical at any parallelism (native ``corr()`` drifts with
+  partitioning; an unauditable number at 100 TB).
+- ``q_join_bloom`` — a declarative runtime filter: broadcast the build
+  side's hash-bucket set (a one-hash Bloom filter) to prune the probe side
+  BEFORE its shuffle, then do the exact shuffle join on the survivors.
+- ``q_layout_zorder`` — Morton (Z-order) interleave of two key columns +
+  range-repartition + in-partition sort, the layout that makes min/max
+  data skipping work for BOTH predicates at once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .functions.parity import dsum, sql_dsum
+from .registry import load_tables
+
+# ---------------------------------------------------------------------------
+# Exact distributed statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_stats",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {sql_dsum('l_quantity')} AS sx,
+               {sql_dsum('l_extendedprice')} AS sy,
+               {sql_dsum('l_quantity * l_extendedprice')} AS sxy,
+               {sql_dsum('l_quantity * l_quantity')} AS sxx,
+               {sql_dsum('l_extendedprice * l_extendedprice')} AS syy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_rows,
+           ((n * sxy) - (sx * sy))
+             / sqrt(((n * sxx) - (sx * sx)) * ((n * syy) - (sy * sy)))
+             AS corr_qty_price,
+           ((sxy) - ((sx * sy) / n)) / (n - 1) AS covar_qty_price,
+           sqrt(((syy) - ((sy * sy) / n)) / (n - 1)) AS stddev_price
+    FROM m
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (Pearson corr, sample covariance/stddev) from
+    exact moments.
+
+    Native ``corr()``/``covar_samp()`` merge per-partition co-moments in
+    shuffle order — double arithmetic, so the low bits depend on
+    partitioning and differ run-to-run and engine-to-engine. Here the five
+    moments Σx Σy Σxy Σx² Σy² are fixed-point-exact ``dsum``s (order-free,
+    re-aggregatable map-side — the same partial-agg shape as a plain SUM),
+    and the closed-form combinations are evaluated on the exact sums with
+    the identical expression tree on both engines: deterministic at any
+    parallelism, and still one shuffle."""
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    m = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("*").cast("double").alias("n"),
+            dsum(x).alias("sx"),
+            dsum(y).alias("sy"),
+            dsum(x * y).alias("sxy"),
+            dsum(x * x).alias("sxx"),
+            dsum(y * y).alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "l_returnflag",
+        "n_rows",
+        (
+            ((n * sxy) - (sx * sy))
+            / F.sqrt(((n * sxx) - (sx * sx)) * ((n * syy) - (sy * sy)))
+        ).alias("corr_qty_price"),
+        ((sxy - ((sx * sy) / n)) / (n - F.lit(1.0))).alias("covar_qty_price"),
+        F.sqrt((syy - ((sy * sy) / n)) / (n - F.lit(1.0))).alias("stddev_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Runtime-filter (Bloom-style) join
+# ---------------------------------------------------------------------------
+
+#: Bucket count for the one-hash Bloom set: 64 Ki distinct bucket values is
+#: ≤ 512 KiB broadcast worst-case, and at 1% build-side selectivity keeps the
+#: false-positive rate (≈ n_build/65536 per probe) low enough to drop most
+#: non-matching probe rows before the shuffle.
+_N_BUCKETS = 1 << 16
+
+
+def _bucket(key: Column) -> Column:
+    return F.pmod(F.xxhash64(key), F.lit(_N_BUCKETS))
+
+
+@register(
+    "q_join_bloom",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filtered big-big join: semi-join the probe side against the
+    broadcast hash-bucket set of the (selective) build side, THEN run the
+    exact shuffle join on the survivors.
+
+    The bucket set is a one-hash Bloom filter expressed declaratively —
+    ``distinct(xxhash64(key) % 64Ki)`` is tiny regardless of build-side row
+    width, the broadcast semi-join prunes probe rows before they pay the
+    exchange, and false positives are eliminated by the exact join, so the
+    result is identical to the plain join (the oracle). At 100 TB this is
+    the difference between shuffling the full fact table and shuffling the
+    ~5% that can possibly match; Spark's own ``runtime.bloomFilter``
+    optimizer rule does the same thing adaptively, but only for supported
+    shapes — this composition works for any equi-join. The final join is
+    hinted ``merge`` because at scale both survivors are too big to
+    broadcast."""
+    t = load_tables(spark, sf_dir)
+    build = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    bucket_set = build.select(
+        _bucket(F.col("o_orderkey")).alias("bf_bucket")
+    ).distinct()
+    probe = t["lineitem"].join(
+        F.broadcast(bucket_set),
+        _bucket(F.col("l_orderkey")) == F.col("bf_bucket"),
+        "leftsemi",
+    )
+    return (
+        probe.join(build.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+#: (shift, mask) steps spreading a 16-bit value so its bits occupy even
+#: positions of a 32-bit lane (classic Morton magic numbers).
+_SPREAD_STEPS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread16(col: Column) -> Column:
+    x = col.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD_STEPS:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zorder_key(a: Column, b: Column) -> Column:
+    """Morton-interleave two bigint columns' low 16 bits into one z-value.
+
+    Pure bit arithmetic (AND/OR/shift) — whole-stage-codegen'd, no UDF."""
+    return _spread16(a).bitwiseOR(F.shiftleft(_spread16(b), 1))
+
+
+def _sql_spread16(name: str, steps: list[str]) -> None:
+    steps.append(f"({name} & 65535)")
+    for shift, mask in _SPREAD_STEPS:
+        prev = steps[-1]
+        steps[-1] = f"(({prev} | ({prev} << {shift})) & {mask})"
+
+
+def _sql_zorder(a: str, b: str) -> str:
+    sa: list[str] = []
+    sb: list[str] = []
+    _sql_spread16(a, sa)
+    _sql_spread16(b, sb)
+    return f"({sa[0]} | ({sb[0]} << 1))"
+
+
+@register(
+    "q_layout_zorder",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           {_sql_zorder('CAST(l_partkey % 65536 AS BIGINT)',
+                        'CAST(l_suppkey % 65536 AS BIGINT)')} AS zkey
+    FROM lineitem
+    """,
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (l_partkey, l_suppkey) +
+    range-repartition + in-partition sort.
+
+    Sorting by one key makes min/max file skipping perfect for that key and
+    useless for the other; interleaving the bits gives both predicates
+    sub-linear skipping from the same layout (each file covers a small
+    z-range = a small rectangle in (partkey, suppkey) space). The write path
+    is ``repartitionByRange(zkey) + sortWithinPartitions(zkey)`` — at 100 TB
+    each output file's zone map then prunes on either column. The row SET is
+    unchanged (layout only), which is exactly what the oracle checks; the
+    disjoint-partition-range property is asserted in tests/test_scale_ops.py."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    a = (F.col("l_partkey") % 65536).cast("bigint")
+    b = (F.col("l_suppkey") % 65536).cast("bigint")
+    keyed = li.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        zorder_key(a, b).alias("zkey"),
+    )
+    return keyed.repartitionByRange(32, "zkey").sortWithinPartitions("zkey")

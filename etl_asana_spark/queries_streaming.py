@@ -20,6 +20,12 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.tumbling_counts_stream(spark, sf_dir)
 
 
+@register("q_stream_sliding")
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2 h / 30 min windowed agg — overlap-factor-bounded state."""
+    return jobs.sliding_counts_stream(spark, sf_dir)
+
+
 @register("q_stream_dedup")
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#59 dropDuplicatesWithinWatermark across micro-batches."""

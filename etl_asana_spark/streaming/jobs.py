@@ -92,6 +92,23 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "append")
 
 
+def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windowed aggregation: 2 h windows every 30 min.
+
+    Each event lands in 4 overlapping windows; state holds 4× the tumbling
+    case per key, still bounded by the watermark (a window is emitted and
+    evicted once the watermark passes its end). The overlap factor — not the
+    event rate — is what sizes state at scale, so the slide:length ratio is
+    the knob to watch on a 100 TB/day stream."""
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "2 hours", "30 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("win.start").alias("bucket"), "event_type", "n_events", "total_value")
+    )
+    return _run_to_memory(agg, "append")
+
+
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#59 Stateful exact dedup across micro-batches, state bounded by the
     watermark (dropDuplicatesWithinWatermark)."""

@@ -1,0 +1,98 @@
+"""Scale-pattern operators (queries_scale): statistical sanity, runtime-filter
+join plan shape, and Z-order layout quality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_asana_spark import catalog
+from etl_asana_spark.plans import summarize
+from etl_asana_spark.registry import load_tables
+
+
+def test_agg_stats_matches_native_within_tolerance(spark, sf_dir):
+    """The exact-moment closed forms must agree with Spark's native
+    streaming-merge aggregates to float tolerance (the natives are the
+    reference for VALUE; the moments exist for determinism)."""
+    ours = {
+        r["l_returnflag"]: r
+        for r in catalog.queries()["q_agg_stats"](spark, sf_dir).collect()
+    }
+    native = {
+        r["l_returnflag"]: r
+        for r in load_tables(spark, sf_dir)["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").alias("corr"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("covar"),
+            F.stddev_samp("l_extendedprice").alias("sd"),
+        )
+        .collect()
+    }
+    assert set(ours) == set(native) and len(ours) >= 2
+    for flag, r in ours.items():
+        n = native[flag]
+        assert abs(r["corr_qty_price"] - n["corr"]) < 1e-6
+        assert abs(r["covar_qty_price"] - n["covar"]) / abs(n["covar"]) < 1e-6
+        assert abs(r["stddev_price"] - n["sd"]) / n["sd"] < 1e-6
+
+
+def test_agg_stats_partition_invariant(spark, sf_dir):
+    """Repartitioning the input must not change a single bit of the output —
+    the property native corr() does NOT have."""
+    a = catalog.queries()["q_agg_stats"](spark, sf_dir).collect()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        c = catalog.queries()["q_agg_stats"](spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    key = lambda rows: {r["l_returnflag"]: tuple(r) for r in rows}
+    assert key(a) == key(c)
+
+
+def test_join_bloom_plan_prunes_before_shuffle(spark, sf_dir):
+    """Plan shape: a broadcast (semi) join applies the bucket-set filter on
+    the probe side, and the exact join is sort-merge (big-big posture)."""
+    df = catalog.queries()["q_join_bloom"](spark, sf_dir)
+    s = summarize(df)
+    assert s.n_broadcast_joins >= 1  # the bucket-set prefilter
+    assert s.n_sortmerge_joins == 1  # the exact join, never broadcast
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_zorder_partition_ranges_disjoint(spark, sf_dir):
+    """repartitionByRange + sortWithinPartitions must yield non-overlapping
+    zkey ranges across partitions — the property that makes per-file zone
+    maps prune on either underlying column."""
+    df = catalog.queries()["q_layout_zorder"](spark, sf_dir)
+    ranges = (
+        df.select("zkey", F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.min("zkey").alias("lo"), F.max("zkey").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) > 1
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
+
+
+def test_zorder_key_is_locality_preserving(spark, sf_dir):
+    """Rows in one zkey range cover a bounded rectangle in (partkey%64Ki,
+    suppkey%64Ki) space: the max 16-bit de-interleave of the range width
+    bounds both coordinates. Spot-check de-interleave round-trip."""
+    from etl_asana_spark.queries_scale import zorder_key
+
+    probe = spark.range(1000).select(
+        (F.col("id") * 37 % 65536).alias("a"), (F.col("id") * 101 % 65536).alias("b")
+    )
+    z = probe.select("a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")).collect()
+    for r in z:
+        # de-interleave in python and compare
+        za = zb = 0
+        for bit in range(16):
+            za |= ((r["z"] >> (2 * bit)) & 1) << bit
+            zb |= ((r["z"] >> (2 * bit + 1)) & 1) << bit
+        assert (za, zb) == (r["a"], r["b"])

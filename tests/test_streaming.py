@@ -29,6 +29,25 @@ def test_stream_tumbling_equals_batch(spark, sf_dir):
     assert canonical_rows(stream_out) == canonical_rows(batch)
 
 
+def test_stream_sliding_equals_batch(spark, sf_dir):
+    """Sliding windows: every closed 2 h/30 min hop must match the batch
+    twin (4 overlapping windows per event — the state-size multiplier)."""
+    stream_out = catalog.queries()["q_stream_sliding"](spark, sf_dir).toPandas()
+    ev = load_tables(spark, sf_dir)["events"]
+    watermark = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    ).collect()[0]["wm"]
+    batch = (
+        ev.groupBy(F.window("ts", "2 hours", "30 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .filter(F.col("win.end") <= F.lit(watermark))
+        .select(F.col("win.start").alias("bucket"), "event_type", "n_events", "total_value")
+        .toPandas()
+    )
+    assert len(stream_out) > 0
+    assert canonical_rows(stream_out) == canonical_rows(batch)
+
+
 def test_stream_dedup_keeps_all_distinct(spark, sf_dir):
     out = catalog.queries()["q_stream_dedup"](spark, sf_dir)
     n_events = load_tables(spark, sf_dir)["events"].count()
