@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import register
+from .functions.parity import davg, sql_davg
 from .sources import asana
 from .sources.fixtures import FIXTURES_DIR, N_TASKS, ensure_fixtures
 
@@ -308,4 +309,113 @@ def q_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.coalesce(pos, F.lit(0)) > 0)
             & ts.isNotNull()
         ).alias("is_valid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asana reporting layer — the analytics an etl-asana deployment runs on its
+# warehouse after sync (velocity, workload), over the upserted current state.
+# ---------------------------------------------------------------------------
+
+_USERS = str(FIXTURES_DIR / "users.ndjson")
+_USER_COLS = "{'gid':'VARCHAR','name':'VARCHAR','email':'VARCHAR'}"
+
+#: Current-state CTE shared by the report oracles: union both sync batches,
+#: keep the newest modified_at per gid (same upsert the Spark side runs).
+_CURRENT_CTE = f"""
+    unioned AS (
+        SELECT gid, completed, completed_at, created_at, modified_at,
+               assignee.gid AS assignee_gid, due_on
+        FROM {_read_json(_B1)}
+        UNION ALL
+        SELECT gid, completed, completed_at, created_at, modified_at,
+               assignee.gid AS assignee_gid, due_on
+        FROM {_read_json(_B2)}
+    ), current AS (
+        SELECT gid, completed, completed_at, created_at,
+               assignee_gid, due_on
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY gid
+                                         ORDER BY modified_at DESC) AS rn
+            FROM unioned
+        ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "q_golden_task_velocity",
+    oracle=f"""
+    WITH {_CURRENT_CTE},
+    done AS (
+        SELECT * FROM current WHERE completed AND completed_at IS NOT NULL
+    )
+    SELECT date_trunc('week', CAST(completed_at AS TIMESTAMP)) AS week,
+           COUNT(*) AS n_completed,
+           {sql_davg("date_diff('second', CAST(created_at AS TIMESTAMP), "
+                     "CAST(completed_at AS TIMESTAMP)) / 3600.0")}
+             AS avg_cycle_hours
+    FROM done
+    GROUP BY 1
+    """,
+)
+def q_golden_task_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Team velocity report: weekly completed-task throughput + average
+    cycle time (created → completed, hours) over the upserted current state.
+    The upsert dedups across sync batches first — counting a task once per
+    sync batch is the classic double-counted-velocity bug."""
+    cur = asana.upsert_batches(
+        asana.read_tasks(spark, _B1), asana.read_tasks(spark, _B2)
+    )
+    done = cur.filter(F.col("completed") & F.col("completed_at").isNotNull())
+    cts = F.col("completed_at").cast("timestamp")
+    kts = F.col("created_at").cast("timestamp")
+    cycle_hours = (F.unix_timestamp(cts) - F.unix_timestamp(kts)) / F.lit(3600.0)
+    return done.groupBy(F.date_trunc("week", cts).alias("week")).agg(
+        F.count("*").alias("n_completed"),
+        davg(cycle_hours).alias("avg_cycle_hours"),
+    )
+
+
+@register(
+    "q_golden_assignee_load",
+    oracle=f"""
+    WITH {_CURRENT_CTE},
+    open_tasks AS (SELECT * FROM current WHERE NOT completed)
+    SELECT u.gid AS user_gid, u.name AS user_name,
+           COUNT(*) AS n_open,
+           CAST(SUM(CASE WHEN CAST(o.due_on AS DATE) < DATE '2024-02-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overdue,
+           CAST(min(CAST(o.due_on AS DATE)) AS VARCHAR) AS next_due
+    FROM open_tasks o
+    JOIN read_json('{_USERS}', format='newline_delimited',
+                   columns={_USER_COLS}) u
+      ON o.assignee_gid = u.gid
+    GROUP BY u.gid, u.name
+    """,
+)
+def q_golden_assignee_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workload report: open tasks per assignee with overdue count (vs the
+    sync cutoff date) and next due date. The users dim is broadcast — at
+    warehouse scale the task fact is huge, the user dim never is."""
+    cur = asana.upsert_batches(
+        asana.read_tasks(spark, _B1), asana.read_tasks(spark, _B2)
+    )
+    users = spark.read.schema("gid string, name string, email string").json(_USERS)
+    open_tasks = cur.filter(~F.col("completed")).select(
+        F.col("assignee.gid").alias("assignee_gid"),
+        F.col("due_on").cast("date").alias("due"),
+    )
+    return (
+        open_tasks.join(
+            F.broadcast(users), F.col("assignee_gid") == F.col("gid")
+        )
+        .groupBy(F.col("gid").alias("user_gid"), F.col("name").alias("user_name"))
+        .agg(
+            F.count("*").alias("n_open"),
+            F.sum(
+                F.when(F.col("due") < F.lit("2024-02-01").cast("date"), 1).otherwise(0)
+            ).cast("bigint").alias("n_overdue"),
+            F.min("due").cast("string").alias("next_due"),
+        )
     )

@@ -103,6 +103,18 @@ def test_paginated_source_with_rate_limit(spark):
     assert fetched.count() == N_TASKS
 
 
+def test_velocity_counts_each_task_once(spark):
+    """A task synced in both batches must count once (upsert-then-aggregate):
+    total weekly n_completed == distinct completed gids across batches."""
+    out = catalog.queries()["q_golden_task_velocity"](spark, "")
+    total = sum(r["n_completed"] for r in out.collect())
+    merged = asana.upsert_batches(
+        asana.read_tasks(spark, _B1), asana.read_tasks(spark, _B2)
+    )
+    expect = merged.filter("completed AND completed_at IS NOT NULL").count()
+    assert total == expect > 0
+
+
 def test_quarantine_gate_flags_without_dropping(spark):
     """The gate stages every row (malformed cells can't kill the job) and
     flags instead of dropping: 8 fixture rows in, 8 rows out, with exactly
