@@ -234,3 +234,29 @@ def ivf_topk(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def pca_reduce(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed PCA projection of an embedding column to ``k`` dims.
+
+    The Gramian/covariance accumulation is the distributed part (one pass
+    over the data, map-side partial sums); the eigendecomposition runs
+    driver-side on the d×d matrix — trivial for embedding widths (d=64
+    here, d≤4096 in practice) no matter how many rows. The projection is a
+    per-row matmul against the broadcast components. The standard scale
+    move before ANN indexing: IVF/LSH on 8–32 PCA dims costs a fraction of
+    full-width scoring while preserving neighborhoods.
+    """
+    from pyspark.ml.feature import PCA as MLPCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = embeddings.select(id_col, array_to_vector(vec_col).alias("features"))
+    model = MLPCA(k=k, inputCol="features", outputCol="pc").fit(feat)
+    return model.transform(feat).select(
+        id_col, vector_to_array("pc").alias("reduced")
+    )

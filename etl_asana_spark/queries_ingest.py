@@ -419,3 +419,45 @@ def q_golden_assignee_load(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("due").cast("string").alias("next_due"),
         )
     )
+
+
+@register(
+    "q_load_cdc_apply",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 7 = 2
+    """,
+)
+def q_load_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE: apply a deterministic I/U/D change feed to the orders
+    snapshot through operators/cdc.py::apply_changes (full-outer join on the
+    key; tombstones drop, newest full-row image wins, unchanged keys pass
+    through). The oracle states the post-merge table directly — deletes for
+    keys ≡0 (mod 7), a 10% price update for ≡1, and shifted-key inserts
+    for ≡2 — so parity checks the MERGE semantics end-to-end."""
+    from .operators import cdc
+    from .registry import load_tables
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    m = F.col("o_orderkey") % 7
+    deletes = orders.filter(m == 0).select(
+        F.lit("D").alias("op"), "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(m == 1).select(
+        F.lit("U").alias("op"), "o_orderkey", "o_orderstatus",
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+    )
+    inserts = orders.filter(m == 2).select(
+        F.lit("I").alias("op"),
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        "o_orderstatus", "o_totalprice",
+    )
+    feed = deletes.unionByName(updates).unionByName(inserts)
+    return cdc.apply_changes(orders, feed, "o_orderkey", op_col="op")

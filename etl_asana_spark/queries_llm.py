@@ -181,6 +181,16 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(t["embeddings"], _query_vec(t), k=5, nprobe=8)
 
 
+@register("q_emb_pca")
+def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA reduction of the 64-dim embeddings to 8 dims (rows-only: the
+    eigenbasis sign/float path is engine-specific). The pre-indexing
+    compression step for ANN at scale; variance ordering and neighborhood
+    preservation are property-tested in tests/test_llm_ops.py."""
+    t = load_tables(spark, sf_dir)
+    return similarity.pca_reduce(t["embeddings"], k=8)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (#72–#74 + lang-id / quality / fingerprint)
 # ---------------------------------------------------------------------------

@@ -256,3 +256,19 @@ def test_hll_rollup_accuracy(spark, sf_dir):
     assert set(approx) == set(exact)
     for wk, est in approx.items():
         assert abs(est - exact[wk]) <= max(2, 0.05 * exact[wk]), (wk, est, exact[wk])
+
+
+def test_pca_reduce_shape_and_variance_order(spark, sf_dir):
+    """k output dims per row; the projected components carry decreasing
+    variance (the defining PCA property)."""
+    out = catalog.queries()["q_emb_pca"](spark, sf_dir)
+    n_in = load_tables(spark, sf_dir)["embeddings"].count()
+    rows = out.collect()
+    assert len(rows) == n_in
+    assert all(len(r["reduced"]) == 8 for r in rows)
+    import numpy as np
+
+    mat = np.array([r["reduced"] for r in rows])
+    variances = mat.var(axis=0)
+    assert all(variances[i] >= variances[i + 1] - 1e-9 for i in range(7))
+    assert variances[0] > 0

@@ -42,3 +42,44 @@ def test_schema_evolution_merged_read(spark, sf_dir):
     assert merged.count() == 2 * n
     assert merged.filter(F.col("iso_code").isNull()).count() == n  # v1 rows
     assert merged.filter(F.col("iso_code").isNotNull()).count() == n
+
+
+def test_cdc_apply_is_replay_idempotent(spark, sf_dir):
+    """Applying the same change feed to an already-merged snapshot must be a
+    no-op for U/I (full-row images) and keep tombstoned keys absent."""
+    from etl_asana_spark.operators import cdc
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    m = F.col("o_orderkey") % 7
+    feed = (
+        orders.filter(m == 0)
+        .select(F.lit("D").alias("op"), "o_orderkey", "o_orderstatus", "o_totalprice")
+        .unionByName(
+            orders.filter(m == 1).select(
+                F.lit("U").alias("op"), "o_orderkey", "o_orderstatus",
+                (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+            )
+        )
+    )
+    once = cdc.apply_changes(orders, feed, "o_orderkey", op_col="op")
+    twice = cdc.apply_changes(once, feed, "o_orderkey", op_col="op")
+    assert canonical_rows(twice.toPandas()) == canonical_rows(once.toPandas())
+
+
+def test_cdc_latest_change_wins_with_ts(spark, sf_dir):
+    """With ts_col, only the newest change per key applies — an older delete
+    must lose to a newer update."""
+    from etl_asana_spark.operators import cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"
+    )
+    feed = spark.createDataFrame(
+        [("D", 1, "x", 10), ("U", 1, "a2", 20), ("D", 2, "y", 30)],
+        "op string, k int, v string, ts int",
+    )
+    out = {r["k"]: r["v"] for r in
+           cdc.apply_changes(base, feed, "k", op_col="op", ts_col="ts").collect()}
+    assert out == {1: "a2"}  # key 1: newer U beats older D; key 2 tombstoned
