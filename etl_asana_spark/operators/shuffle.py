@@ -1,0 +1,72 @@
+"""Deterministic global permutation — the training-epoch shuffle.
+
+A 100 TB training pipeline needs every epoch to read the corpus in a
+different but REPRODUCIBLE pseudo-random order (restarts and re-runs must
+see the same permutation). Seeded ``rand()`` can't give that across
+re-partitions; hashing each key with the epoch seed can: the permutation is
+``ORDER BY md5(seed || key)`` — a pure function of (seed, key).
+
+Assigning the global rank scalably is the interesting part. A bare
+``row_number() OVER (ORDER BY h)`` collapses to ONE partition (no window
+partitioning) — correct at test scale, dead at 100 TB. Instead:
+
+1. radix-bucket each row by its hash's leading 16 bits: ``bucket =
+   prefix * n // 65536`` is monotone in the hash (lowercase fixed-width hex
+   sorts like the number it encodes), so bucket *i*'s hashes all precede
+   bucket *i+1*'s. Deterministic by construction — unlike
+   ``repartitionByRange``, whose sampled split points can differ between
+   the jobs that compute the same lineage, and md5-uniform ⇒ balanced.
+2. bucket counts → driver (one tiny action: n longs) → cumulative offsets.
+3. rank = bucket offset + intra-bucket row_number; the window partitions by
+   bucket, so no single-reducer stage exists anywhere in the plan.
+
+Same output as the single-partition window — asserted by the SQL oracle of
+``q_shuffle_epoch`` (row_number over the global ORDER BY).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def epoch_hash(key: Column, seed: str) -> Column:
+    """The permutation key: md5 of the seeded key — portable (md5 is
+    bit-identical in every engine) and uniform."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
+
+
+def deterministic_permutation(
+    df: DataFrame,
+    key: str,
+    seed: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Attach ``shuffle_rank`` (1-based, dense, gap-free): the row's position
+    in the seeded pseudo-random order. Requires ``key`` values be unique."""
+    prefix = F.conv(F.substring(F.col("_h"), 1, 4), 16, 10).cast("bigint")
+    keyed = df.withColumn("_h", epoch_hash(F.col(key), seed)).withColumn(
+        "_bkt", (prefix * n_buckets / F.lit(65536)).cast("bigint")
+    )
+    counts = {
+        r["_bkt"]: r["cnt"]
+        for r in keyed.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for bkt in sorted(counts):
+        offsets[bkt] = acc
+        acc += counts[bkt]
+    offset_col = (
+        F.coalesce(
+            *[
+                F.when(F.col("_bkt") == bkt, F.lit(off))
+                for bkt, off in sorted(offsets.items())
+            ]
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = Window.partitionBy("_bkt").orderBy("_h", key)
+    return keyed.withColumn(
+        "shuffle_rank", (offset_col + F.row_number().over(w)).cast("bigint")
+    ).drop("_h", "_bkt")

@@ -196,6 +196,32 @@ def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_agg_cms_topk")
+def q_agg_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with a count-min sketch (operators/sketch.py): build
+    the 4×8192 counter table over event user_ids, then estimate the exact
+    top-10 users' counts from the sketch alone. At 100 TB the sketch is the
+    artifact you keep: a few hundred KB answers "how hot is key X" for any
+    key without rescanning, and daily sketches merge into weekly by
+    counter-sum (cms_merge) — same rollup shape as q_agg_hll_rollup.
+    Rows-only (DuckDB has no xxhash64); the never-undercounts and εN
+    overcount guarantees are asserted in tests/test_llm_ops.py."""
+    from .operators import sketch
+
+    ev = load_tables(spark, sf_dir)["events"]
+    cms = sketch.cms_build(ev, "user_id")
+    exact_top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )
+    return exact_top.join(
+        sketch.cms_estimate(cms, exact_top.select("user_id"), "user_id"),
+        "user_id",
+    ).select("user_id", "n_events", "cms_estimate")
+
+
 @register(
     "q_join_interval",
     oracle="""

@@ -225,3 +225,35 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder_key(a, b).alias("zkey"),
     )
     return keyed.repartitionByRange(32, "zkey").sortWithinPartitions("zkey")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-epoch shuffle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_shuffle_epoch",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def q_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-epoch permutation of the corpus: rank every doc
+    by md5(seed || key) WITHOUT a single-reducer global sort — radix-bucket
+    by hash prefix, tiny bucket-count action, offset + intra-bucket
+    row_number (operators/shuffle.py). The oracle is the single-partition
+    formulation (row_number over the global ORDER BY): parity proves the
+    distributed rank assignment is exactly the global permutation. A new
+    seed re-shuffles; the same seed replays bit-identically — epoch
+    restarts at 100 TB re-read the same order."""
+    from .operators.shuffle import deterministic_permutation
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    return deterministic_permutation(docs, "doc_id", seed="epoch1").select(
+        "doc_id", "shuffle_rank"
+    )

@@ -272,3 +272,37 @@ def test_pca_reduce_shape_and_variance_order(spark, sf_dir):
     variances = mat.var(axis=0)
     assert all(variances[i] >= variances[i + 1] - 1e-9 for i in range(7))
     assert variances[0] > 0
+
+
+def test_cms_never_undercounts_and_bounds_error(spark, sf_dir):
+    """CMS hard guarantees: estimate >= exact for every probed key (hash
+    collisions only add), and overcount <= eps*N with eps = e/width for a
+    4-deep sketch (failure prob ~e^-4; deterministic hashes make this
+    reproducible, so a pass is a pass forever)."""
+    import math
+
+    out = {r["user_id"]: r for r in
+           catalog.queries()["q_agg_cms_topk"](spark, sf_dir).collect()}
+    assert len(out) == 10
+    n_total = load_tables(spark, sf_dir)["events"].count()
+    eps = math.e / 8192
+    for r in out.values():
+        assert r["cms_estimate"] >= r["n_events"]
+        assert r["cms_estimate"] - r["n_events"] <= eps * n_total
+
+
+def test_cms_merge_equals_single_build(spark, sf_dir):
+    """Counter-sum merge of per-day partial sketches == one global build:
+    the re-aggregation property that makes the sketch a rollup artifact."""
+    from etl_asana_spark.operators import sketch
+
+    ev = load_tables(spark, sf_dir)["events"]
+    whole = sketch.cms_build(ev, "user_id")
+    parts = [
+        sketch.cms_build(ev.filter(F.dayofmonth("ts") % 2 == p), "user_id")
+        for p in (0, 1)
+    ]
+    merged = sketch.cms_merge(*parts)
+    a = {(r["i"], r["bucket"]): r["cnt"] for r in whole.collect()}
+    b = {(r["i"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert a == b

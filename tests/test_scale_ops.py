@@ -96,3 +96,29 @@ def test_zorder_key_is_locality_preserving(spark, sf_dir):
             za |= ((r["z"] >> (2 * bit)) & 1) << bit
             zb |= ((r["z"] >> (2 * bit + 1)) & 1) << bit
         assert (za, zb) == (r["a"], r["b"])
+
+
+def test_epoch_shuffle_no_single_partition_stage(spark, sf_dir):
+    """The distributed rank assignment must not contain a SinglePartition
+    exchange (the collapse a naive global row_number causes)."""
+    df = catalog.queries()["q_shuffle_epoch"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    ranks = [r["shuffle_rank"] for r in df.collect()]
+    n = len(ranks)
+    assert sorted(ranks) == list(range(1, n + 1))  # dense, gap-free, 1-based
+
+
+def test_epoch_shuffle_seed_behavior(spark, sf_dir):
+    """Same seed ⇒ identical permutation; different seed ⇒ different order."""
+    from etl_asana_spark.operators.shuffle import deterministic_permutation
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    a = {r["doc_id"]: r["shuffle_rank"]
+         for r in deterministic_permutation(docs, "doc_id", "e1").collect()}
+    b = {r["doc_id"]: r["shuffle_rank"]
+         for r in deterministic_permutation(docs, "doc_id", "e1").collect()}
+    c = {r["doc_id"]: r["shuffle_rank"]
+         for r in deterministic_permutation(docs, "doc_id", "e2").collect()}
+    assert a == b
+    assert a != c
