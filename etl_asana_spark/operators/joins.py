@@ -102,3 +102,43 @@ def asof_join_pandas(
         .cogroup(build.groupBy(on))
         .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
     )
+
+
+def range_join_bucketed(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Keyless range join (ts ∈ [start, end)) without a nested loop.
+
+    Spark plans a pure non-equi join as BroadcastNestedLoopJoin — O(n·m)
+    and a driver OOM once neither side broadcasts. The scale decomposition
+    manufactures an equi key: explode every interval into the hour buckets
+    it overlaps (intervals are short — a handful of buckets each), bucket
+    each event by its hour, hash-join on the bucket, then apply the exact
+    range predicate as a residual filter. Work becomes O(events +
+    interval-bucket pairs), shuffled on a uniform time key; the same
+    decomposition at any granularity (minute/day) trades fan-out for
+    bucket selectivity. Spark's own storage-partitioned range-join
+    optimizations don't exist in open Spark 4 — this composition is the
+    portable form."""
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col(start_col)),
+                F.date_trunc("hour", F.col(end_col)),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    ev = events.withColumn("_bkt", F.date_trunc("hour", F.col(ts_col)))
+    return (
+        ev.join(iv, "_bkt")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_bkt")
+    )

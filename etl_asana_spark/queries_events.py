@@ -287,3 +287,57 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("purchase_value"),
         )
     )
+
+
+@register(
+    "q_join_range_bucketed",
+    oracle="""
+    WITH err_hours AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS incident_hour,
+               min(CAST(ts AS TIMESTAMP)) AS start_ts
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1 HAVING COUNT(*) >= 3
+    ), incidents AS (
+        SELECT incident_hour, start_ts,
+               start_ts + INTERVAL 45 MINUTE AS end_ts
+        FROM err_hours
+    )
+    SELECT i.incident_hour,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM incidents i JOIN events e
+      ON CAST(e.ts AS TIMESTAMP) >= i.start_ts
+     AND CAST(e.ts AS TIMESTAMP) <  i.end_ts
+    GROUP BY 1
+    """,
+)
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join at scale: incident windows (hours with ≥3 errors,
+    45 min from the first error) joined to ALL events by time containment
+    alone — no shared key. operators/joins.py::range_join_bucketed
+    manufactures the equi key (hour buckets) so the plan is a hash join +
+    residual filter, never the BroadcastNestedLoopJoin the raw theta form
+    would produce (plan-asserted in tests/test_plans.py). The oracle states
+    the raw containment join — parity proves the decomposition exact."""
+    from .operators.joins import range_join_bucketed
+
+    ev = load_tables(spark, sf_dir)["events"]
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("incident_hour"))
+        .agg(F.min("ts").alias("start_ts"), F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 3)
+        .select(
+            "incident_hour",
+            "start_ts",
+            (F.col("start_ts") + F.expr("INTERVAL 45 MINUTES")).alias("end_ts"),
+        )
+    )
+    return (
+        range_join_bucketed(ev, incidents, "ts", "start_ts", "end_ts")
+        .groupBy("incident_hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -122,3 +122,12 @@ def test_epoch_shuffle_seed_behavior(spark, sf_dir):
          for r in deterministic_permutation(docs, "doc_id", "e2").collect()}
     assert a == b
     assert a != c
+
+
+def test_range_join_bucketed_avoids_nested_loop(spark, sf_dir):
+    """The keyless containment join must plan as a hash/broadcast equi join
+    on the manufactured hour bucket — never BroadcastNestedLoopJoin."""
+    df = catalog.queries()["q_join_range_bucketed"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert df.count() > 0
