@@ -142,3 +142,48 @@ def range_join_bucketed(
         )
         .drop("_bkt")
     )
+
+
+def fuzzy_join_blocked(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 3,
+    n_block_tokens: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy self-join: name pairs within ``max_dist`` edit distance.
+
+    Entity-resolution pattern (the reconstructed reference's Asana ETL dedups
+    user/project names on sync; SURVEY.md §0 — no file citations possible,
+    empty snapshot). A naive fuzzy join is a cross join — O(n²) comparisons,
+    a BroadcastNestedLoopJoin that cannot survive 100 TB. Standard blocking
+    makes it tractable: candidate pairs must agree on at least one blocking
+    key (here: token #i of the name, i < ``n_block_tokens``), so each block
+    is a plain equi shuffle join; the union of blocks is deduplicated and
+    only candidates pay the Levenshtein comparison.
+
+    Semantics are therefore *blocked* fuzzy match — pairs sharing no block
+    token are not compared (at ``max_dist`` small relative to token length
+    such pairs cannot match anyway). Output: ``name_a < name_b, dist``.
+    """
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    toks = names.withColumn("toks", F.split("name", r"\s+"))
+    blocked: DataFrame | None = None
+    for i in range(n_block_tokens):
+        b = toks.select("name", F.col("toks").getItem(i).alias("blk")).filter(
+            F.col("blk").isNotNull()
+        )
+        pairs = (
+            b.alias("a")
+            .join(b.alias("b"), on="blk")
+            .filter(F.col("a.name") < F.col("b.name"))
+            .select(
+                F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+            )
+        )
+        blocked = pairs if blocked is None else blocked.unionByName(pairs)
+    assert blocked is not None
+    return (
+        blocked.distinct()
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -257,3 +257,79 @@ def q_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_permutation(docs, "doc_id", seed="epoch1").select(
         "doc_id", "shuffle_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mv_incremental",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('o_totalprice')} AS sum_revenue,
+           ROUND({sql_dsum('o_totalprice')} / COUNT(o_totalprice), 6)
+               AS avg_revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view: monthly revenue by order status,
+    maintained as mergeable partial state (operators/mv.py). The query
+    simulates a refresh cycle — snapshot state built from history
+    (< 1999-01-01), delta state from the new partition (>= 1999-01-01),
+    merged and finalized WITHOUT rescanning history together. The oracle is
+    the full recompute over all rows: parity proves merge(snapshot, delta)
+    is bit-identical to the monolithic aggregate (decimal fixed-point state
+    is associative). At 100 TB the refresh cost is O(delta + group count)."""
+    from .operators import mv
+
+    orders = load_tables(spark, sf_dir)["orders"].withColumn(
+        "month", F.date_trunc("month", "o_orderdate")
+    )
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    keys = ["o_orderstatus", "month"]
+    measures = {"revenue": "o_totalprice"}
+    snapshot = mv.build_state(orders.filter(F.col("o_orderdate") < cutoff), keys, measures)
+    delta = mv.build_state(orders.filter(F.col("o_orderdate") >= cutoff), keys, measures)
+    merged = mv.merge_state(snapshot, delta)
+    out = mv.finalize_state(merged, ["revenue"])
+    return out.select(
+        "o_orderstatus", "month", "n_rows", "sum_revenue",
+        F.round("avg_revenue", 6).alias("avg_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy self-join (entity resolution)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_fuzzy",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM names a
+    JOIN names b
+      ON (string_split(a.name, ' ')[1] = string_split(b.name, ' ')[1]
+          OR string_split(a.name, ' ')[2] = string_split(b.name, ' ')[2])
+     AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+)
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join on part names: pairs within Levenshtein 3
+    that share a blocking token (operators/joins.py::fuzzy_join_blocked).
+    Each block is an equi shuffle join — never a nested-loop cross join —
+    so the pattern survives 100 TB; the oracle applies the identical
+    blocking predicate, so parity is exact."""
+    from .operators.joins import fuzzy_join_blocked
+
+    part = load_tables(spark, sf_dir)["part"]
+    return fuzzy_join_blocked(part, "p_name", max_dist=3, n_block_tokens=2)

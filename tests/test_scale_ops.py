@@ -131,3 +131,69 @@ def test_range_join_bucketed_avoids_nested_loop(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert df.count() > 0
+
+
+def test_mv_state_merge_is_split_invariant(spark, sf_dir):
+    """Any snapshot/delta split point (and a 3-way split) finalizes to the
+    identical view — decimal partial state is associative + commutative."""
+    from etl_asana_spark.operators import mv
+
+    orders = load_tables(spark, sf_dir)["orders"].withColumn(
+        "month", F.date_trunc("month", "o_orderdate")
+    )
+    keys, measures = ["o_orderstatus", "month"], {"revenue": "o_totalprice"}
+
+    def view(*parts):
+        state = mv.merge_state(*[mv.build_state(p, keys, measures) for p in parts])
+        rows = mv.finalize_state(state, ["revenue"]).collect()
+        return sorted(tuple(r) for r in rows)
+
+    full = view(orders)
+    y = F.year("o_orderdate")
+    assert view(orders.filter(y < 1998), orders.filter(y >= 1998)) == full
+    assert (
+        view(
+            orders.filter(y < 1997),
+            orders.filter((y >= 1997) & (y < 2000)),
+            orders.filter(y >= 2000),
+        )
+        == full
+    )
+
+
+def test_mv_refresh_scans_delta_only(spark, sf_dir):
+    """The merged-state plan must not rescan snapshot fact rows: with the
+    snapshot materialized (simulating a stored MV table), the refresh plan
+    reads orders once (the delta scan), not twice."""
+    from etl_asana_spark.operators import mv
+
+    orders = load_tables(spark, sf_dir)["orders"].withColumn(
+        "month", F.date_trunc("month", "o_orderdate")
+    )
+    keys, measures = ["o_orderstatus", "month"], {"revenue": "o_totalprice"}
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    snapshot = spark.createDataFrame(
+        mv.build_state(orders.filter(F.col("o_orderdate") < cutoff), keys, measures)
+        .collect(),
+        schema=mv.build_state(orders, keys, measures).schema,
+    )
+    delta = mv.build_state(orders.filter(F.col("o_orderdate") >= cutoff), keys, measures)
+    plan = (
+        mv.merge_state(snapshot, delta)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("orders.parquet") == 1
+
+
+def test_fuzzy_join_no_nested_loop_and_symmetry(spark, sf_dir):
+    """Blocked fuzzy join plans as equi joins (no cross/nested loop) and
+    every emitted pair is ordered, deduplicated, within the distance bound."""
+    df = catalog.queries()["q_join_fuzzy"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    pairs = [(r["name_a"], r["name_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert all(a < b for a, b in pairs)
+    assert all(r["dist"] <= 3 for r in rows)
