@@ -877,3 +877,92 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(50))
     )
     return t["documents"].filter(bucket < keep_pct).select("doc_id", "lang")
+
+
+@register(
+    "q_text_inverted_index",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE lang = 'en'
+    )
+    SELECT token,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           list_sort(list(DISTINCT doc_id))[1:20] AS postings
+    FROM toks
+    GROUP BY token
+    HAVING COUNT(DISTINCT doc_id) >= 5
+    """,
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the English slice: token → document frequency,
+    total term frequency, and a capped sorted posting list. One explode +
+    one shuffle on the token key; partial aggregation combines map-side, so
+    the shuffle carries term statistics, not token occurrences. At 100 TB
+    the posting cap (here 20, for a bounded result) becomes per-term
+    sharding; the head-term skew answer is AQE skew splitting + the salted
+    two-phase agg in operators/skew.py."""
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("lang") == "en")
+    toks = docs.select("doc_id", F.explode(text.ws_tokens("text")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+            F.slice(F.array_sort(F.collect_set("doc_id")), 1, 20).alias("postings"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+@register(
+    "q_dup_ngram_fraction",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE lang = 'es'
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, unnest(
+            [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+             FOR i IN generate_series(1, len(t) - 4)]
+        ) AS s
+        FROM toks
+    ),
+    cnt AS (SELECT s, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           ROUND(CAST(SUM(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 8) AS dup_frac
+    FROM sh JOIN cnt USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-n-gram fraction per document (RefinedWeb/Gopher-style
+    curation signal): the share of a doc's distinct word 5-grams that also
+    occur in some other document. Plan: explode→distinct (shuffle on
+    shingle), per-shingle doc counts via partial agg, join back on the same
+    shingle key (co-partitioned — the second shuffle is reused), per-doc
+    ratio. At 100 TB the shingle strings become xxhash64 fingerprints so
+    the shuffle carries 8-byte keys; kept as strings here for exact oracle
+    parity (Spanish slice bounds the result)."""
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("lang") == "es")
+    tok = docs.select("doc_id", text.ws_tokens("text").alias("toks"))
+    sh = tok.select(
+        "doc_id", F.explode(text.shingles("toks", 5)).alias("s")
+    ).distinct()
+    cnt = sh.groupBy("s").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        sh.join(cnt, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                8,
+            ).alias("dup_frac"),
+        )
+    )

@@ -306,3 +306,20 @@ def test_cms_merge_equals_single_build(spark, sf_dir):
     a = {(r["i"], r["bucket"]): r["cnt"] for r in whole.collect()}
     b = {(r["i"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert a == b
+
+
+def test_inverted_index_invariants(spark, sf_dir):
+    """df ≤ tf, postings sorted/unique/capped at 20, df ≥ the declared floor."""
+    rows = catalog.queries()["q_text_inverted_index"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 5 <= r["df"] <= r["tf"]
+        assert len(r["postings"]) <= 20
+        assert list(r["postings"]) == sorted(set(r["postings"]))
+
+
+def test_dup_ngram_fraction_bounds(spark, sf_dir):
+    """dup_frac is a fraction; every scored doc has at least one shingle."""
+    rows = catalog.queries()["q_dup_ngram_fraction"](spark, sf_dir).collect()
+    assert rows
+    assert all(0.0 <= r["dup_frac"] <= 1.0 and r["n_shingles"] >= 1 for r in rows)
