@@ -914,3 +914,34 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                            WHERE s2.s_nationkey = s.s_nationkey)
         """
     )
+
+
+_NULL_ANTI_SQL = """
+    SELECT o_orderkey, maybe_custkey, o_totalprice
+    FROM (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END
+                   AS maybe_custkey
+        FROM orders
+    ) o
+    WHERE maybe_custkey NOT IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    )
+"""
+
+
+@register("q_join_null_anti", oracle=_NULL_ANTI_SQL)
+def q_join_null_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a nullable probe column — the null-aware anti join.
+
+    ``NOT IN`` is not ``NOT EXISTS``: a NULL probe value compares UNKNOWN
+    against every build row, so those rows are filtered (here the synthetic
+    every-97th-order NULL keys vanish from the result on both engines).
+    Catalyst's RewritePredicateSubquery plans this as a single-column
+    null-aware anti join (BroadcastHashJoin LeftAnti, NULL-aware) rather
+    than a nested-loop — the distinction that keeps NOT IN viable at scale.
+    Run through the SQL entry point so both engines parse the identical
+    statement.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_NULL_ANTI_SQL)

@@ -186,3 +186,121 @@ def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+@register(
+    "q_win_gaps_islands",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS day
+        FROM orders
+    ),
+    anchored AS (
+        SELECT o_custkey, day,
+               day - CAST(row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY day) AS INT) AS anchor
+        FROM d
+    )
+    SELECT o_custkey,
+           CAST(MIN(day) AS VARCHAR) AS streak_start,
+           CAST(MAX(day) AS VARCHAR) AS streak_end,
+           COUNT(*) AS streak_days
+    FROM anchored
+    GROUP BY o_custkey, anchor
+    """,
+)
+def q_win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive order days per customer.
+
+    The classic trick — ``day - row_number()`` is constant within a run of
+    consecutive days — turns streak detection into one window plus one
+    grouped aggregate: exactly two shuffles on the same key (Catalyst reuses
+    the hash partitioning from the window for the groupBy), no self-join,
+    no iteration. At 100 TB this is a linear scan per key; the alternative
+    LAG-then-conditional-sum needs the same two shuffles but a second window
+    pass, and a self-join formulation would be quadratic in run length.
+    """
+    t = load_tables(spark, sf_dir)
+    d = t["orders"].select(
+        "o_custkey", F.to_date("o_orderdate").alias("day")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    anchored = d.withColumn("anchor", F.date_sub(F.col("day"), F.row_number().over(w)))
+    return (
+        anchored.groupBy("o_custkey", "anchor")
+        .agg(
+            F.min("day").cast("string").alias("streak_start"),
+            F.max("day").cast("string").alias("streak_end"),
+            F.count("*").alias("streak_days"),
+        )
+        .select("o_custkey", "streak_start", "streak_end", "streak_days")
+    )
+
+
+@register(
+    "q_fill_forward",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, value, event_type FROM events
+    ),
+    daily AS (
+        SELECT user_id, day, MAX(value) AS day_max
+        FROM ev WHERE event_type = 'purchase'
+        GROUP BY user_id, day
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ev),
+    days AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    users AS (SELECT DISTINCT user_id FROM ev),
+    spine AS (SELECT user_id, day FROM users, days)
+    SELECT s.user_id,
+           CAST(s.day AS VARCHAR) AS day,
+           last_value(d.day_max IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM spine s
+    LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward) on a dense day spine.
+
+    Feature-store shape: per-user daily purchase level, gaps filled with the
+    most recent prior value. The spine is users × generated day range (the
+    day side is a tiny broadcast — one array per bounds row, exploded), the
+    observations left-join onto it, and ``last(ignorenulls=True)`` over an
+    unbounded-preceding rows frame carries values forward. One shuffle on
+    user_id for the window; the left join broadcasts nothing bigger than
+    the daily aggregate's partial output. No Python, no iteration — LOCF at
+    100 TB is exactly this plan with the window shuffle as the only cost.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.max("value").alias("day_max"))
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(days)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("filled_value", F.last("day_max", ignorenulls=True).over(w))
+        .select(
+            "user_id",
+            F.col("day").cast("string").alias("day"),
+            "filled_value",
+        )
+    )

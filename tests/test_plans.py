@@ -128,3 +128,31 @@ def test_golden_top_supplier_scalar_max_is_broadcast(spark, sf_dir):
     s = _summary(spark, "q_golden_top_supplier", sf_dir)
     assert s.n_broadcast_joins >= 1
     assert s.n_cartesian == 0
+
+
+def test_gaps_islands_reuses_window_partitioning(spark, sf_dir):
+    """distinct → window → groupBy: the groupBy on (custkey, anchor) must
+    reuse the window's hashpartitioning(custkey) — exactly two exchanges,
+    never three."""
+    s = _summary(spark, "q_win_gaps_islands", sf_dir)
+    assert s.n_exchanges == 2
+    assert s.n_cartesian == 0
+
+
+def test_null_anti_join_is_null_aware_single_column(spark, sf_dir):
+    """NOT IN over a nullable probe must plan as a null-aware broadcast anti
+    join (the trailing `true` flag), not a nested loop."""
+    import re
+
+    df = catalog.queries()["q_join_null_anti"](spark, sf_dir)
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"BroadcastHashJoin .*LeftAnti, BuildRight, true", text), text
+    assert "NestedLoop" not in text
+
+
+def test_fill_forward_spine_is_broadcast_not_cartesian(spark, sf_dir):
+    """users × generated-days spine: the tiny day side must broadcast; a
+    CartesianProduct here would shuffle every user row per day at scale."""
+    s = _summary(spark, "q_fill_forward", sf_dir)
+    assert s.n_cartesian == 0
+    assert s.n_broadcast_joins >= 1
