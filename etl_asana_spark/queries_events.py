@@ -13,7 +13,7 @@ there. Oracle recipes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import register
@@ -340,4 +340,94 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
         )
+    )
+
+
+@register(
+    "q_interval_overlap",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL 30 MINUTES
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM ev
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess_id
+        FROM flagged
+    ),
+    sess AS (
+        SELECT user_id, MIN(ts) AS t0, MAX(ts) + INTERVAL 30 MINUTES AS t1
+        FROM numbered GROUP BY user_id, sess_id
+    ),
+    pts AS (
+        SELECT t0 AS t, 1 AS delta FROM sess
+        UNION ALL
+        SELECT t1 AS t, -1 AS delta FROM sess
+    ),
+    run AS (
+        SELECT t, SUM(delta) OVER (
+            ORDER BY t, delta
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS conc
+        FROM pts
+    )
+    SELECT CAST(CAST(t AS DATE) AS VARCHAR) AS day,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY CAST(t AS DATE)
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: peak simultaneous user sessions/day.
+
+    Sessions (30-min gap) become ±1 boundary points; a prefix sum over the
+    global time order yields the concurrency curve. A naive global running
+    sum is a single-partition window — the one plan that cannot scale — so
+    the prefix sum is decomposed sort-free into two phases: (1) per-hour
+    bucket delta totals, cumulated over the tiny bucket axis (~hours, not
+    rows) into per-bucket offsets; (2) a partitioned running sum WITHIN each
+    hour bucket plus the bucket's offset. Rows shuffle once on the bucket
+    key; no stage ever sees a global sort. Ties order ends (−1) before
+    starts (+1), so touching sessions never count as overlapping — the
+    multiset of prefix values is deterministic under that ordering, making
+    the per-day MAX exact on both engines.
+    """
+    t = load_tables(spark, sf_dir)
+    sess = (
+        t["events"]
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sess"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("sess.start").alias("t0"), F.col("sess.end").alias("t1"))
+    )
+    pts = sess.select(
+        F.col("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(sess.select(F.col("t1").alias("t"), F.lit(-1).alias("delta")))
+    pts = pts.withColumn("bucket", F.date_trunc("hour", F.col("t")))
+    # Phase 1: bucket totals → exclusive running offsets (bucket-axis only).
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        pts.groupBy("bucket")
+        .agg(F.sum("delta").alias("bsum"))
+        .withColumn("offset", F.coalesce(F.sum("bsum").over(wb), F.lit(0)))
+        .select("bucket", "offset")
+    )
+    # Phase 2: in-bucket running sum + offset = exact global prefix sum.
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.join(F.broadcast(offsets), "bucket").withColumn(
+        "conc", F.col("offset") + F.sum("delta").over(win)
+    )
+    return run.groupBy(F.to_date("t").cast("string").alias("day")).agg(
+        F.max("conc").alias("max_concurrent")
     )

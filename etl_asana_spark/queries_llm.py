@@ -966,3 +966,41 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+@register(
+    "q_sample_weighted",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           round(pow((((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0,
+                     1.0 / n_chars), 10) AS sample_key
+    FROM documents
+    ORDER BY sample_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement (Efraimidis–
+    Spirakis A-ES): 100 docs with inclusion odds ∝ length.
+
+    Each doc draws a reproducible uniform u from the same Knuth
+    multiplicative hash as q_sample_hash (pure function of doc_id — no RNG
+    state, so retries/backfills select the identical sample) and competes
+    with key u^(1/weight); the k largest keys ARE a weighted sample without
+    replacement. Keys are rounded to 10 dp on both engines before ordering
+    so libm pow's last-ulp wiggle can never flip the selection. The Spark
+    plan is orderBy+limit → TakeOrderedAndProject: per-partition k-heaps,
+    one tiny shuffle of 100-row candidates — a weighted corpus subsample at
+    100 TB never global-sorts.
+    """
+    t = load_tables(spark, sf_dir)
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) + F.lit(0.5)) / F.lit(
+        4294967296.0
+    )
+    key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 10)
+    return (
+        t["documents"]
+        .select("doc_id", "source", "n_chars", key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(100)
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .catalog import register
 from .functions.parity import dsum, sql_dsum
+from .operators.skew import salted_join
 from .registry import load_tables
 
 # ---------------------------------------------------------------------------
@@ -333,3 +334,41 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_tables(spark, sf_dir)["part"]
     return fuzzy_join_blocked(part, "p_name", max_dist=3, n_block_tokens=2)
+
+
+@register(
+    "q_join_salted",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join under the correctness gate.
+
+    ``operators.skew.salted_join`` spreads each (potentially hot) orderkey
+    over 8 content-derived salt buckets — the manual fix for the key whose
+    single hash partition exceeds executor memory no matter how AQE splits
+    it. The oracle is the PLAIN join: salting must be invisible in the
+    result, and this key proves it row-for-row at every sf. Salts come from
+    xxhash64 of (l_orderkey, l_linenumber) — deterministic across retries,
+    unlike rand()-salting which corrupts results under shuffle replay.
+    """
+    t = load_tables(spark, sf_dir)
+    dim = t["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(
+        t["lineitem"],
+        dim,
+        on=["l_orderkey"],
+        n_salts=8,
+        salt_src=["l_orderkey", "l_linenumber"],
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        dsum("l_extendedprice").alias("revenue"),
+    )

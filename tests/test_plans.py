@@ -156,3 +156,11 @@ def test_fill_forward_spine_is_broadcast_not_cartesian(spark, sf_dir):
     s = _summary(spark, "q_fill_forward", sf_dir)
     assert s.n_cartesian == 0
     assert s.n_broadcast_joins >= 1
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """A-ES weighted sampling must plan as TakeOrderedAndProject (partial
+    k-heaps), never a global sort of the corpus."""
+    s = _summary(spark, "q_sample_weighted", sf_dir)
+    assert s.has_take_ordered
+    assert s.n_exchanges <= 1
