@@ -260,3 +260,84 @@ def pca_reduce(
     return model.transform(feat).select(
         id_col, vector_to_array("pc").alias("reduced")
     )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame-native Lloyd k-means: the iterative-ML pattern on Spark.
+
+    The model state (k × dim centroids) is tiny; the data is not. So each
+    iteration ships the MODEL to the data, never the reverse: centroids are
+    collected to the driver (k·dim doubles) and broadcast back; assignment
+    is a broadcast join + ``min_by`` argmin (no shuffle of the vectors
+    beyond the per-id aggregate); new centroids are an elementwise mean via
+    posexplode → groupBy(cluster, dim) — a two-key hash aggregate with
+    map-side partials. Per iteration at 100 TB: one linear scan, one
+    shuffle of k·dim partial sums. Initialization is deterministic (the k
+    lowest-id vectors), so reruns converge identically modulo float-mean
+    low bits; empty clusters keep their previous centroid.
+
+    Returns (id, cluster, dist2) for the final centroids.
+    """
+    spark = embeddings.sparkSession
+    vecs = embeddings.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("v")
+    )
+
+    def dist2(vcol: str, ccol: str):
+        return F.aggregate(
+            F.zip_with(F.col(vcol), F.col(ccol), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cents = [
+        (i, list(r["v"]))
+        for i, r in enumerate(vecs.orderBy(id_col).limit(k).collect())
+    ]
+
+    def assign(cdf: DataFrame) -> DataFrame:
+        return (
+            vecs.crossJoin(F.broadcast(cdf))
+            .select(id_col, "v", "cluster", dist2("v", "centroid").alias("dist2"))
+            .groupBy(id_col)
+            .agg(
+                F.min_by(
+                    F.struct("cluster", "v", "dist2"), F.struct("dist2", "cluster")
+                ).alias("best")
+            )
+            .select(
+                id_col,
+                F.col("best.cluster").alias("cluster"),
+                F.col("best.v").alias("v"),
+                F.col("best.dist2").alias("dist2"),
+            )
+        )
+
+    schema = "cluster int, centroid array<double>"
+    for _ in range(n_iter):
+        assigned = assign(spark.createDataFrame(cents, schema))
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        newmap = {r["cluster"]: list(r["centroid"]) for r in means}
+        cents = [(c, newmap.get(c, old)) for c, old in cents]
+
+    return assign(spark.createDataFrame(cents, schema)).select(
+        id_col, "cluster", "dist2"
+    )

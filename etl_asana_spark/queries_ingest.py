@@ -461,3 +461,62 @@ def q_load_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feed = deletes.unionByName(updates).unionByName(inserts)
     return cdc.apply_changes(orders, feed, "o_orderkey", op_col="op")
+
+
+@register(
+    "q_hierarchy_closure",
+    oracle=f"""
+    WITH RECURSIVE tasks AS (
+        SELECT gid, parent.gid AS parent_gid FROM {_read_json(_B1)}
+    ),
+    cl AS (
+        SELECT gid, gid AS root_gid, 0 AS depth
+        FROM tasks WHERE parent_gid IS NULL
+        UNION ALL
+        SELECT t.gid, cl.root_gid, cl.depth + 1
+        FROM tasks t JOIN cl ON t.parent_gid = cl.gid
+    )
+    SELECT gid, root_gid, depth FROM cl
+    """,
+)
+def q_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtask-tree closure: every task mapped to its root task and depth.
+
+    Asana tasks nest via ``parent`` (subtasks of subtasks); reporting rolls
+    work up to the root. Spark has no recursive CTE, so the closure is an
+    iterative frontier BFS: level 0 = parentless roots; each iteration
+    equi-joins the edge table against the previous frontier (one shuffle
+    per level, or a broadcast when the frontier is small) and stops when a
+    cheap ``isEmpty()`` limit-1 probe says the frontier died out. Work is
+    O(edges × depth) — linear per level, bounded by tree height (task trees
+    are shallow; for deep/viral graphs the same loop upgrades to pointer-
+    doubling as in operators/dedup label propagation). The oracle is the
+    recursive CTE the loop emulates.
+    """
+    tasks = asana.read_tasks(spark, _B1).select(
+        "gid", F.col("parent.gid").alias("parent_gid")
+    )
+    closure = tasks.filter(F.col("parent_gid").isNull()).select(
+        "gid", F.col("gid").alias("root_gid"), F.lit(0).alias("depth")
+    )
+    frontier = closure
+    depth = 0
+    while True:
+        depth += 1
+        nxt = (
+            tasks.alias("t")
+            .join(
+                frontier.select(
+                    F.col("gid").alias("parent_gid"), "root_gid", "depth"
+                ).alias("f"),
+                "parent_gid",
+            )
+            .select("t.gid", "f.root_gid", (F.col("f.depth") + 1).alias("depth"))
+        )
+        if nxt.isEmpty():
+            break
+        closure = closure.unionAll(nxt)
+        frontier = nxt
+        if depth > 64:  # cycle guard: task graphs are trees; fail loudly
+            raise RuntimeError("hierarchy deeper than 64 — cycle in parent edges?")
+    return closure

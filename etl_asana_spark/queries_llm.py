@@ -10,7 +10,7 @@ are rows-only with property tests in tests/test_llm_ops.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import register
@@ -1003,4 +1003,75 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars", key.alias("sample_key"))
         .orderBy(F.desc("sample_key"), F.asc("doc_id"))
         .limit(100)
+    )
+
+
+@register(
+    "q_text_bigrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    bg AS (
+        SELECT doc_id, pos, w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+    ),
+    counts AS (
+        SELECT w1, w2, COUNT(*) AS n FROM bg WHERE w2 IS NOT NULL GROUP BY w1, w2
+    )
+    SELECT w1, w2, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE)
+               AS p_next
+    FROM counts
+    ORDER BY n DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics: top transitions and P(w2|w1).
+
+    The n-gram LM table is the classic corpus-statistics building block
+    (contamination screens, perplexity filters, repetition analysis). The
+    Spark side never materializes per-token rows before pairing: bigrams
+    come from zipping the token array with its own 1-shifted slice INSIDE
+    the scan stage (arrays_zip of two slices — generator, no shuffle), so
+    the only shuffles are the (w1,w2) count and the tiny w1-marginal
+    window. The oracle pairs tokens via lead() over ordinal position —
+    relationally identical. Conditional probability is an exact integer
+    ratio cast once to double: deterministic on both engines.
+    """
+    t = load_tables(spark, sf_dir)
+    ws = F.split("text", " ")
+    n1 = F.greatest(F.size(ws) - F.lit(1), F.lit(0))
+    pairs = F.arrays_zip(F.slice(ws, 1, n1), F.slice(ws, 2, n1))
+    bg = (
+        t["documents"]
+        .select(F.explode(pairs).alias("bg"))
+        .select(F.col("bg")["0"].alias("w1"), F.col("bg")["1"].alias("w2"))
+    )
+    counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    w1tot = Window.partitionBy("w1")
+    return (
+        counts.withColumn(
+            "p_next",
+            F.col("n").cast("double") / F.sum("n").over(w1tot).cast("double"),
+        )
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+    )
+
+
+@register("q_emb_kmeans")
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding clustering for corpus curation (semantic dedup buckets,
+    diversity-balanced sampling): from-scratch Lloyd k-means, k=8, five
+    broadcast-model iterations (operators.similarity.kmeans_lloyd). Rows-
+    only: float means make low bits engine-specific, and SQL has no
+    iterative fixpoint; properties (full assignment, monotone inertia)
+    are pinned in tests/test_llm_ops.py."""
+    t = load_tables(spark, sf_dir)
+    return similarity.kmeans_lloyd(t["embeddings"], k=8, n_iter=5).select(
+        "vec_id", "cluster", F.round("dist2", 6).alias("dist2")
     )

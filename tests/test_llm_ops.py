@@ -323,3 +323,20 @@ def test_dup_ngram_fraction_bounds(spark, sf_dir):
     rows = catalog.queries()["q_dup_ngram_fraction"](spark, sf_dir).collect()
     assert rows
     assert all(0.0 <= r["dup_frac"] <= 1.0 and r["n_shingles"] >= 1 for r in rows)
+
+
+def test_kmeans_full_assignment_and_monotone_inertia(spark, sf_dir):
+    """Lloyd invariants: every vector assigned exactly once; the objective
+    (sum of squared distances) never increases with more iterations."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n = emb.count()
+    a = similarity.kmeans_lloyd(emb, k=4, n_iter=3)
+    assert a.count() == n
+    assert a.select("vec_id").distinct().count() == n
+    assert a.select("cluster").distinct().count() <= 4
+    inertia = [
+        similarity.kmeans_lloyd(emb, k=4, n_iter=i).agg(F.sum("dist2")).first()[0]
+        for i in (1, 2, 3)
+    ]
+    assert inertia[1] <= inertia[0] * (1 + 1e-9)
+    assert inertia[2] <= inertia[1] * (1 + 1e-9)
