@@ -431,3 +431,122 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy(F.to_date("t").cast("string").alias("day")).agg(
         F.max("conc").alias("max_concurrent")
     )
+
+
+@register(
+    "q_event_paths",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL 30 MINUTES
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM ev
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess_id
+        FROM flagged
+    ),
+    ranked AS (
+        SELECT user_id, sess_id, ts, event_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, sess_id ORDER BY ts, event_id
+               ) AS rn
+        FROM numbered
+    ),
+    paths AS (
+        SELECT user_id, sess_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM ranked WHERE rn <= 5
+        GROUP BY user_id, sess_id
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 25
+    """,
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths: the ordered event-type sequence (first 5 events)
+    per 30-min session, counted across sessions — the funnel-discovery /
+    behavioral-clustering shape.
+
+    The per-session sequence is built INSIDE the session aggregate:
+    collect_list of (ts, event_id, type) structs, array_sort (lexicographic
+    on the unique (ts, event_id) prefix — deterministic under any shuffle
+    order), slice to 5, join with '>'. One shuffle sessionizes, one counts
+    paths, top-25 is TakeOrderedAndProject. No window pass over raw events
+    is needed — at 100 TB the sort happens per-session in memory (sessions
+    are bounded), never as a global or per-user sort.
+    """
+    t = load_tables(spark, sf_dir)
+    path = F.concat_ws(
+        ">",
+        F.slice(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            1,
+            5,
+        ),
+    )
+    sess = (
+        t["events"]
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("s"))
+        .agg(path.alias("path"))
+    )
+    return (
+        sess.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(25)
+    )
+
+
+@register(
+    "q_cumulative_uniques",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+    ),
+    per_day AS (
+        SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day
+    )
+    SELECT CAST(day AS VARCHAR) AS day, new_users,
+           SUM(new_users) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_users
+    FROM per_day
+    """,
+)
+def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth-curve metric.
+
+    COUNT(DISTINCT) OVER a running frame is unsupported (and would be
+    quadratic anyway); the scalable identity is first-seen attribution:
+    each user contributes to exactly one day (min event date — one shuffle
+    on user_id), days aggregate to new-user counts, and the running sum
+    over the DAY axis (cardinality = days, not rows) is the cumulative
+    distinct count. The only ordered window runs over ~10³ day rows, never
+    the raw events.
+    """
+    t = load_tables(spark, sf_dir)
+    first_seen = t["events"].groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    per_day = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        F.col("day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

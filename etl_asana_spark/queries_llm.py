@@ -1075,3 +1075,118 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_lloyd(t["embeddings"], k=8, n_iter=5).select(
         "vec_id", "cluster", F.round("dist2", 6).alias("dist2")
     )
+
+
+#: BM25 free parameters (Robertson defaults) and the probe query terms.
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ("join", "scan", "filter")
+
+
+def _bm25_oracle() -> str:
+    t1, t2, t3 = _BM25_TERMS
+    scores = []
+    for i, term in enumerate(_BM25_TERMS, start=1):
+        scores.append(
+            f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) * "
+            f"(tf{i} * {_BM25_K1 + 1.0}) / "
+            f"(tf{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+               string_split(text, ' ') AS ws
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM d
+    ),
+    toks AS (
+        SELECT doc_id, unnest(ws) AS w FROM d
+    ),
+    tf AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN w = '{t1}' THEN 1 ELSE 0 END) AS DOUBLE) AS tf1,
+               CAST(SUM(CASE WHEN w = '{t2}' THEN 1 ELSE 0 END) AS DOUBLE) AS tf2,
+               CAST(SUM(CASE WHEN w = '{t3}' THEN 1 ELSE 0 END) AS DOUBLE) AS tf3
+        FROM toks WHERE w IN ('{t1}', '{t2}', '{t3}')
+        GROUP BY doc_id
+    ),
+    dfs AS (
+        SELECT CAST(COUNT(DISTINCT CASE WHEN w = '{t1}' THEN doc_id END) AS DOUBLE) AS df1,
+               CAST(COUNT(DISTINCT CASE WHEN w = '{t2}' THEN doc_id END) AS DOUBLE) AS df2,
+               CAST(COUNT(DISTINCT CASE WHEN w = '{t3}' THEN doc_id END) AS DOUBLE) AS df3
+        FROM toks WHERE w IN ('{t1}', '{t2}', '{t3}')
+    )
+    SELECT tf.doc_id,
+           round((({scores[0]}) + ({scores[1]})) + ({scores[2]}), 9) AS bm25
+    FROM tf JOIN d USING (doc_id), stats, dfs
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT 20
+    """
+
+
+@register("q_text_bm25", oracle=_bm25_oracle())
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring — the classic lexical ranker, fully relational.
+
+    One explode+filter keeps only query-term tokens (map-side, before any
+    shuffle), one groupBy(doc_id) builds per-term tfs as CONDITIONAL sums
+    (terms become fixed columns, so the final score adds three doubles in a
+    pinned order — no shuffle-order float drift), and the corpus constants
+    (N, avgdl, per-term df) ride in on a broadcast single-row join. Scores
+    round to 9 dp on both engines to absorb libm ln's last-ulp wiggle. At
+    100 TB: the token shuffle carries only matching terms, df/avgdl are
+    re-aggregatable partials, and top-20 is TakeOrderedAndProject.
+    """
+    t1, t2, t3 = _BM25_TERMS
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("double").alias("dl"),
+        F.split("text", " ").alias("ws"),
+    )
+    stats = d.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").cast("double").alias("n"),
+    )
+    toks = d.select("doc_id", F.explode("ws").alias("w")).filter(
+        F.col("w").isin(*_BM25_TERMS)
+    )
+    tf = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("w") == term, 1).otherwise(0))
+            .cast("double")
+            .alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS, start=1)
+        ]
+    )
+    dfs = toks.agg(
+        *[
+            F.count_distinct(F.when(F.col("w") == term, F.col("doc_id")))
+            .cast("double")
+            .alias(f"df{i}")
+            for i, term in enumerate(_BM25_TERMS, start=1)
+        ]
+    )
+
+    def term_score(i: int):
+        tf_i, df_i = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("n") - df_i + F.lit(0.5)) / (df_i + F.lit(0.5))
+        )
+        denom = tf_i + F.lit(_BM25_K1) * (
+            F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+        return idf * (tf_i * F.lit(_BM25_K1 + 1.0)) / denom
+
+    score = (term_score(1) + term_score(2)) + term_score(3)
+    return (
+        tf.join(d.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfs))
+        .select("doc_id", F.round(score, 9).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
