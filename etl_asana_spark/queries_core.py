@@ -945,3 +945,154 @@ def q_join_null_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_NULL_ANTI_SQL)
+
+
+@register(
+    "q_winsorize",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT l_returnflag,
+               ROUND(CAST(quantile_cont(l_extendedprice, 0.05) AS DOUBLE), 4) AS lo,
+               ROUND(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 4) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_items,
+           {sql_dsum('least(greatest(l_extendedprice, lo), hi)')} AS winsor_total,
+           {sql_dsum('l_extendedprice')} AS raw_total
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp a measure to its per-group [p05, p95] before
+    aggregating — the standard outlier guard for metrics and for feature
+    normalization in training pipelines.
+
+    Two passes over the fact: an exact-percentile aggregate (tiny result,
+    broadcast back) and the clamped re-aggregate — no sort of the raw data,
+    no per-row Python. Boundaries are rounded to 4 dp on BOTH engines
+    before clamping, so the clamp decision (a comparison against an
+    identical constant) can never diverge on interpolation low bits.
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    bounds = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.05), 4).alias("lo"),
+        F.round(F.percentile("l_extendedprice", 0.95), 4).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(clamped).alias("winsor_total"),
+            dsum("l_extendedprice").alias("raw_total"),
+        )
+    )
+
+
+@register(
+    "q_union_evolved_schema",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority, 'v1' AS schema_ver
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_totalprice, o_orderpriority, 'v2' AS schema_ver
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def q_union_evolved_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the union: a v1 extract (no priority column)
+    concatenated with a v2 extract via ``unionByName(allowMissingColumns)``
+    — columns align BY NAME, absent ones null-fill. The positional UNION
+    of classic SQL silently mis-aligns evolved schemas; by-name union is
+    the only safe shape for long-lived 100 TB table histories (same
+    semantics as DuckDB's UNION ALL BY NAME, which the oracle uses).
+    """
+    t = load_tables(spark, sf_dir)
+    v1 = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice", F.lit("v1").alias("schema_ver"))
+    )
+    v2 = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 2 == 1)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderpriority",
+            F.lit("v2").alias("schema_ver"),
+        )
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
+@register(
+    "q_part_pairs",
+    oracle="""
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, p1, p2
+    LIMIT 20
+    """,
+)
+def q_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same order.
+
+    Self equi-join on the order key with a residual ``p1 < p2`` (each
+    unordered pair counted once) — the equi conjunct keeps the plan a hash
+    join keyed on l_orderkey, never a nested loop; pair blowup is bounded
+    by per-order basket size squared, not table size. Top-20 via
+    TakeOrderedAndProject.
+    """
+    t = load_tables(spark, sf_dir)
+    a = t["lineitem"].select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = t["lineitem"].select("l_orderkey", F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, ["l_orderkey"])
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("p1"), F.asc("p2"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_skew_report",
+    oracle="""
+    WITH counts AS (
+        SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY l_partkey
+    ),
+    total AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM counts)
+    SELECT l_partkey, n, round(CAST(n AS DOUBLE) / tot, 9) AS share
+    FROM counts, total
+    ORDER BY n DESC, l_partkey
+    LIMIT 20
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostics: the top-20 heaviest join-key values and their
+    share of all rows — the report that decides between a plain shuffle
+    join, AQE skew splitting, and operators.skew.salted_join. One
+    re-aggregatable count, a broadcast scalar total, and a top-k: runs on
+    the full fact at any scale.
+    """
+    t = load_tables(spark, sf_dir)
+    counts = t["lineitem"].groupBy("l_partkey").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").cast("double").alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot"), 9).alias("share"),
+        )
+        .orderBy(F.desc("n"), F.asc("l_partkey"))
+        .limit(20)
+    )
