@@ -308,3 +308,37 @@ def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").try_cast("double").alias("bad_cast"),
         F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
     )
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS lo_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, 21845) AS toggled,
+           CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS INT) AS popcount,
+           o_orderkey << 2 AS shifted
+    FROM orders
+    WHERE o_orderkey % 10 = 3
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family: AND/OR/XOR masks, popcount, shifts — the ops
+    behind bitmap indexes (q_agg_bitmap_distinct), feature flags, and hash
+    mixing. All JVM integer codegen; identical two's-complement semantics
+    on both engines."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("o_orderkey")
+    return (
+        t["orders"]
+        .filter(k % 10 == 3)
+        .select(
+            "o_orderkey",
+            k.bitwiseAND(F.lit(255)).alias("lo_byte"),
+            k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+            k.bitwiseXOR(F.lit(21845)).alias("toggled"),
+            F.bit_count(k.cast("long")).alias("popcount"),
+            F.shiftleft(k, 2).alias("shifted"),
+        )
+    )

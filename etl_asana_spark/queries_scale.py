@@ -17,7 +17,7 @@ These are the patterns that only start to matter past ~1 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import register
@@ -372,3 +372,102 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         dsum("l_extendedprice").alias("revenue"),
     )
+
+
+@register(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY date_trunc('week', CAST(ts AS TIMESTAMP))
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT re-aggregatable distinct counts via integer bitmaps.
+
+    COUNT(DISTINCT) does not roll up — weekly counts cannot be derived
+    from daily counts, so naive pipelines re-scan raw data per grain. HLL
+    (q_agg_hll_rollup) fixes that approximately; this fixes it EXACTLY:
+    ids partition into 64-wide chunks, each (day, chunk) aggregates a
+    BIGINT bitmap with bit_or — an associative, commutative partial — and
+    weekly = bit_or of daily bitmaps, counted by bit_count. The merge
+    carries one long per 64 ids SEEN (sparse-friendly), never the raw
+    rows: the same daily partials serve every coarser grain. All
+    JVM-codegen integer ops; the oracle is the plain COUNT(DISTINCT)
+    that this must equal bit-for-bit.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.to_date("ts").alias("day"),
+        (F.col("user_id") / 64).cast("long").alias("chunk"),
+        F.expr("shiftleft(1L, CAST(user_id % 64 AS INT))").alias("bit"),
+    )
+    daily = ev.groupBy("week", "day", "chunk").agg(F.bit_or("bit").alias("bm"))
+    weekly = daily.groupBy("week", "chunk").agg(F.bit_or("bm").alias("bm"))
+    return weekly.groupBy("week").agg(
+        F.sum(F.bit_count("bm")).alias("n_users")
+    )
+
+
+@register("q_agg_quantile_sketch")
+def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch (p50/p90/p99 of event
+    value).
+
+    The re-aggregatable quantile pattern: one bounds pass, then per-(day,
+    bin) counts — partials that merge by addition across any grain, the
+    property native percentile lacks (it needs the full sorted column per
+    group). Estimates interpolate inside the winning bin, so error is
+    bounded by one bin width ((hi−lo)/128) — asserted against the exact
+    percentile in tests/test_scale_ops.py. Deterministic: integer bin
+    counts + fixed-form interpolation. Rows-only: the binned estimate is
+    the engine's own semantic, not SQL percentile.
+    """
+    t = load_tables(spark, sf_dir)
+    n_bins = 128
+    ev = t["events"].select("value", F.to_date("ts").alias("day"))
+    bounds = ev.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").cast("double").alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "day",
+        "lo",
+        "hi",
+        "n",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width), F.lit(n_bins - 1)
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    # Daily partial sketches (the mergeable unit), then the cross-day merge.
+    daily = binned.groupBy("day", "bin", "lo", "hi", "n").agg(
+        F.count("*").alias("cnt")
+    )
+    hist = daily.groupBy("bin", "lo", "hi", "n").agg(F.sum("cnt").alias("cnt"))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "cum_prev", F.col("cum") - F.col("cnt")
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(
+            F.min_by(
+                F.struct("bin", "cnt", "cum_prev", "lo", "hi", "n"), F.col("bin")
+            ).alias("b")
+        )
+    )
+    w = (F.col("b.hi") - F.col("b.lo")) / F.lit(float(n_bins))
+    est = F.col("b.lo") + w * (
+        F.col("b.bin")
+        + (F.col("q") * F.col("b.n") - F.col("b.cum_prev")) / F.col("b.cnt")
+    )
+    return hit.select("q", F.round(est, 6).alias("estimate")).orderBy("q")

@@ -197,3 +197,26 @@ def test_fuzzy_join_no_nested_loop_and_symmetry(spark, sf_dir):
     assert len(pairs) == len(set(pairs))
     assert all(a < b for a, b in pairs)
     assert all(r["dist"] <= 3 for r in rows)
+
+
+def test_quantile_sketch_error_bounded_by_bin_width(spark, sf_dir):
+    """Histogram-sketch estimates must land within one bin width of the
+    exact percentile (the sketch's advertised error bound)."""
+    from pyspark.sql import functions as F
+
+    from etl_asana_spark import catalog
+    from etl_asana_spark.registry import load_tables
+
+    est = {
+        r["q"]: r["estimate"]
+        for r in catalog.queries()["q_agg_quantile_sketch"](spark, sf_dir).collect()
+    }
+    ev = load_tables(spark, sf_dir)["events"]
+    row = ev.agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+        ((F.max("value") - F.min("value")) / 128.0).alias("width"),
+    ).first()
+    for q, exact in ((0.5, row["p50"]), (0.9, row["p90"]), (0.99, row["p99"])):
+        assert abs(est[q] - exact) <= row["width"] + 1e-9, (q, est[q], exact)
