@@ -342,3 +342,39 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftleft(k, 2).alias("shifted"),
         )
     )
+
+
+@register(
+    "q_fn_datetime_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                AS VARCHAR) AS plus_3m,
+           CAST(date_part('dow', CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                AS INT) AS epoch_days
+    FROM orders
+    WHERE o_orderkey % 25 = 0
+    """,
+)
+def q_fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic family: quarter, month-end, month-clamped adds
+    (Jan 31 + 1 month = Feb end on both engines), day-of-week (aligned to
+    Spark's 1=Sunday convention), epoch-day offsets — the date surface the
+    reference's R2 coercions feed into reporting rollups."""
+    t = load_tables(spark, sf_dir)
+    d = F.to_date("o_orderdate")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 25 == 0)
+        .select(
+            "o_orderkey",
+            F.quarter(d).alias("qtr"),
+            F.last_day(d).cast("string").alias("month_end"),
+            F.add_months(d, 3).cast("string").alias("plus_3m"),
+            F.dayofweek(d).alias("dow"),
+            F.datediff(d, F.lit("1970-01-01").cast("date")).alias("epoch_days"),
+        )
+    )

@@ -520,3 +520,60 @@ def q_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         if depth > 64:  # cycle guard: task graphs are trees; fail loudly
             raise RuntimeError("hierarchy deeper than 64 — cycle in parent edges?")
     return closure
+
+
+@register(
+    "q_golden_burndown",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(created_at AS TIMESTAMP) AS created_ts,
+               CAST(completed_at AS TIMESTAMP) AS completed_ts
+        FROM {_read_json(_B1)}
+    ),
+    pts AS (
+        SELECT CAST(created_ts AS DATE) AS day, 1 AS delta FROM t
+        UNION ALL
+        SELECT CAST(completed_ts AS DATE) AS day, -1 AS delta
+        FROM t WHERE completed_ts IS NOT NULL
+    ),
+    daily AS (
+        SELECT day, SUM(delta) AS net_delta FROM pts GROUP BY day
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(net_delta AS BIGINT) AS net_delta,
+           CAST(SUM(net_delta) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS open_tasks
+    FROM daily
+    """,
+)
+def q_golden_burndown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asana burndown: open-task count per day from the task lifecycle.
+
+    Creations are +1 boundary points, completions −1 (the same sweep-line
+    identity as q_interval_overlap); the per-day net deltas aggregate
+    first (one shuffle over raw tasks), and only the tiny day axis takes
+    the ordered cumulative sum. This is the report every PM tool draws;
+    on 100 TB of task history the plan is one re-aggregatable groupBy
+    plus a day-cardinality window.
+    """
+    t = asana.read_tasks(spark, _B1).select(
+        F.to_timestamp("created_at").alias("created_ts"),
+        F.to_timestamp("completed_at").alias("completed_ts"),
+    )
+    pts = t.select(
+        F.to_date("created_ts").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        t.filter(F.col("completed_ts").isNotNull()).select(
+            F.to_date("completed_ts").alias("day"), F.lit(-1).alias("delta")
+        )
+    )
+    daily = pts.groupBy("day").agg(F.sum("delta").alias("net_delta"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("net_delta").cast("long").alias("net_delta"),
+        F.sum("net_delta").over(w).cast("long").alias("open_tasks"),
+    )

@@ -171,3 +171,35 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.lang = 'de'
         """
     )
+
+
+@register("q_win_ema")
+def q_win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of event value per user
+    (α=0.2, adjust-free recurrence ema_t = α·x_t + (1−α)·ema_{t−1}).
+
+    A NON-associative linear recurrence — the operator class plain windows
+    cannot express (no partial aggregation exists; the naive closed form
+    overflows (1−α)^{−t}). The scalable shape is exactly this: one shuffle
+    on the key, then an Arrow-batched sequential fold per group
+    (applyInPandas + pandas ewm) — each user's history is bounded, the
+    fleet of groups is what scales out. Rows-only (SQL has no fixpoint);
+    the recurrence itself is re-verified in pure Python in
+    tests/test_udx_extra.py.
+    """
+    t = load_tables(spark, sf_dir)
+
+    def ema(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        out = pdf[["user_id", "event_id", "value"]].copy()
+        out["ema"] = pdf["value"].ewm(alpha=0.2, adjust=False).mean()
+        return out
+
+    return (
+        t["events"]
+        .select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            ema, schema="user_id long, event_id long, value double, ema double"
+        )
+    )

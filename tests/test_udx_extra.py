@@ -1,0 +1,33 @@
+"""Property checks for UDx ops without a SQL oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_asana_spark import catalog
+from etl_asana_spark.registry import load_tables
+
+
+def test_ema_matches_pure_python_recurrence(spark, sf_dir):
+    """q_win_ema (Arrow-batched pandas ewm) must equal the hand-rolled
+    recurrence ema_t = α·x_t + (1−α)·ema_{t−1} for a sampled user."""
+    ev = load_tables(spark, sf_dir)["events"]
+    uid = ev.select(F.min("user_id")).first()[0]
+    expected_rows = (
+        ev.filter(F.col("user_id") == uid)
+        .orderBy("ts", "event_id")
+        .select("event_id", "value")
+        .collect()
+    )
+    alpha, ema, expect = 0.2, None, {}
+    for r in expected_rows:
+        ema = r["value"] if ema is None else alpha * r["value"] + (1 - alpha) * ema
+        expect[r["event_id"]] = ema
+    got = {
+        r["event_id"]: r["ema"]
+        for r in catalog.queries()["q_win_ema"](spark, sf_dir)
+        .filter(F.col("user_id") == uid)
+        .collect()
+    }
+    assert set(got) == set(expect)
+    assert all(abs(got[k] - expect[k]) < 1e-9 for k in expect)
