@@ -577,3 +577,40 @@ def q_golden_burndown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("net_delta").cast("long").alias("net_delta"),
         F.sum("net_delta").over(w).cast("long").alias("open_tasks"),
     )
+
+
+@register(
+    "q_source_datasource",
+    oracle=f"""
+    SELECT gid, name, completed,
+           CAST(modified_at AS TIMESTAMP) AS modified_ts,
+           assignee.gid AS assignee_gid, num_likes
+    FROM {_read_json(_B1)}
+    WHERE completed = false
+    """,
+)
+def q_source_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paginated extract as a Spark-4 Python DataSource
+    (sources/datasource.py): ``spark.read.format("asana_tasks")`` plans one
+    input partition per API page (parallel fetch), and the ``completed =
+    false`` predicate is PUSHED into the source (the API-query-param
+    analog) rather than filtered post-scan. Hash-checked against DuckDB
+    read_json over the same fixture."""
+    from .sources.datasource import register_asana_source
+
+    register_asana_source(spark)
+    return (
+        spark.read.format("asana_tasks")
+        .option("path", _B1)
+        .option("page_size", "64")
+        .load()
+        .filter(F.col("completed") == F.lit(False))
+        .select(
+            "gid",
+            "name",
+            "completed",
+            F.to_timestamp("modified_at").alias("modified_ts"),
+            "assignee_gid",
+            "num_likes",
+        )
+    )

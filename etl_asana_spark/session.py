@@ -39,6 +39,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Parquet pushdown/pruning are on by default; stated here as contract.
     "spark.sql.parquet.filterPushdown": "true",
+    # Python DataSource filter pushdown (sources/datasource.py): lets a
+    # custom source turn Spark predicates into API-side query params.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # ANSI mode is the Spark 4 default; engine code uses try_* on any
     # fallible cast/arithmetic rather than disabling ANSI (SURVEY §7 hard-part 3).
 }

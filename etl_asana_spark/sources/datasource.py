@@ -1,0 +1,125 @@
+"""Spark-4 Python DataSource: the paginated Asana REST extract as a
+first-class ``spark.read.format("asana_tasks")`` source.
+
+This is the idiomatic Spark-4 expression of the reference's extract stage
+(SURVEY §0.3 R1, reconstructed — the snapshot is empty): the source itself
+owns pagination and filter pushdown, instead of a driver-side page loop.
+
+- **Partitions = API pages.** ``partitions()`` plans one input partition per
+  ``page_size`` slice (Asana caps ``limit`` at 100), so every executor core
+  fetches its own page concurrently — the parallelism the reference's
+  sequential HTTP loop never had. Offline here: each "page" replays a line
+  range of the committed ndjson fixture; online, ``read()`` would GET
+  ``/tasks?limit=&offset=`` with the token-bucket pacing of
+  ``sources.asana.RateLimiter``.
+- **Filter pushdown → API query params.** ``pushFilters`` accepts
+  ``completed = <bool>`` (the analog of Asana's ``completed_since`` server
+  filter) and applies it inside the page read, BEFORE rows reach Spark;
+  every other predicate is handed back for Spark to evaluate. At 100 TB of
+  task history the pushed filter is the difference between shipping the
+  full resource and shipping the slice you asked for.
+
+The rows this source yields are hash-checked against DuckDB ``read_json``
+over the same fixture (catalog key ``q_source_datasource``).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+
+#: Flat projection of the task resource this source serves (nested detail
+#: belongs to the JSON ingest path — sources/asana.py).
+TASKS_DDL = (
+    "gid string, name string, completed boolean, created_at string, "
+    "modified_at string, assignee_gid string, parent_gid string, "
+    "num_likes bigint"
+)
+
+
+@dataclass
+class _Page(InputPartition):
+    path: str
+    offset: int
+    limit: int
+
+
+class AsanaTasksReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+        self.page_size = int(options.get("page_size", "100"))
+        self.completed: bool | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("completed",):
+                # Server-side filter: becomes an API query param online.
+                self.completed = bool(f.value)
+            else:
+                yield f  # Spark evaluates everything we don't push.
+
+    def partitions(self) -> list[InputPartition]:
+        with open(self.path) as fh:
+            total = sum(1 for _ in fh)
+        return [
+            _Page(self.path, off, self.page_size)
+            for off in range(0, total, self.page_size)
+        ]
+
+    def read(self, partition: _Page) -> Iterator[tuple]:
+        with open(partition.path) as fh:
+            for i, line in enumerate(fh):
+                if i < partition.offset:
+                    continue
+                if i >= partition.offset + partition.limit:
+                    break
+                t = json.loads(line)
+                if self.completed is not None and t.get("completed") != self.completed:
+                    continue
+                assignee = t.get("assignee") or {}
+                parent = t.get("parent") or {}
+                yield (
+                    t.get("gid"),
+                    t.get("name"),
+                    t.get("completed"),
+                    t.get("created_at"),
+                    t.get("modified_at"),
+                    assignee.get("gid"),
+                    parent.get("gid"),
+                    t.get("num_likes"),
+                )
+
+
+class AsanaTasksDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "asana_tasks"
+
+    def schema(self) -> str:
+        return TASKS_DDL
+
+    def reader(self, schema) -> AsanaTasksReader:
+        return AsanaTasksReader(dict(self.options))
+
+
+def register_asana_source(spark) -> None:
+    """Idempotently register the format with this session.
+
+    Also self-applies the engine confs: this path does not go through
+    ``registry.load_tables`` (it reads fixtures, not sf tables), and the
+    reader's ``pushFilters`` needs ``spark.sql.python.filterPushdown.enabled``
+    even on a plain driver-built session.
+    """
+    from ..session import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    spark.dataSource.register(AsanaTasksDataSource)

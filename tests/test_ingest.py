@@ -128,3 +128,18 @@ def test_quarantine_gate_flags_without_dropping(spark):
     assert bad == {"sec_102", "sec_103", None, "sec_106"}
     good = rows["sec_101"]
     assert good["position"] == 1 and good["created_ts"] is not None
+
+
+def test_python_datasource_pages_and_pushdown(spark, sf_dir):
+    """The asana_tasks DataSource must plan one partition per page (parallel
+    fetch) and return exactly the rows the plain JSON read yields."""
+    from etl_asana_spark import catalog
+    from etl_asana_spark.queries_ingest import _B1
+    from etl_asana_spark.sources import asana
+
+    df = catalog.queries()["q_source_datasource"](spark, sf_dir)
+    assert df.rdd.getNumPartitions() == 4  # 200 fixture tasks / 64 per page
+    expected = (
+        asana.read_tasks(spark, _B1).filter("completed = false").count()
+    )
+    assert df.count() == expected
