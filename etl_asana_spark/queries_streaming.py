@@ -56,3 +56,12 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream attribution join (views ⋈ purchases within 1 hour),
     state bounded by dual watermarks + the event-time range condition."""
     return jobs.stream_stream_join(spark, sf_dir)
+
+
+@register("q_stream_source_sync")
+def q_stream_source_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python streaming DataSource: the Events-API sync-token poll
+    loop as a first-class readStream format (offset dict = sync token,
+    checkpointed by Spark). Rows-only; totals are property-checked against
+    the direct fixture read in tests/test_streaming.py."""
+    return jobs.sync_token_source_stream(spark)

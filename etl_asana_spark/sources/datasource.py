@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 #: Flat projection of the task resource this source serves (nested detail
@@ -123,3 +124,77 @@ def register_asana_source(spark) -> None:
 
     ensure_engine_confs(spark)
     spark.dataSource.register(AsanaTasksDataSource)
+
+
+#: Story/event feed projection served by the streaming source.
+EVENTS_DDL = "gid string, task_gid string, created_at string, type string, text string"
+
+
+class AsanaEventsStreamReader(SimpleDataSourceStreamReader):
+    """Incremental sync as a STREAMING source: the offset dict is the sync
+    token.
+
+    The reference's Events-API pattern (SURVEY §0.3 R1: poll with a sync
+    token, receive only changes since) is exactly Spark's streaming-offset
+    contract: ``initialOffset`` = first token, ``read(start)`` = one poll
+    returning (new rows, next token), ``readBetweenOffsets`` = deterministic
+    replay for recovery — Spark's checkpoint persists the token, giving the
+    exactly-once resume the reference would hand-roll. Offline, the token is
+    a line position in the fixture feed and each poll returns at most
+    ``batch_lines`` rows; online it would be the opaque Asana sync token.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+        self.batch_lines = int(options.get("batch_lines", "100"))
+
+    def initialOffset(self) -> dict:
+        return {"line": 0}
+
+    def _rows(self, a: int, b: int) -> list[tuple]:
+        out = []
+        with open(self.path) as fh:
+            for i, line in enumerate(fh):
+                if i < a:
+                    continue
+                if i >= b:
+                    break
+                s = json.loads(line)
+                out.append(
+                    (
+                        s.get("gid"),
+                        s.get("task_gid"),
+                        s.get("created_at"),
+                        s.get("type"),
+                        s.get("text"),
+                    )
+                )
+        return out
+
+    def read(self, start: dict):
+        a = start["line"]
+        rows = self._rows(a, a + self.batch_lines)
+        return iter(rows), {"line": a + len(rows)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["line"], end["line"]))
+
+
+class AsanaEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "asana_events"
+
+    def schema(self) -> str:
+        return EVENTS_DDL
+
+    def simpleStreamReader(self, schema) -> AsanaEventsStreamReader:
+        return AsanaEventsStreamReader(dict(self.options))
+
+
+def register_asana_stream_source(spark) -> None:
+    """Idempotently register the streaming format with this session."""
+    from ..session import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    spark.dataSource.register(AsanaEventsDataSource)

@@ -279,3 +279,37 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
     ).select("user_id", "view_ts", "purchase_ts", "purchase_value")
     return _run_to_memory(joined, "append")
+
+
+def sync_token_source_stream(spark: SparkSession) -> DataFrame:
+    """Drain the asana_events sync-token DataSource (sources/datasource.py)
+    to completion and aggregate the change feed by story type. The offset
+    checkpoint Spark keeps for this source IS the reference's sync token —
+    recovery replays readBetweenOffsets deterministically."""
+    from ..sources.datasource import register_asana_stream_source
+    from ..sources.fixtures import FIXTURES_DIR
+
+    register_asana_stream_source(spark)
+    feed = (
+        spark.readStream.format("asana_events")
+        .option("path", str(FIXTURES_DIR / "stories.ndjson"))
+        .option("batch_lines", "40")  # ten polls per drain: real pagination
+        .load()
+    )
+    # (COUNT(DISTINCT) is unsupported on streams; distinct-task counts
+    # would go through dropDuplicates upstream — see q_stream_dedup.)
+    agg = feed.groupBy("type").agg(F.count("*").alias("n_stories"))
+    # AvailableNow issues a single poll against a simple stream reader; a
+    # sync-token feed drains by polling until no new rows arrive — which is
+    # exactly processAllAvailable() on a running query.
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(name)

@@ -137,3 +137,22 @@ def test_stream_stream_join_equals_batch_join(spark, sf_dir):
     )
     assert len(out) > 0
     assert canonical_rows(out) == canonical_rows(batch)
+
+
+def test_sync_token_source_drains_full_feed(spark, sf_dir):
+    """The asana_events streaming source (7-line polls) must deliver every
+    fixture story exactly once across micro-batches."""
+    from etl_asana_spark import catalog
+    from etl_asana_spark.sources.fixtures import FIXTURES_DIR
+
+    out = catalog.queries()["q_stream_source_sync"](spark, sf_dir)
+    got = {r["type"]: r["n_stories"] for r in out.collect()}
+    import json as _json
+
+    stories = [
+        _json.loads(line)
+        for line in open(FIXTURES_DIR / "stories.ndjson")
+    ]
+    for typ in {s["type"] for s in stories}:
+        assert got[typ] == sum(1 for s in stories if s["type"] == typ)
+    assert sum(got.values()) == len(stories)
