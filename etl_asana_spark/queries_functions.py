@@ -378,3 +378,86 @@ def q_fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(d, F.lit("1970-01-01").cast("date")).alias("epoch_days"),
         )
     )
+
+
+@register(
+    "q_fn_regex",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(regexp_extract(o_orderpriority, '^([0-9])', 1) AS INT) AS prio_num,
+           regexp_extract(o_orderpriority, '-(.+)$', 1) AS prio_word,
+           regexp_replace(o_orderpriority, '[^0-9]', '', 'g') AS digits_only,
+           CAST(len(str_split_regex(o_orderpriority, '[ -]')) AS INT) AS n_tokens,
+           regexp_matches(o_orderpriority, 'URGENT$') AS is_urgent,
+           array_to_string(regexp_extract_all(o_orderpriority, '[A-Z]+'), '|')
+               AS words
+    FROM orders
+    WHERE o_orderkey % 20 = 1
+    """,
+)
+def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family: capture-group extract, global replace,
+    regex split, boolean match, extract-all — stated over the RE2-safe
+    subset (no backreferences/lookaround) so Java regex and DuckDB's RE2
+    agree. All codegen'd JVM string ops, pushdown-friendly."""
+    t = load_tables(spark, sf_dir)
+    p = F.col("o_orderpriority")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 20 == 1)
+        .select(
+            "o_orderkey",
+            F.regexp_extract(p, r"^([0-9])", 1).cast("int").alias("prio_num"),
+            F.regexp_extract(p, r"-(.+)$", 1).alias("prio_word"),
+            F.regexp_replace(p, r"[^0-9]", "").alias("digits_only"),
+            F.size(F.split(p, r"[ -]")).alias("n_tokens"),
+            p.rlike("URGENT$").alias("is_urgent"),
+            F.array_join(F.regexp_extract_all(p, F.lit("[A-Z]+"), 0), "|").alias(
+                "words"
+            ),
+        )
+    )
+
+
+@register(
+    "q_fn_array_setops",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_slice(string_split(text, ' '), 1, 30) AS a,
+               list_slice(string_split(text, ' '), 16, 45) AS b
+        FROM documents
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(list_sort(list_intersect(a, b)), ','), '')
+               AS common,
+           CAST(len(list_distinct(list_concat(a, b))) AS INT) AS n_union,
+           CAST(len(list_filter(list_distinct(a),
+                                x -> NOT list_contains(b, x))) AS INT)
+               AS n_only_a,
+           list_has_any(a, b) AS overlaps
+    FROM d
+    """,
+)
+def q_fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (intersect / union-distinct / except / overlap)
+    over two token windows of each document — the in-row set ops that back
+    shingle overlap and tag comparison without exploding rows. Set results
+    are sorted then joined to a string: both engines agree on membership,
+    not on internal order, so ordering is pinned before comparison."""
+    t = load_tables(spark, sf_dir)
+    ws = F.split("text", " ")
+    d = t["documents"].select(
+        "doc_id",
+        F.slice(ws, 1, 30).alias("a"),
+        F.slice(ws, 16, 30).alias("b"),
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_intersect("a", "b")), ",").alias(
+            "common"
+        ),
+        F.size(F.array_union("a", "b")).alias("n_union"),
+        F.size(F.array_except("a", "b")).alias("n_only_a"),
+        F.arrays_overlap("a", "b").alias("overlaps"),
+    )
