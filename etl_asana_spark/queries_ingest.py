@@ -614,3 +614,56 @@ def q_source_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             "num_likes",
         )
     )
+
+
+@register(
+    "q_load_store_sink",
+    oracle=f"""
+    WITH unioned AS (
+        SELECT gid, name, modified_at, completed FROM {_read_json(_B1)}
+        UNION ALL
+        SELECT gid, name, modified_at, completed FROM {_read_json(_B2)}
+    ), ranked AS (
+        SELECT gid, name, modified_at, completed,
+               row_number() OVER (PARTITION BY gid ORDER BY modified_at DESC) AS rn
+        FROM unioned
+    )
+    SELECT gid, name, CAST(modified_at AS TIMESTAMP) AS modified_ts, completed
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_load_store_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#9/R3 as a custom Python DataSourceWriter: both sync batches written
+    through the ``asana_store`` sink (staged part files → all-or-nothing
+    driver commit → atomic rename; see sources/datasource.py), then the
+    store read back. The oracle is the relational upsert the sink's
+    commit must equal — two sequential loads ≡ one windowed
+    last-modified-wins merge."""
+    import tempfile
+
+    from .sources.datasource import register_asana_store
+
+    register_asana_store(spark)
+    store = tempfile.mkdtemp(prefix="asana_store_") + "/tasks.ndjson"
+    cols = ["gid", "name", "modified_at", "completed"]
+    for batch in (_B1, _B2):
+        (
+            asana.read_tasks(spark, batch)
+            .select(*cols)
+            .write.format("asana_store")
+            .option("path", store)
+            .mode("append")
+            .save()
+        )
+    return (
+        spark.read.schema(
+            "gid string, name string, modified_at string, completed boolean"
+        )
+        .json(store)
+        .select(
+            "gid",
+            "name",
+            F.to_timestamp("modified_at").alias("modified_ts"),
+            "completed",
+        )
+    )

@@ -34,8 +34,10 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     Filter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 #: Flat projection of the task resource this source serves (nested detail
@@ -198,3 +200,101 @@ def register_asana_stream_source(spark) -> None:
 
     ensure_engine_confs(spark)
     spark.dataSource.register(AsanaEventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# The load side: a transactional upsert SINK (R3) as a Python DataSourceWriter
+# ---------------------------------------------------------------------------
+
+STORE_DDL = "gid string, name string, modified_at string, completed boolean"
+
+
+@dataclass
+class _Staged(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class AsanaStoreWriter(DataSourceWriter):
+    """Last-modified-wins upsert store with staged, atomic commits.
+
+    Spark's writer contract maps exactly onto the reference's load stage,
+    with the transactionality the reference lacked: each task ``write()``s
+    its partition to a private staging file and reports it in a commit
+    message; only the driver-side ``commit()`` — which runs iff every task
+    succeeded — merges staging with the existing store (newest
+    ``modified_at`` per gid wins; a tie keeps the incoming row) and
+    ``os.replace``s it into place atomically. ``abort()`` deletes staging,
+    leaving the store untouched: a half-failed load can never corrupt
+    state. Speculative/retried tasks are safe — duplicate staged rows
+    collapse in the same upsert.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+        self.stage_dir = self.path + ".staging"
+
+    def write(self, iterator) -> _Staged:
+        import os
+        import uuid as _uuid
+
+        os.makedirs(self.stage_dir, exist_ok=True)
+        part = f"{self.stage_dir}/part-{_uuid.uuid4().hex}.ndjson"
+        n = 0
+        with open(part, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _Staged(part, n)
+
+    def commit(self, messages) -> None:
+        import glob
+        import os
+
+        store: dict[str, dict] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as fh:
+                for line in fh:
+                    t = json.loads(line)
+                    store[t["gid"]] = t
+        for m in messages:
+            with open(m.path) as fh:
+                for line in fh:
+                    t = json.loads(line)
+                    cur = store.get(t["gid"])
+                    if cur is None or t["modified_at"] >= cur["modified_at"]:
+                        store[t["gid"]] = t
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as fh:
+            for gid in sorted(store):
+                fh.write(json.dumps(store[gid]) + "\n")
+        os.replace(tmp, self.path)
+        for p in glob.glob(f"{self.stage_dir}/part-*.ndjson"):
+            os.unlink(p)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if os.path.exists(m.path):
+                os.unlink(m.path)
+
+
+class AsanaStoreDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "asana_store"
+
+    def schema(self) -> str:
+        return STORE_DDL
+
+    def writer(self, schema, overwrite: bool) -> AsanaStoreWriter:
+        return AsanaStoreWriter(dict(self.options))
+
+
+def register_asana_store(spark) -> None:
+    """Idempotently register the upsert-store sink with this session."""
+    from ..session import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    spark.dataSource.register(AsanaStoreDataSource)

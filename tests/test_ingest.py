@@ -143,3 +143,25 @@ def test_python_datasource_pages_and_pushdown(spark, sf_dir):
         asana.read_tasks(spark, _B1).filter("completed = false").count()
     )
     assert df.count() == expected
+
+
+def test_store_sink_replay_idempotent(spark, sf_dir):
+    """Re-loading the same batch through the asana_store sink must be a
+    no-op: upsert semantics make retried/replayed loads safe."""
+    import tempfile
+
+    from etl_asana_spark.queries_ingest import _B1
+    from etl_asana_spark.sources import asana
+    from etl_asana_spark.sources.datasource import register_asana_store
+
+    register_asana_store(spark)
+    store = tempfile.mkdtemp(prefix="asana_store_") + "/tasks.ndjson"
+    cols = ["gid", "name", "modified_at", "completed"]
+    df = asana.read_tasks(spark, _B1).select(*cols)
+    for _ in range(2):
+        df.write.format("asana_store").option("path", store).mode("append").save()
+    stored = spark.read.schema(
+        "gid string, name string, modified_at string, completed boolean"
+    ).json(store)
+    assert stored.count() == df.count()
+    assert stored.exceptAll(df).isEmpty() and df.exceptAll(stored).isEmpty()
