@@ -461,3 +461,29 @@ def q_fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_except("a", "b")).alias("n_only_a"),
         F.arrays_overlap("a", "b").alias("overlaps"),
     )
+
+
+@register("q_fn_variant")
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VariantType: ``parse_json`` the events.props payload into the
+    binary semi-structured type and extract typed paths with
+    ``variant_get`` — the open-schema JSON path that skips per-query schema
+    declaration (vs #50's ``from_json``). Rows-only: DuckDB 1.0 has no
+    variant; equivalence with the schema-declared extraction is
+    property-tested in tests/test_udx_extra.py.
+
+    (Probe note: Spark 4's other headline semi-structured API,
+    ``transformWithStateInPandas``, is unavailable in this container — its
+    driver worker needs google.protobuf — so custom stateful streaming
+    stays on applyInPandasWithState; see streaming/jobs.py.)
+    """
+    t = load_tables(spark, sf_dir)
+    v = F.parse_json("props")
+    return t["events"].select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.schema_of_variant(v).alias("inferred_schema"),
+        F.is_variant_null(F.try_parse_json(F.lit("not json"))).alias(
+            "bad_parse_is_null"
+        ),
+    )

@@ -31,3 +31,18 @@ def test_ema_matches_pure_python_recurrence(spark, sf_dir):
     }
     assert set(got) == set(expect)
     assert all(abs(got[k] - expect[k]) < 1e-9 for k in expect)
+
+
+def test_variant_extract_equals_schema_declared_path(spark, sf_dir):
+    """variant_get('$.k') must agree with get_json_object + cast for every
+    event row."""
+    from etl_asana_spark import catalog
+
+    df = catalog.queries()["q_fn_variant"](spark, sf_dir)
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_classic"),
+    )
+    j = df.join(ev, "event_id")
+    assert j.filter("k_int IS DISTINCT FROM k_classic").count() == 0
+    assert df.filter("inferred_schema != 'OBJECT<k: BIGINT>'").count() == 0
