@@ -164,3 +164,24 @@ def test_weighted_sample_is_take_ordered(spark, sf_dir):
     s = _summary(spark, "q_sample_weighted", sf_dir)
     assert s.has_take_ordered
     assert s.n_exchanges <= 1
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    """BM25 top-20 must be TakeOrderedAndProject — never a global sort of
+    the scored corpus."""
+    s = _summary(spark, "q_text_bm25", sf_dir)
+    assert s.has_take_ordered
+    assert s.n_cartesian == 0
+
+
+def test_bitmap_distinct_rollup_shuffles_shrink(spark, sf_dir):
+    """daily (week,day,chunk) → weekly (week,chunk) → week is three
+    exchanges by necessity (coarsening keys can't reuse a finer hash
+    partitioning), but only the FIRST moves row-scale data — the merges
+    carry one long per bitmap. Pin the shape: three exchanges, and every
+    aggregate pair is partial+final (map-side combine before each)."""
+    s = _summary(spark, "q_agg_bitmap_distinct", sf_dir)
+    assert s.n_exchanges == 3, s
+    df = catalog.queries()["q_agg_bitmap_distinct"](spark, sf_dir)
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert text.count("partial_bit_or") == 2 and "partial_sum" in text
