@@ -342,3 +342,134 @@ def dedup_clusters(
         )
         .withColumn("is_canonical", F.col(id_col) == F.min(id_col).over(Window.partitionBy("cluster_id")))
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT Jaccard pairs via prefix filtering (the ssjoin family:
+    AllPairs/PPJoin's length-independent prefix) — same answer as
+    :func:`ngram_jaccard_pairs`, far fewer candidates.
+
+    If J(A,B) ≥ t then |A∩B| ≥ t·|A|, so B must hit one of A's
+    (|A| − ⌈t·|A|⌉ + 1) globally RAREST shingles — the prefix. Shingles are
+    ranked by corpus document frequency (ties by shingle text: total,
+    deterministic order on both sides of the join); only the prefix of the
+    smaller-id doc joins against full shingle sets, and each surviving
+    candidate pair is verified with an exact intersection count. Blocking
+    on every shared shingle (the naive scheme) pairs docs through their
+    COMMONEST shingle; prefix filtering pairs them only through rare ones —
+    at corpus scale that is the difference between the candidate join
+    exploding on stop-shingles and staying near-linear. Candidate-count
+    reduction is asserted in tests/test_llm_ops.py; the result itself is
+    oracle-identical to the brute-force form.
+    """
+    from .text import shingles
+
+    sh = (
+        docs.select(id_col, F.split(F.col(text_col), r"\s+").alias("toks"))
+        .select(id_col, F.explode(shingles("toks", n)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "sh")
+    ranked = (
+        sh.join(freq, "sh")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select(id_col, "sh")
+
+    cand = (
+        prefix.alias("p")
+        .join(
+            sh.alias("f"),
+            (F.col("p.sh") == F.col("f.sh"))
+            & (F.col(f"p.{id_col}") < F.col(f"f.{id_col}")),
+        )
+        .select(
+            F.col(f"p.{id_col}").alias("doc_a"), F.col(f"f.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    # Exact verification: count |A∩B| for candidates only.
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def candidate_pair_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> tuple[int, int]:
+    """(prefix-filter candidates, shared-shingle-blocking candidates) — the
+    pruning measurement behind prefix_filter_jaccard_pairs' claim."""
+    from .text import shingles
+
+    sh = (
+        docs.select(id_col, F.split(F.col(text_col), r"\s+").alias("toks"))
+        .select(id_col, F.explode(shingles("toks", n)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "sh")
+    ranked = sh.join(freq, "sh").withColumn("rn", F.row_number().over(w)).join(
+        sizes, id_col
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select(id_col, "sh")
+    a, b = sh.alias("a"), sh.alias("b")
+    blocked = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+        .distinct()
+        .count()
+    )
+    pref = (
+        prefix.alias("p")
+        .join(
+            sh.alias("f"),
+            (F.col("p.sh") == F.col("f.sh"))
+            & (F.col(f"p.{id_col}") < F.col(f"f.{id_col}")),
+        )
+        .select(F.col(f"p.{id_col}"), F.col(f"f.{id_col}"))
+        .distinct()
+        .count()
+    )
+    return pref, blocked

@@ -1190,3 +1190,44 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "q_dedup_prefix",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE lang = 'fr'
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, unnest(
+            [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             FOR i IN generate_series(1, len(t) - 2)]
+        ) AS s
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.2
+    """,
+)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard pairs (ssjoin): identical answer set to
+    q_dedup_ngram's shared-shingle blocking — the brute-force SQL IS the
+    oracle — but candidates come only from each doc's rarest shingles
+    (operators/dedup.prefix_filter_jaccard_pairs), the formulation that
+    stays near-linear when common shingles would blow the blocking join up
+    at corpus scale."""
+    t = load_tables(spark, sf_dir)
+    return dedup.prefix_filter_jaccard_pairs(
+        t["documents"].filter(F.col("lang") == "fr"), n=3, threshold=0.2
+    )

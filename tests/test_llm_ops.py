@@ -340,3 +340,14 @@ def test_kmeans_full_assignment_and_monotone_inertia(spark, sf_dir):
     ]
     assert inertia[1] <= inertia[0] * (1 + 1e-9)
     assert inertia[2] <= inertia[1] * (1 + 1e-9)
+
+
+def test_prefix_filter_prunes_candidates_same_answer(spark, sf_dir):
+    """Prefix filtering must (a) generate strictly fewer candidate pairs
+    than shared-shingle blocking and (b) return the identical pair set."""
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("lang") == "fr")
+    pref, blocked = dedup.candidate_pair_counts(docs, n=3, threshold=0.2)
+    assert pref < blocked, (pref, blocked)
+    a = dedup.prefix_filter_jaccard_pairs(docs, n=3, threshold=0.2)
+    b = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
