@@ -667,3 +667,34 @@ def q_load_store_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "completed",
         )
     )
+
+
+@register(
+    "q_golden_board",
+    oracle=f"""
+    SELECT m.project.gid AS project_gid,
+           m.section.name AS section_name,
+           COUNT(*) AS n_tasks,
+           CAST(SUM(CASE WHEN t.completed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_done,
+           round(CAST(SUM(CASE WHEN t.completed THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS pct_done
+    FROM {_read_json(_B1)} t, unnest(t.memberships) AS u(m)
+    GROUP BY m.project.gid, m.section.name
+    """,
+)
+def q_golden_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asana board rollup: tasks and completion rate per (project, section)
+    column — the kanban summary every board header shows. Memberships
+    explode inside the scan stage (generator, no shuffle), one grouped
+    aggregate with map-side partials on the bridge rows."""
+    tasks = asana.read_tasks(spark, _B1)
+    bridge = asana.flatten_memberships(tasks).join(
+        tasks.select(F.col("gid").alias("task_gid"), "completed"), "task_gid"
+    )
+    done = F.sum(F.when(F.col("completed"), 1).otherwise(0))
+    return bridge.groupBy("project_gid", "section_name").agg(
+        F.count("*").alias("n_tasks"),
+        done.cast("long").alias("n_done"),
+        F.round(done.cast("double") / F.count("*"), 6).alias("pct_done"),
+    )
