@@ -471,3 +471,45 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.col("q") * F.col("b.n") - F.col("b.cum_prev")) / F.col("b.cnt")
     )
     return hit.select("q", F.round(est, 6).alias("estimate")).orderBy("q")
+
+
+def observed_quality_gate(df: DataFrame):
+    """Attach single-pass data-quality metrics to a passthrough plan.
+
+    ``df.observe`` accumulates metric expressions inside the SAME scan that
+    serves the query — a 100 TB pipeline gets row counts, violation counts
+    and value totals for free, instead of a second full pass (or worse, a
+    ``count()`` per check). Returns (gated_df, observation); the metrics
+    materialize when the caller's action runs.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("quality_gate")
+    gated = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_quantity") <= 0).alias("n_nonpositive_qty"),
+        F.count_if(F.col("l_extendedprice").isNull()).alias("n_null_price"),
+    )
+    return gated, obs
+
+
+@register(
+    "q_observe_gate",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    """,
+)
+def q_observe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability without a second scan: the filter's result rows are
+    the query output, while quality counters ride the same pass via
+    ``df.observe`` (asserted in tests/test_metrics.py). The oracle checks
+    the passthrough is untouched by the observation."""
+    t = load_tables(spark, sf_dir)
+    gated, _obs = observed_quality_gate(
+        t["lineitem"].filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+    )
+    return gated.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
