@@ -495,3 +495,191 @@ def q_golden_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
     )
+
+
+@register(
+    "q_golden_important_parts",
+    oracle=f"""
+    WITH per_part AS (
+        SELECT l_partkey AS partkey, {sql_dsum(_REV)} AS value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+    )
+    SELECT partkey, value
+    FROM per_part
+    WHERE value > (SELECT 0.001 * {sql_dsum('value')} FROM per_part)
+    """,
+)
+def q_golden_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's shipped value — a grouped aggregate filtered against a scalar
+    fraction of its own total. No partsupp table, so lineitem⋈supplier is
+    the part-supplier link and revenue is the value measure. The total is
+    re-aggregated FROM the per-part result (dsum over exact k/1e6 values
+    reconstructs the unit counts, so two-level == one-level exactly — no
+    second scan of the fact), then broadcast back as a 1-row threshold."""
+    t = load_tables(spark, sf_dir)
+    nation_supp = (
+        t["supplier"]
+        .join(t["nation"].filter(F.col("n_name") == "NATION_3"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    per_part = (
+        t["lineitem"]
+        .join(F.broadcast(nation_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(dsum(_rev()).alias("value"))
+    )
+    thresh = per_part.agg((F.lit(0.001) * dsum("value")).alias("cutoff"))
+    return (
+        per_part.join(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("cutoff"))
+        .select("partkey", "value")
+    )
+
+
+@register(
+    "q_golden_shipmode_priority",
+    oracle="""
+    SELECT year(l_shipdate) AS ship_year,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate > o_orderdate
+    GROUP BY year(l_shipdate)
+    """,
+)
+def q_golden_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: order-priority class counts per shipping period — a
+    fact⋈fact equi-join with a cross-table residual (shipped strictly after
+    ordered; the schema has no commit/receipt dates) feeding conditional
+    integer aggregation. Ship year stands in for shipmode as the group key.
+    The date range pushes to the lineitem scan; counts are exact integers
+    so no fixed-point guard is needed."""
+    t = load_tables(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("1999-01-01 00:00:00"))
+        )
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_golden_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 28, 33)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_golden_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can ship each surviving
+    (brand, type, size) combination, excluding a supplier blacklist (NOT IN
+    — negative-balance suppliers stand in for the complaints subquery).
+    lineitem is the part-supplier link. Plan: blacklist anti-join and the
+    filtered part dim both broadcast, so the only shuffle is the distinct
+    aggregation itself (Spark's two-phase expand handles COUNT DISTINCT)."""
+    t = load_tables(spark, sf_dir)
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 28, 33))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_golden_promo_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l1.l_suppkey
+        FROM lineitem l1
+        JOIN part ON p_partkey = l1.l_partkey
+        WHERE p_type LIKE 'PROMO%'
+          AND l1.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l1.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l1.l_partkey, l1.l_suppkey
+        HAVING SUM(l1.l_quantity) > 0.25 * (
+            SELECT SUM(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey AND l2.l_suppkey = l1.l_suppkey)
+    )
+    """,
+)
+def q_golden_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers with excess stock of promotable parts —
+    an IN subquery whose HAVING clause carries a correlated scalar subquery
+    against the same fact (1997 shipped quantity > 25% of the pair's
+    all-time quantity; availqty has no column here so the all-time total is
+    the stock proxy). Decorrelated the way Catalyst would: two grouped
+    aggregates over lineitem joined on the (part, supplier) pair, then a
+    semi-join into supplier. Quantity sums are integer-valued doubles
+    (exact below 2^53) and 0.25 is a power of two, so the `>` boundary
+    cannot flip between engines."""
+    t = load_tables(spark, sf_dir)
+    promo = t["part"].filter(F.col("p_type").like("PROMO%")).select("p_partkey")
+    recent = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+        )
+        .join(F.broadcast(promo), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty_1997"))
+    )
+    alltime = (
+        t["lineitem"]
+        .groupBy(
+            F.col("l_partkey").alias("a_partkey"),
+            F.col("l_suppkey").alias("a_suppkey"),
+        )
+        .agg(F.sum("l_quantity").alias("qty_all"))
+    )
+    qualifying = (
+        recent.join(
+            alltime,
+            (F.col("l_partkey") == F.col("a_partkey"))
+            & (F.col("l_suppkey") == F.col("a_suppkey")),
+        )
+        .filter(F.col("qty_1997") > F.lit(0.25) * F.col("qty_all"))
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )

@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import register
-from .functions.parity import davg, sql_davg
+from .functions.parity import davg, dsum, sql_davg, sql_dsum
+from .registry import load_tables
 from .sources import asana
 from .sources.fixtures import FIXTURES_DIR, N_TASKS, ensure_fixtures
 
@@ -697,4 +698,48 @@ def q_golden_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tasks"),
         done.cast("long").alias("n_done"),
         F.round(done.cast("double") / F.count("*"), 6).alias("pct_done"),
+    )
+
+
+@register(
+    "q_ingest_orc",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders, {{dsum_total}} AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderstatus, o_orderpriority
+    """.format(dsum_total=sql_dsum("o_totalprice")),
+)
+def q_ingest_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink roundtrip: one year of orders written to ORC
+    partitioned by o_orderstatus, read back through Spark's vectorized ORC
+    reader, then aggregated. The oracle runs the same aggregate on the
+    original parquet view, so the SQL hash-check proves the roundtrip is
+    lossless (timestamps, doubles, partition-column recovery) — DuckDB
+    cannot read ORC itself. partitionBy on the low-cardinality status key
+    is the 100 TB layout: status predicates become directory pruning, and
+    the year filter still pushes into each ORC stripe's min/max index."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="orc_roundtrip_") + "/orders_orc"
+    (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .orc(path)
+    )
+    return (
+        spark.read.orc(path)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
     )

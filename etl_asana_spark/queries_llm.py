@@ -1231,3 +1231,65 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_filter_jaccard_pairs(
         t["documents"].filter(F.col("lang") == "fr"), n=3, threshold=0.2
     )
+
+
+@register(
+    "q_text_perplexity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    bg AS (
+        SELECT doc_id, w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+    ),
+    counts AS (
+        SELECT w1, w2, COUNT(*) AS n FROM bg WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ),
+    probs AS (
+        SELECT w1, w2,
+               CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE)
+                   AS p
+        FROM counts
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(ln(p)), 4) AS avg_logp
+    FROM bg
+    JOIN probs USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM perplexity scoring (CCNet-style quality filter): each doc's
+    mean log-probability under the corpus-wide bigram model — the standard
+    signal for dropping gibberish / boilerplate before training. Two
+    aggregations over the same generator-produced bigram stream: (1) global
+    (w1,w2) counts + w1-marginal window → transition probabilities; (2) the
+    per-doc average of ln(p) over the doc's own bigrams. The probability
+    table is vocabulary-sized (tiny at any corpus scale), so it broadcasts
+    and the scoring join never shuffles the corpus; the only wide exchange
+    is the per-doc aggregation. ln() low bits differ across libm builds, so
+    the score is rounded to 4 places on both engines (SURVEY §5.2)."""
+    t = load_tables(spark, sf_dir)
+    ws = F.split("text", " ")
+    n1 = F.greatest(F.size(ws) - F.lit(1), F.lit(0))
+    pairs = F.arrays_zip(F.slice(ws, 1, n1), F.slice(ws, 2, n1))
+    bg = (
+        t["documents"]
+        .select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", F.col("bg")["0"].alias("w1"), F.col("bg")["1"].alias("w2"))
+    )
+    counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    probs = counts.withColumn(
+        "p",
+        F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("w1")).cast("double"),
+    ).select("w1", "w2", "p")
+    return (
+        bg.join(F.broadcast(probs), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log("p")), 4).alias("avg_logp"),
+        )
+    )

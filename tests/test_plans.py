@@ -185,3 +185,29 @@ def test_bitmap_distinct_rollup_shuffles_shrink(spark, sf_dir):
     df = catalog.queries()["q_agg_bitmap_distinct"](spark, sf_dir)
     text = df._jdf.queryExecution().executedPlan().toString()
     assert text.count("partial_bit_or") == 2 and "partial_sum" in text
+
+
+def test_supplier_variety_broadcasts_blacklist_and_parts(spark, sf_dir):
+    """Q16 shape: the NOT-IN blacklist plans as a broadcast anti join and
+    the filtered part dim broadcasts — the fact is never shuffled by a join
+    key, only by the distinct-count aggregation."""
+    s = _summary(spark, "q_golden_supplier_variety", sf_dir)
+    assert s.n_broadcast_joins == 2
+    assert s.n_sortmerge_joins == 0
+
+
+def test_important_parts_threshold_is_broadcast(spark, sf_dir):
+    """Q11 shape: the scalar 0.1% cutoff joins back as a 1-row broadcast —
+    no second scan of the fact and no nested-loop anywhere."""
+    s = _summary(spark, "q_golden_important_parts", sf_dir)
+    assert s.n_broadcast_joins >= 2  # nation-supplier dim + threshold row
+    assert s.n_cartesian == 0
+
+
+def test_perplexity_prob_table_is_broadcast(spark, sf_dir):
+    """The bigram-probability table is vocabulary-sized; scoring must join
+    it broadcast so the corpus-side bigram stream is never shuffled by
+    (w1, w2)."""
+    s = _summary(spark, "q_text_perplexity", sf_dir)
+    assert s.n_broadcast_joins >= 1
+    assert s.n_sortmerge_joins == 0
