@@ -445,3 +445,99 @@ def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", F.col("n").cast("long").alias("n_events"),
                 F.round("z_raw", 6).alias("z"))
     )
+
+
+@register(
+    "q_audit_constraints",
+    oracle="""
+    SELECT 'customer_pk' AS check_name,
+           COUNT(*) - COUNT(DISTINCT c_custkey) AS violations FROM customer
+    UNION ALL
+    SELECT 'orders_pk', COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'lineitem_pk',
+           COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+    UNION ALL
+    SELECT 'part_pk', COUNT(*) - COUNT(DISTINCT p_partkey) FROM part
+    UNION ALL
+    SELECT 'orders_customer_fk', COUNT(*) FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'lineitem_orders_fk', COUNT(*) FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'lineitem_part_fk', COUNT(*) FROM lineitem
+    WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+    UNION ALL
+    SELECT 'lineitem_supplier_fk', COUNT(*) FROM lineitem
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_nation_fk', COUNT(*) FROM customer
+    WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+    UNION ALL
+    SELECT 'nation_region_fk', COUNT(*) FROM nation
+    WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)
+    UNION ALL
+    SELECT 'orders_orderdate_not_null', COUNT(*) FROM orders
+    WHERE o_orderdate IS NULL
+    UNION ALL
+    SELECT 'lineitem_qty_positive', COUNT(*) FROM lineitem
+    WHERE l_quantity <= 0
+    """,
+)
+def q_audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse constraint audit (the dbt-test / Deequ primitive): PK
+    uniqueness, FK orphan counts, NOT NULL and domain checks across the
+    star schema, one violation count per named check. Every FK probe plans
+    as an anti join — broadcast when the referenced key set is a bounded dim, shuffle for fact-sized parents; PK
+    checks are single-pass COUNT vs COUNT DISTINCT; each check is a
+    one-row aggregate so the union is free. This is the gate a 100 TB
+    ingest runs before publishing a snapshot — all scans are key-column
+    pruned and fully parallel, nothing ever collects raw rows."""
+    t = load_tables(spark, sf_dir)
+
+    def pk(name: str, tbl: str, *keys: str) -> DataFrame:
+        return t[tbl].agg(
+            F.lit(name).alias("check_name"),
+            (F.count(F.lit(1)) - F.countDistinct(*keys)).alias("violations"),
+        )
+
+    def fk(
+        name: str, child: str, ckey: str, parent: str, pkey: str,
+        broadcast_parent: bool = True,
+    ) -> DataFrame:
+        keys = t[parent].select(pkey)
+        if broadcast_parent:
+            keys = F.broadcast(keys)
+        orphans = t[child].join(keys, F.col(ckey) == F.col(pkey), "left_anti")
+        return orphans.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("violations"),
+        )
+
+    def cond(name: str, tbl: str, bad) -> DataFrame:
+        return t[tbl].filter(bad).agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("violations"),
+        )
+
+    checks = [
+        pk("customer_pk", "customer", "c_custkey"),
+        pk("orders_pk", "orders", "o_orderkey"),
+        pk("lineitem_pk", "lineitem", "l_orderkey", "l_linenumber"),
+        pk("part_pk", "part", "p_partkey"),
+        fk("orders_customer_fk", "orders", "o_custkey", "customer", "c_custkey"),
+        # orders is fact-sized: a shuffle anti join, never a broadcast, at scale
+        fk("lineitem_orders_fk", "lineitem", "l_orderkey", "orders",
+           "o_orderkey", broadcast_parent=False),
+        fk("lineitem_part_fk", "lineitem", "l_partkey", "part", "p_partkey"),
+        fk("lineitem_supplier_fk", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        fk("customer_nation_fk", "customer", "c_nationkey", "nation", "n_nationkey"),
+        fk("nation_region_fk", "nation", "n_regionkey", "region", "r_regionkey"),
+        cond("orders_orderdate_not_null", "orders", F.col("o_orderdate").isNull()),
+        cond("lineitem_qty_positive", "lineitem", F.col("l_quantity") <= 0),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out

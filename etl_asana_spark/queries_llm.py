@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import register
+from .functions import vector
 from .operators import dedup, multimodal, similarity, text
 from .registry import load_tables
 
@@ -1082,7 +1083,9 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 _BM25_TERMS = ("join", "scan", "filter")
 
 
-def _bm25_oracle() -> str:
+def _bm25_cte_sql() -> str:
+    """The shared DuckDB CTE body scoring every matching doc (round 9) —
+    used by the q_text_bm25 oracle and as the lexical leg of q_hybrid_rrf."""
     t1, t2, t3 = _BM25_TERMS
     scores = []
     for i, term in enumerate(_BM25_TERMS, start=1):
@@ -1118,30 +1121,26 @@ def _bm25_oracle() -> str:
                CAST(COUNT(DISTINCT CASE WHEN w = '{t2}' THEN doc_id END) AS DOUBLE) AS df2,
                CAST(COUNT(DISTINCT CASE WHEN w = '{t3}' THEN doc_id END) AS DOUBLE) AS df3
         FROM toks WHERE w IN ('{t1}', '{t2}', '{t3}')
-    )
-    SELECT tf.doc_id,
-           round((({scores[0]}) + ({scores[1]})) + ({scores[2]}), 9) AS bm25
-    FROM tf JOIN d USING (doc_id), stats, dfs
-    ORDER BY bm25 DESC, tf.doc_id
+    ),
+    lex AS (
+        SELECT tf.doc_id,
+               round((({scores[0]}) + ({scores[1]})) + ({scores[2]}), 9) AS bm25
+        FROM tf JOIN d USING (doc_id), stats, dfs
+    )"""
+
+
+def _bm25_oracle() -> str:
+    return f"""{_bm25_cte_sql()}
+    SELECT doc_id, bm25
+    FROM lex
+    ORDER BY bm25 DESC, doc_id
     LIMIT 20
     """
 
 
-@register("q_text_bm25", oracle=_bm25_oracle())
-def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 retrieval scoring — the classic lexical ranker, fully relational.
-
-    One explode+filter keeps only query-term tokens (map-side, before any
-    shuffle), one groupBy(doc_id) builds per-term tfs as CONDITIONAL sums
-    (terms become fixed columns, so the final score adds three doubles in a
-    pinned order — no shuffle-order float drift), and the corpus constants
-    (N, avgdl, per-term df) ride in on a broadcast single-row join. Scores
-    round to 9 dp on both engines to absorb libm ln's last-ulp wiggle. At
-    100 TB: the token shuffle carries only matching terms, df/avgdl are
-    re-aggregatable partials, and top-20 is TakeOrderedAndProject.
-    """
-    t1, t2, t3 = _BM25_TERMS
-    t = load_tables(spark, sf_dir)
+def _bm25_scored(t: dict[str, DataFrame]) -> DataFrame:
+    """Every query-term-matching doc with its BM25 score (rounded 9) —
+    Spark twin of ``_bm25_cte_sql``'s ``lex`` CTE."""
     d = t["documents"].select(
         "doc_id",
         F.size(F.split("text", " ")).cast("double").alias("dl"),
@@ -1187,6 +1186,24 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(dfs))
         .select("doc_id", F.round(score, 9).alias("bm25"))
+    )
+
+
+@register("q_text_bm25", oracle=_bm25_oracle())
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring — the classic lexical ranker, fully relational.
+
+    One explode+filter keeps only query-term tokens (map-side, before any
+    shuffle), one groupBy(doc_id) builds per-term tfs as CONDITIONAL sums
+    (terms become fixed columns, so the final score adds three doubles in a
+    pinned order — no shuffle-order float drift), and the corpus constants
+    (N, avgdl, per-term df) ride in on a broadcast single-row join. Scores
+    round to 9 dp on both engines to absorb libm ln's last-ulp wiggle. At
+    100 TB: the token shuffle carries only matching terms, df/avgdl are
+    re-aggregatable partials, and top-20 is TakeOrderedAndProject.
+    """
+    return (
+        _bm25_scored(load_tables(spark, sf_dir))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
@@ -1292,4 +1309,96 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_bigrams"),
             F.round(F.avg(F.log("p")), 4).alias("avg_logp"),
         )
+    )
+
+
+@register(
+    "q_hybrid_rrf",
+    oracle=f"""{_bm25_cte_sql()},
+    lexr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        FROM lex
+    ),
+    sem AS (
+        SELECT e.vec_id AS doc_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.qv AS DOUBLE[])), 8) AS cos
+        FROM embeddings e
+        JOIN documents dd ON dd.doc_id = e.vec_id,
+             (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+    ),
+    semr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+        FROM sem
+    )
+    SELECT doc_id,
+           CAST(lex_rank AS DOUBLE) AS lex_rank,
+           CAST(sem_rank AS DOUBLE) AS sem_rank,
+           ROUND(COALESCE(1.0 / (60 + lex_rank), 0.0)
+                 + COALESCE(1.0 / (60 + sem_rank), 0.0), 9) AS rrf
+    FROM (SELECT * FROM lexr WHERE lex_rank <= 100) l
+    FULL JOIN (SELECT * FROM semr WHERE sem_rank <= 100) s USING (doc_id)
+    ORDER BY rrf DESC, doc_id
+    LIMIT 15
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (the standard RAG-stack
+    combiner): the BM25 lexical list and the embedding-cosine semantic list
+    (query = vec 0) are each ranked top-100, then fused with
+    RRF(d) = Σ 1/(60 + rank_i(d)) and the top 15 returned.
+
+    Ranks are computed on ROUNDED scores (9 dp lexical, 8 dp semantic) with
+    doc_id tie-breaks, so rank assignment — and therefore the fused set —
+    is bit-independent of either engine's float low bits. Each leg takes its top-100 via TakeOrderedAndProject (partial per-partition
+    top-k, no full sort) so the global rank window only ever sees 100 rows; the
+    fusion join is rank-list-sized, broadcast on both sides. At 100 TB the
+    candidate lists come from the inverted-index / ANN paths
+    (q_text_inverted_index, q_sim_ann) and fusion cost is unchanged —
+    RRF only ever touches the top-k lists."""
+    t = load_tables(spark, sf_dir)
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lexr = (
+        _bm25_scored(t)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(100)  # TakeOrderedAndProject: the rank window sees <= 100 rows
+        .withColumn("lex_rank", F.row_number().over(w_lex))
+        .select("doc_id", "lex_rank")
+    )
+    q = t["embeddings"].filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    sem = (
+        t["embeddings"]
+        .join(t["documents"].select("doc_id"), F.col("vec_id") == F.col("doc_id"), "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(vector.cosine("embedding", "qv"), 8).alias("cos"),
+        )
+    )
+    w_sem = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    semr = (
+        sem.orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(100)
+        .withColumn("sem_rank", F.row_number().over(w_sem))
+        .select("doc_id", "sem_rank")
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("sem_rank")), F.lit(0.0)),
+        9,
+    )
+    return (
+        lexr.join(semr, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.col("lex_rank").cast("double").alias("lex_rank"),
+            F.col("sem_rank").cast("double").alias("sem_rank"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(15)
     )
