@@ -1,0 +1,86 @@
+"""Iterative graph algorithms as DataFrame fixpoints (Pregel-style).
+
+Reference parity: no graph operators exist in the reference (empty snapshot,
+SURVEY §0); this extends the north-star analytics surface the same way
+q_dedup_clusters (connected components) and q_emb_kmeans (Lloyd iterations)
+do — message-passing expressed as join + groupBy per superstep.
+
+Scale notes (100 TB): each PageRank iteration is exactly one shuffle (the
+contribution aggregation by dst); the edges⋈ranks join reuses the edge
+table's src partitioning, and the rank vector (one double per vertex) is
+orders of magnitude smaller than the edge set, so iterations never touch
+the raw fact again after the first projection. Dangling-node mass is
+redistributed uniformly each superstep via a 1-row broadcast, keeping the
+total rank mass at exactly 1 — no driver-side collect anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+#: Truncate plan lineage every N supersteps: without this, each iteration
+#: nests the previous plan and Catalyst analysis goes super-linear — the
+#: classic iterative-DataFrame failure mode (and at cluster scale the same
+#: checkpoint bounds recovery cost after executor loss).
+_CHECKPOINT_EVERY = 2
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a directed edge list ``(src, dst)``.
+
+    Returns ``(id, rank)`` after ``iterations`` synchronous supersteps from
+    a uniform start. Parallel edges are legal and count once each (a node
+    linking twice sends twice the weight, matching the multigraph reading).
+    """
+    edges = edges.select("src", "dst")
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("outdeg")
+    )
+    # Degree rides with the rank vector so the per-iteration join is a
+    # single (ranks ⋈ edges) hash join on src; dangling nodes keep NULL.
+    base = vertices.join(outdeg, "id", "left")
+    n = base.count()  # scalar graph size: metadata, not data, on the driver
+    ranks = base.withColumn("rank", F.lit(1.0 / n))
+    edges = edges.localCheckpoint(eager=False)  # scanned every superstep
+
+    for it in range(iterations):
+        contribs = (
+            edges.join(
+                ranks.filter(F.col("outdeg").isNotNull()).select(
+                    F.col("id").alias("src"),
+                    (F.col("rank") / F.col("outdeg")).alias("w"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("w").alias("contrib"))
+        )
+        dangling = (
+            ranks.filter(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        )
+        ranks = (
+            base.join(contribs, "id", "left")
+            .join(F.broadcast(dangling))
+            .withColumn(
+                "rank",
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dmass") / n),
+            )
+            .select("id", "outdeg", "rank")
+        )
+        if (it + 1) % _CHECKPOINT_EVERY == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("id", "rank")

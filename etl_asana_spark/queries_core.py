@@ -1096,3 +1096,33 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("l_partkey"))
         .limit(20)
     )
+
+
+@register("q_graph_pagerank")
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph — the canonical iterative
+    graph algorithm, run Pregel-style (operators/graph.py): each superstep
+    is one join + one aggregation, i.e. exactly one shuffle. The graph is
+    the symmetric closure of q_part_pairs' co-occurrence edges (both
+    directions inserted), so there are no dangling nodes and rank mass
+    stays 1. Rows-only: per-node float sums are shuffle-order-dependent in
+    the low bits and SQL has no iterative fixpoint; mass conservation,
+    positivity, and degree-rank correlation are property-tested in
+    tests/test_properties.py. Top 20 hubs by rounded rank returned."""
+    from .operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir)
+    a = t["lineitem"].select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = t["lineitem"].select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, ["l_orderkey"])
+        .filter(F.col("p1") != F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+    ranks = pagerank(pairs, iterations=5, damping=0.85)
+    return (
+        ranks.select("id", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )

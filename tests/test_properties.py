@@ -76,3 +76,29 @@ def test_dsum_invariant_under_permutation(spark, values):
     a = fwd.repartition(3).agg(dsum("x").alias("s")).collect()[0]["s"]
     b = rev.repartition(7).agg(dsum("x").alias("s")).collect()[0]["s"]
     assert a == b  # bit-identical
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark):
+    """PageRank invariants on a known star-plus-cycle graph: total rank mass
+    stays exactly 1 (dangling redistribution included), every rank is
+    positive, and the star center out-ranks every leaf."""
+    from etl_asana_spark.operators.graph import pagerank
+
+    # star: leaves 1..4 <-> center 0; plus a dangling sink 5 fed by 0
+    edges = [(i, 0) for i in range(1, 5)] + [(0, i) for i in range(1, 5)] + [(0, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r["id"]: r["rank"] for r in pagerank(df, iterations=10).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert all(v > 0 for v in ranks.values())
+    assert all(ranks[0] > ranks[i] for i in range(1, 5))
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    """On a directed cycle every node is symmetric: ranks must all equal 1/n
+    regardless of iteration count."""
+    from etl_asana_spark.operators.graph import pagerank
+
+    n = 6
+    df = spark.createDataFrame([(i, (i + 1) % n) for i in range(n)], "src long, dst long")
+    ranks = [r["rank"] for r in pagerank(df, iterations=4).collect()]
+    assert all(abs(r - 1.0 / n) < 1e-12 for r in ranks)
