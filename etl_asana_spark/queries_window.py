@@ -304,3 +304,52 @@ def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filled_value",
         )
     )
+
+
+@register(
+    "q_win_rolling_median",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n_purchases
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY date_trunc('day', ts)
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n_purchases,
+           MEDIAN(n_purchases) OVER (
+               ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS med7
+    FROM daily
+    """,
+)
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day median of daily purchase counts — the robust trend
+    line (medians shrug off the spikes that wreck rolling means). A
+    selection statistic, not a sum: no float accumulation order to drift,
+    so the window needs no rounding guard. The daily rollup happens FIRST
+    (events shrink to one row per day), so the unpartitioned ordered window
+    runs over a calendar-sized — not event-sized — input; at 100 TB the
+    same two-stage shape holds (aggregate to the grain, then window the
+    tiny series). Counts are exact integers; MEDIAN of an even window is
+    the mean of the two middle values on both engines."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    # Spark's median() rejects window frames; the frame's values are
+    # collected (<= 7 longs) and the median selected from the sorted array
+    # — still exact, still JVM-side.
+    vals = F.sort_array(F.collect_list("n_purchases").over(w))
+    n = F.size(vals)
+    lo = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(vals, (n / 2 + 1).cast("int"))
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "n_purchases",
+        ((lo + hi) / 2.0).alias("med7"),
+    )
