@@ -513,3 +513,102 @@ def q_observe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gated.select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
+
+
+@register(
+    "q_agg_spearman",
+    oracle=f"""
+    WITH rx AS (
+        SELECT l_quantity AS v,
+               SUM(COUNT(*)) OVER (ORDER BY l_quantity
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS below,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_quantity
+    ),
+    ry AS (
+        SELECT l_discount AS v,
+               SUM(COUNT(*)) OVER (ORDER BY l_discount
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS below,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_discount
+    ),
+    ranked AS (
+        SELECT COALESCE(rx.below, 0) + (rx.cnt + 1) / 2.0 AS r_x,
+               COALESCE(ry.below, 0) + (ry.cnt + 1) / 2.0 AS r_y
+        FROM lineitem
+        JOIN rx ON rx.v = l_quantity
+        JOIN ry ON ry.v = l_discount
+    ),
+    m AS (
+        SELECT COUNT(*) AS n_rows, CAST(COUNT(*) AS DOUBLE) AS n,
+               {sql_dsum('r_x')} AS sx, {sql_dsum('r_y')} AS sy,
+               {sql_dsum('r_x * r_y')} AS sxy,
+               {sql_dsum('r_x * r_x')} AS sxx,
+               {sql_dsum('r_y * r_y')} AS syy
+        FROM ranked
+    )
+    SELECT n_rows,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+               AS spearman_rho
+    FROM m
+    """,
+)
+def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (quantity vs discount) with ranks computed
+    from the value-frequency CDF — NOT a global row_number sort. Average
+    rank of value v = (#rows below v) + (count(v)+1)/2, derived from the
+    per-value counts: the rank tables are value-cardinality-sized (tiny for
+    bounded domains), broadcast back onto the fact, and the Pearson-on-ranks
+    moments are exact fixed-point dsums. A textbook row_number() approach
+    would range-sort the whole fact into one ordered window — this shape
+    keeps ranking at one small aggregation per column and scales to any row
+    count. Midrank halves (x.5) are exact in double; the closed form over
+    exact sums is deterministic on both engines (rounded 9 for the final
+    sqrt/divide)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+
+    def rank_table(col: str, out: str) -> DataFrame:
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            li.groupBy(F.col(col).alias("v"))
+            .agg(F.count("*").alias("cnt"))
+            .select(
+                "v",
+                (
+                    F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                    + (F.col("cnt") + 1) / 2.0
+                ).alias(out),
+            )
+        )
+    rx, ry = rank_table("l_quantity", "r_x"), rank_table("l_discount", "r_y")
+    ranked = (
+        li.select("l_quantity", "l_discount")
+        .join(F.broadcast(rx), F.col("v") == F.col("l_quantity"))
+        .drop("v")
+        .join(F.broadcast(ry), F.col("v") == F.col("l_discount"))
+        .select("r_x", "r_y")
+    )
+    x, y = F.col("r_x"), F.col("r_y")
+    m = ranked.agg(
+        F.count("*").alias("n_rows"),
+        F.count("*").cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "n_rows",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            9,
+        ).alias("spearman_rho"),
+    )
