@@ -550,3 +550,61 @@ def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+@register(
+    "q_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    med AS (
+        SELECT event_type, MEDIAN(n) AS m FROM daily GROUP BY event_type
+    ),
+    dev AS (
+        SELECT d.event_type, d.day, d.n, med.m, ABS(d.n - med.m) AS adev
+        FROM daily d JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, MEDIAN(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type, CAST(dev.day AS VARCHAR) AS day, dev.n AS n_events,
+           ROUND((dev.n - dev.m) / (1.4826 * mad.mad), 6) AS robust_z
+    FROM dev JOIN mad USING (event_type)
+    WHERE ABS(dev.n - dev.m) > 3.0 * 1.4826 * mad.mad
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly detection via median absolute deviation: days
+    whose per-type event count deviates more than 3 scaled MADs from that
+    type's median. The mean/σ twin (q_anomaly_days) breaks when the
+    anomaly itself inflates σ; medians don't move, which is why MAD is the
+    monitoring-pipeline standard. Two aggregation rounds over the (tiny)
+    per-day rollup, each median exact (a selection, not a sum) and each
+    per-type statistic rejoined as a broadcast; the events fact is scanned
+    once. 1.4826 (the normal-consistency constant) is the same literal on
+    both engines; the flag threshold compares exact integers against exact
+    medians, so membership cannot flip."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    med = daily.groupBy("event_type").agg(F.median("n").alias("m"))
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("n") - F.col("m"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("n") - F.col("m")) > 3.0 * 1.4826 * F.col("mad"))
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.col("n").alias("n_events"),
+            F.round((F.col("n") - F.col("m")) / (1.4826 * F.col("mad")), 6).alias("robust_z"),
+        )
+    )
