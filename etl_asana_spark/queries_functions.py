@@ -487,3 +487,48 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bad_parse_is_null"
         ),
     )
+
+
+@register(
+    "q_fn_url",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/corpus/' || lang
+                 || '/doc-' || doc_id || '?chars=' || n_chars || '&v=2' AS url
+        FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]chars=([^&]*)', 1) AS chars_param,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM urls
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL scalar family: host / path / query / single-param extraction via
+    Spark's dedicated ``parse_url`` (plus ``url_encode``-family siblings it
+    anchors). URLs are synthesized deterministically from document
+    attributes — the corpus has none — so every component is
+    oracle-checkable; DuckDB has no parse_url, so the oracle extracts the
+    identical components with anchored regexes (RFC-3986 generic syntax).
+    Pure projection: no shuffle, whole-stage codegen'd, scales with the
+    scan."""
+    t = load_tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/corpus/"),
+        F.col("lang"), F.lit("/doc-"), F.col("doc_id").cast("string"),
+        F.lit("?chars="), F.col("n_chars").cast("string"), F.lit("&v=2"),
+    )
+    d = t["documents"].select("doc_id", url.alias("url"))
+    return d.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("chars")).alias("chars_param"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )

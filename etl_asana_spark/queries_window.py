@@ -353,3 +353,57 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchases",
         ((lo + hi) / 2.0).alias("med7"),
     )
+
+
+@register(
+    "q_win_nav",
+    oracle="""
+    WITH nav AS (
+        SELECT o_custkey,
+               ROW_NUMBER() OVER w AS rn,
+               CAST(first_value(o_orderdate) OVER w AS VARCHAR) AS first_date,
+               CAST(nth_value(o_orderdate, 2) OVER w AS VARCHAR) AS second_date,
+               CAST(last_value(o_orderdate) OVER w AS VARCHAR) AS last_date,
+               first_value(o_totalprice) OVER w AS first_price,
+               last_value(o_totalprice) OVER w AS last_price,
+               COUNT(*) OVER w AS n_orders
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    )
+    SELECT o_custkey, first_date, second_date, last_date,
+           first_price, last_price, n_orders
+    FROM nav WHERE rn = 1
+    """,
+)
+def q_win_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation family (#33's completion): first_value /
+    nth_value / last_value over the customer's full order history — the
+    first/second/latest order dates and the first-vs-latest spend, one row
+    per customer. The frame is explicitly UNBOUNDED..UNBOUNDED: last_value
+    under the default frame (..CURRENT ROW) is the current row, the classic
+    silent bug, on both engines. Ordering includes the unique o_orderkey so
+    every navigation target is deterministic under date ties. One shuffle
+    on o_custkey; rn=1 dedup reuses the same window partitioning (no second
+    exchange)."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    nav = t["orders"].select(
+        "o_custkey",
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).alias("rn"),
+        F.first("o_orderdate").over(w).cast("string").alias("first_date"),
+        F.nth_value("o_orderdate", 2).over(w).cast("string").alias("second_date"),
+        F.last("o_orderdate").over(w).cast("string").alias("last_date"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.count("*").over(w).alias("n_orders"),
+    )
+    return nav.filter(F.col("rn") == 1).drop("rn")
