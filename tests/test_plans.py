@@ -211,3 +211,23 @@ def test_perplexity_prob_table_is_broadcast(spark, sf_dir):
     s = _summary(spark, "q_text_perplexity", sf_dir)
     assert s.n_broadcast_joins >= 1
     assert s.n_sortmerge_joins == 0
+
+
+def test_spearman_rank_tables_broadcast_no_global_sort(spark, sf_dir):
+    """Spearman must rank via the value-frequency CDF: tiny rank tables
+    broadcast onto the fact, and no global row_number sort of the fact
+    (the plan has no single-partition Exchange)."""
+    s = _summary(spark, "q_agg_spearman", sf_dir)
+    assert s.n_broadcast_joins == 2
+    assert s.n_sortmerge_joins == 0
+
+
+def test_anomaly_mad_statistics_broadcast(spark, sf_dir):
+    """Both per-type statistics (median, MAD) rejoin the daily rollup as
+    broadcasts — the events fact is scanned once and never shuffled by a
+    join key."""
+    s = _summary(spark, "q_anomaly_mad", sf_dir)
+    # the dev subtree (daily ⋈ broadcast med) appears on both sides of the
+    # mad join, so its broadcast counts twice, plus the mad broadcast = 3
+    assert s.n_broadcast_joins == 3
+    assert s.n_sortmerge_joins == 0
