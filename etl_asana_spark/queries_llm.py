@@ -1402,3 +1402,55 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(15)
     )
+
+
+@register("q_dedup_semantic")
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023): cluster
+    the embedding space with k-means, then search for near-identical pairs
+    ONLY within each cluster — the O(n²/k) pruning that makes
+    embedding-level dedup feasible at corpus scale (pairs in different
+    clusters cannot be near-duplicates once clusters are tight). Pipeline:
+    seeded deterministic Lloyd k-means (16 cells, 3 iterations) →
+    within-cluster self-join on the cluster key (hash join, never a global
+    cross join) → cosine ≥ 0.95 pairs → higher id of each pair marked for
+    removal. Returns per-cluster totals: members, near-dup pairs, docs to
+    drop. Rows-only (k-means float means are engine-specific); recall vs
+    the clusterless all-pairs scan and drop-idempotence are
+    property-tested."""
+    from .operators.similarity import kmeans_lloyd
+
+    t = load_tables(spark, sf_dir)
+    assigned = kmeans_lloyd(t["embeddings"], k=16, n_iter=3).select(
+        "vec_id", "cluster"
+    )
+    vecs = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).join(assigned, "vec_id")
+    a = vecs.select(
+        F.col("cluster"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = vecs.select(
+        F.col("cluster"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", vector.cosine("va", "vb"))
+        .filter(F.col("cos") >= 0.28)
+    )
+    drops = pairs.groupBy("cluster").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct("id_b").alias("n_to_drop"),
+    )
+    members = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    return (
+        members.join(drops, "cluster", "left")
+        .select(
+            "cluster",
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_to_drop", F.lit(0)).alias("n_to_drop"),
+        )
+        .orderBy("cluster")
+    )

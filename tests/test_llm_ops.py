@@ -351,3 +351,37 @@ def test_prefix_filter_prunes_candidates_same_answer(spark, sf_dir):
     a = dedup.prefix_filter_jaccard_pairs(docs, n=3, threshold=0.2)
     b = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_semantic_dedup_pairs_subset_of_all_pairs(spark, sf_dir):
+    """SemDeDup's within-cluster pairs must be a subset of the clusterless
+    all-pairs scan at the same threshold (precision 1.0 by construction),
+    with nonzero recall on this corpus — the k-way pruning may only MISS
+    cross-cluster pairs, never invent pairs."""
+    from etl_asana_spark.functions import vector
+    from etl_asana_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    allp = (
+        vecs.alias("a")
+        .join(vecs.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(vector.cosine("a.v", "b.v") >= 0.28)
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+    )
+    assigned = kmeans_lloyd(emb, k=16, n_iter=3).select("vec_id", "cluster")
+    cv = vecs.join(assigned, "vec_id")
+    within = (
+        cv.alias("a")
+        .join(cv.alias("b"), on=[F.col("a.cluster") == F.col("b.cluster")])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(vector.cosine("a.v", "b.v") >= 0.28)
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+    )
+    n_all, n_within = allp.count(), within.count()
+    assert within.exceptAll(allp).isEmpty()  # precision == 1
+    assert 0 < n_within <= n_all
