@@ -532,3 +532,40 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("chars")).alias("chars_param"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@register(
+    "q_fn_binary",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS name_md5,
+           sha256(p_name) AS name_sha256,
+           to_base64(encode(p_name)) AS name_b64,
+           lower(hex(encode(p_name))) AS name_hex,
+           octet_length(encode(p_name)) AS n_bytes
+    FROM part
+    WHERE p_partkey < 100
+    """,
+)
+def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary & cryptographic-hash scalar family: md5 / sha-256 digests,
+    base64 and hex encodings, byte length — the content-addressing
+    primitives behind dedup fingerprints, cache keys, and stable sampling
+    (q_sample_hash, q_shuffle_epoch build on exactly these). All are
+    bytewise-standardized (RFC 1321/6234/4648), so the oracle is a direct
+    function-for-function match; hex case is normalized (Spark emits
+    lowercase from md5/sha2 but uppercase from hex()). Pure projection —
+    codegen'd, no shuffle."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") < 100)
+        .select(
+            "p_partkey",
+            F.md5("p_name").alias("name_md5"),
+            F.sha2("p_name", 256).alias("name_sha256"),
+            F.base64(F.col("p_name").cast("binary")).alias("name_b64"),
+            F.lower(F.hex("p_name")).alias("name_hex"),
+            F.length(F.col("p_name").cast("binary")).alias("n_bytes"),
+        )
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import register
+from .functions.parity import dsum
 from .registry import load_tables
 
 _DEC = "decimal(25,6)"
@@ -407,3 +408,56 @@ def q_win_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_orders"),
     )
     return nav.filter(F.col("rn") == 1).drop("rn")
+
+
+@register(
+    "q_win_ratio_to_report",
+    oracle="""
+    WITH nat AS (
+        SELECT n_name, r_name,
+               CAST(SUM(CAST(floor(o_totalprice * 1000000.0 + 0.5)
+                             AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS revenue
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        GROUP BY n_name, r_name
+    )
+    SELECT n_name, r_name, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY r_name), 9)
+               AS share_of_region,
+           ROUND(revenue / SUM(revenue) OVER (), 9) AS share_of_total
+    FROM nat
+    """,
+)
+def q_win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report (percent-of-total) window: each nation's revenue as
+    a share of its region and of the world — the BI denominator pattern.
+    The heavy aggregation happens FIRST (facts collapse to one row per
+    nation), so both window sums — including the unpartitioned global one —
+    run over a dim-cardinality input; at any fact scale the windows cost
+    nothing. The revenue itself is fixed-point-exact, making every share a
+    deterministic function of exact numerators/denominators (rounded 9 for
+    the one float divide)."""
+    t = load_tables(spark, sf_dir)
+    nat = (
+        t["orders"]
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    return nat.select(
+        "n_name",
+        "r_name",
+        "revenue",
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(Window.partitionBy("r_name")), 9
+        ).alias("share_of_region"),
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(
+                Window.partitionBy()
+            ), 9
+        ).alias("share_of_total"),
+    )
