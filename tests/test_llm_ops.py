@@ -385,3 +385,24 @@ def test_semantic_dedup_pairs_subset_of_all_pairs(spark, sf_dir):
     n_all, n_within = allp.count(), within.count()
     assert within.exceptAll(allp).isEmpty()  # precision == 1
     assert 0 < n_within <= n_all
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """#25: the HLL++ estimate must sit within ~3x the configured rsd (2%)
+    of the exact per-type distinct-user count."""
+    from etl_asana_spark import catalog
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in catalog.queries()["q_agg_approx_cd"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_tables(spark, sf_dir)["events"]
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, est in approx.items():
+        assert abs(est - exact[et]) <= max(3, 0.06 * exact[et]), (et, est, exact[et])
