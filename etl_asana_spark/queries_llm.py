@@ -1454,3 +1454,109 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "q_sample_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               CASE WHEN (doc_id * 2654435761) % 4294967296 % 20 < 18 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 4294967296 % 20 = 18 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM assigned
+    GROUP BY split, lang
+    """,
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) by Knuth multiplicative
+    hash bucket of the id — every doc lands in exactly one split (disjoint
+    and exhaustive BY CONSTRUCTION: one CASE over one bucket value), and
+    membership survives re-extraction, re-partitioning, and engine changes,
+    which rng-based splitters do not. A pure projection followed by one
+    small aggregate; at corpus scale the split column is computed in the
+    scan stage and the assignment itself never shuffles. Returns per-split
+    per-language counts + id ranges (the audit view; the assignment
+    projection is the reusable part)."""
+    t = load_tables(spark, sf_dir)
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(20)
+    split = (
+        F.when(bucket < 18, "train").when(bucket == 18, "val").otherwise("test")
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+@register(
+    "q_quality_gopher",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS mean_word_len,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','of','and','to','in','is','that','for')))
+                   AS n_stop
+        FROM documents WHERE lang = 'en'
+    )
+    SELECT doc_id, n_words, ROUND(mean_word_len, 8) AS mean_word_len, n_stop,
+           (n_words BETWEEN 50 AND 100000) AS pass_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_word_len,
+           (n_stop >= 2) AS pass_stopwords,
+           ((n_words BETWEEN 50 AND 100000)
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND n_stop >= 2) AS pass_all
+    FROM feats
+    """,
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rules bundle (Rae et al. 2021, §A1.1): the named
+    document filters applied as one pass — word count in [50, 100k], mean
+    word length in [3, 10], at least 2 stopwords — with a per-rule flag and
+    the conjunction (the symbol-ratio and ellipsis-line rules are vacuous
+    on this synthetic corpus and omitted). One projection computes every
+    feature from the token array already in flight; the rules are pure
+    column predicates that codegen together, so the bundle costs exactly
+    one corpus scan. Boundaries compare integers and an exact-ratio double
+    (total non-space chars / word count), so no flag can flip between
+    engines; the reported ratio column is display-rounded only."""
+    t = load_tables(spark, sf_dir)
+    toks = text.ws_tokens("text")
+    n_words = F.size(toks)
+    mean_wl = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("double") / n_words
+    )
+    n_stop = F.size(F.filter(toks, lambda tk: tk.isin(*text.STOPWORDS["en"])))
+    d = t["documents"].filter(F.col("lang") == "en").select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mwl_raw"),
+        n_stop.alias("n_stop"),
+    )
+    pass_wc = F.col("n_words").between(50, 100000)
+    pass_wl = (F.col("mwl_raw") >= 3.0) & (F.col("mwl_raw") <= 10.0)
+    pass_st = F.col("n_stop") >= 2
+    return d.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("mwl_raw", 8).alias("mean_word_len"),
+        F.col("n_stop").cast("long").alias("n_stop"),
+        pass_wc.alias("pass_word_count"),
+        pass_wl.alias("pass_word_len"),
+        pass_st.alias("pass_stopwords"),
+        (pass_wc & pass_wl & pass_st).alias("pass_all"),
+    )
