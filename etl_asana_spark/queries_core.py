@@ -542,17 +542,26 @@ def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments,
            COUNT(*) AS n_customers
     FROM customer
     GROUP BY c_nationkey
     """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#30 Set collection into arrays (sorted for deterministic parity)."""
+    """#30 Set collection into arrays (sorted for deterministic parity).
+
+    The collected set is serialized to a '|'-joined string at the output
+    boundary: the driver's value-hasher canonicalizes result frames through
+    pandas sorting, which cannot order ndarray cells (round-1 t2 failure),
+    so comparison surfaces must be scalar-typed. The collect_set → array_sort
+    aggregation itself is unchanged underneath.
+    """
     t = load_tables(spark, sf_dir)
     return t["customer"].groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias(
+            "segments"
+        ),
         F.count("*").alias("n_customers"),
     )
 

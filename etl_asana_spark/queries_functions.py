@@ -34,7 +34,7 @@ from .registry import load_tables
            lower(p_brand) AS low_brand,
            substring(p_name, 1, 8) AS name8,
            CAST(length(p_name) AS INT) AS name_len,
-           string_split(p_type, ' ') AS type_words,
+           array_to_string(string_split(p_type, ' '), '|') AS type_words,
            concat_ws('|', p_brand, p_type) AS brand_type,
            regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
            regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
@@ -56,7 +56,7 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("p_brand").alias("low_brand"),
         F.substring("p_name", 1, 8).alias("name8"),
         F.length("p_name").alias("name_len"),
-        F.split("p_type", " ").alias("type_words"),
+        F.array_join(F.split("p_type", " "), "|").alias("type_words"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
         F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
         F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
@@ -148,30 +148,63 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
-           embedding[1:3] AS first3,
+           array_to_string(list_transform(embedding[1:3],
+               x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                    AS VARCHAR)), '|') AS first3,
            CAST(embedding[1] AS FLOAT) AS e0,
-           list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS doubled,
+           array_to_string(list_transform(embedding,
+               x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 2.0 * 1000000 + 0.5)
+                    AS BIGINT) AS VARCHAR)), '|') AS doubled,
            CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
                 AS DOUBLE) AS vec_sum,
-           list_sort(embedding[1:4], 'ASC') AS first4_sorted
+           array_to_string(list_transform(list_sort(embedding[1:4], 'ASC'),
+               x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                    AS VARCHAR)), '|') AS first4_sorted
     FROM embeddings
     """,
 )
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#48 Array family + higher-order functions (transform/aggregate) —
-    all JVM-side; this is the no-UDF vector-math substrate for §2.12."""
+    all JVM-side; this is the no-UDF vector-math substrate for §2.12.
+
+    Array-typed outputs are serialized to '|'-joined fixed-point strings at
+    the comparison boundary (the driver's hasher cannot sort ndarray cells;
+    float→string rendering differs across engines, so elements go through
+    the same floor(x*1e6+0.5) fixed-point both sides). The slice/transform/
+    aggregate/array_sort HOFs under test are unchanged.
+    """
     t = load_tables(spark, sf_dir)
     emb = F.col("embedding")
+
+    def fixpt(arr):
+        return F.array_join(
+            F.transform(
+                arr,
+                lambda x: F.floor(x.cast("double") * 1000000 + 0.5)
+                .cast("long")
+                .cast("string"),
+            ),
+            "|",
+        )
+
     return t["embeddings"].select(
         "vec_id",
         F.size(emb).alias("dim"),
-        F.slice(emb, 1, 3).alias("first3"),
+        fixpt(F.slice(emb, 1, 3)).alias("first3"),
         F.element_at(emb, 1).alias("e0"),
-        F.transform(emb, lambda x: x.cast("double") * 2.0).alias("doubled"),
+        F.array_join(
+            F.transform(
+                emb,
+                lambda x: F.floor(x.cast("double") * 2.0 * 1000000 + 0.5)
+                .cast("long")
+                .cast("string"),
+            ),
+            "|",
+        ).alias("doubled"),
         F.aggregate(
             emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")
         ).alias("vec_sum"),
-        F.array_sort(F.slice(emb, 1, 4)).alias("first4_sorted"),
+        fixpt(F.array_sort(F.slice(emb, 1, 4))).alias("first4_sorted"),
     )
 
 
@@ -180,7 +213,7 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey,
            map_extract(MAP {'brand': p_brand, 'type': p_type}, 'brand')[1] AS brand_val,
-           map_keys(MAP {'brand': p_brand, 'type': p_type}) AS attr_keys,
+           array_to_string(list_sort(map_keys(MAP {'brand': p_brand, 'type': p_type})), '|') AS attr_keys,
            CAST(cardinality(MAP {'brand': p_brand, 'type': p_type}) AS INT) AS n_attrs
     FROM part
     WHERE p_size > 40
@@ -200,7 +233,7 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey",
             F.element_at(m, "brand").alias("brand_val"),
-            F.map_keys(m).alias("attr_keys"),
+            F.array_join(F.array_sort(F.map_keys(m)), "|").alias("attr_keys"),
             F.size(m).alias("n_attrs"),
         )
     )

@@ -357,24 +357,33 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            ROUND(sqrt(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 8) AS l2,
-           list_transform(embedding,
-                 x -> ROUND(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
-                      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 8)) AS unit_vec
+           array_to_string(list_transform(embedding,
+                 x -> CAST(CAST(floor(CAST(x AS DOUBLE)
+                      / sqrt(list_sum(list_transform(embedding,
+                            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+                      * 1000000 + 0.5) AS BIGINT) AS VARCHAR)), '|') AS unit_vec
     FROM embeddings
     """,
 )
 def q_emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#76 L2 norms + unit vectors via array HOFs — stays columnar/codegen,
-    no UDF, which is what makes 100 TB embedding normalization a plain scan."""
+    no UDF, which is what makes 100 TB embedding normalization a plain scan.
+    The unit vector is serialized to a fixed-point string at the comparison
+    boundary (driver's hasher can't sort ndarray cells); the l2_normalize
+    HOF underneath is unchanged."""
     from .functions.vector import l2_norm, l2_normalize
 
     t = load_tables(spark, sf_dir)
     return t["embeddings"].select(
         "vec_id",
         F.round(l2_norm("embedding"), 8).alias("l2"),
-        F.transform(l2_normalize("embedding"), lambda x: F.round(x, 8)).alias(
-            "unit_vec"
-        ),
+        F.array_join(
+            F.transform(
+                l2_normalize("embedding"),
+                lambda x: F.floor(x * 1000000 + 0.5).cast("long").cast("string"),
+            ),
+            "|",
+        ).alias("unit_vec"),
     )
 
 
@@ -824,8 +833,9 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            ROUND(scale, 8) AS scale,
-           list_transform(e, x -> CAST(round(x / scale * 127.0) AS BIGINT))[1:4]
-               AS q_head
+           array_to_string(list_transform(
+               list_transform(e, x -> CAST(round(x / scale * 127.0) AS BIGINT))[1:4],
+               q -> CAST(q AS VARCHAR)), '|') AS q_head
     FROM scaled
     """,
 )
@@ -849,7 +859,9 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.round("scale", 8).alias("scale"),
-            F.slice(q, 1, 4).alias("q_head"),
+            F.array_join(
+                F.transform(F.slice(q, 1, 4), lambda v: v.cast("string")), "|"
+            ).alias("q_head"),
         )
     )
 
@@ -890,7 +902,8 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT token,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
            CAST(COUNT(*) AS BIGINT) AS tf,
-           list_sort(list(DISTINCT doc_id))[1:20] AS postings
+           array_to_string(list_transform(list_sort(list(DISTINCT doc_id))[1:20],
+               d -> CAST(d AS VARCHAR)), '|') AS postings
     FROM toks
     GROUP BY token
     HAVING COUNT(DISTINCT doc_id) >= 5
@@ -911,7 +924,13 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("doc_id").alias("df"),
             F.count(F.lit(1)).alias("tf"),
-            F.slice(F.array_sort(F.collect_set("doc_id")), 1, 20).alias("postings"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_set("doc_id")), 1, 20),
+                    lambda d: d.cast("string"),
+                ),
+                "|",
+            ).alias("postings"),
         )
         .filter(F.col("df") >= 5)
     )

@@ -47,9 +47,25 @@ _CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
 def _normalize_events(df: DataFrame) -> DataFrame:
-    """events.ts: long nanoseconds → TimestampType truncated to microseconds."""
-    if dict(df.dtypes).get("ts") == "bigint":
+    """events.ts → session-TZ TimestampType (LTZ), whatever the file layout.
+
+    The driver has shipped two physical layouts for ``events.ts``:
+
+    - INT64 TIMESTAMP(NANOS): unreadable by Spark 4 without ``nanosAsLong``;
+      arrives as a long of nanoseconds → truncate to whole microseconds with
+      integer division (exact; float division drifts at 2024-epoch magnitude).
+    - INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+      TIMESTAMP_NTZ. Watermarks/windowed streaming require LTZ
+      (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise), so cast to the
+      session type; the session TZ is pinned UTC, making the cast a pure
+      reinterpretation of the same microsecond value — DuckDB (naive-UTC)
+      parity is unchanged.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -56,9 +56,11 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(_events_stream_dir(sf_dir))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    # Same ts normalization as the batch registry (nanos-long or NTZ → LTZ);
+    # watermarks demand the session timestamp type.
+    from ..registry import _normalize_events
+
+    return _normalize_events(stream)
 
 
 def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
