@@ -112,17 +112,33 @@ def _last_verified_round() -> dict[str, int]:
     return verified
 
 
+def _key_costs() -> dict[str, float]:
+    """Measured per-key seconds from the last full local sweep (if any)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with open(os.path.join(repo_root, "scripts", "key_costs.json")) as fh:
+            data = json.load(fh)
+        return {k: float(v) for k, v in data.items()}
+    except (OSError, ValueError):
+        return {}
+
+
 def _rotated(keys: list[str]) -> list[str]:
     """Order keys least-recently-driver-verified first (stable within ties).
 
-    Never-verified (or last-failed) keys sort first in registration order,
+    Never-verified (or last-failed) keys sort first — cheapest-measured-cost
+    first, so a time-budgeted prefix check covers as many keys as possible —
     then previously-passed keys oldest-round-first. Each driver round thus
     verifies the keys with the least external evidence, and coverage
     accumulates across rounds even under the driver's per-round budget.
     """
     verified = _last_verified_round()
+    costs = _key_costs()
     order = {k: i for i, k in enumerate(keys)}
-    return sorted(keys, key=lambda k: (verified.get(k, -1), order[k]))
+    return sorted(
+        keys,
+        key=lambda k: (verified.get(k, -1), costs.get(k, 2.0), order[k]),
+    )
 
 
 def queries() -> dict[str, QueryFn]:

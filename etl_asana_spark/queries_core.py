@@ -7,7 +7,7 @@ decimal-exact helpers (functions.parity) — see that module for why.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import register
@@ -1134,4 +1134,53 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.select("id", F.round("rank", 8).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("id"))
         .limit(20)
+    )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    WITH cnt AS (
+        SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_orderpriority
+    ),
+    ranked AS (
+        SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS n_orders,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY n DESC, o_orderpriority) AS rn
+        FROM cnt
+    )
+    SELECT c_mktsegment, mode_priority, n_orders FROM ranked WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) with a deterministic tie-break.
+
+    Native ``mode()`` is tie-nondeterministic on both engines, so the engine
+    computes it as count-then-rank: grouped counts (partial agg combines
+    map-side, the shuffle carries one row per (group, value)), then a
+    row_number over the group ordered by (count DESC, value ASC) — total
+    order, engine-independent. At 100 TB the pattern holds: the heavy
+    aggregation runs at (group × value) grain first, and the window runs on
+    the already-reduced result — a dim-cardinality frame, never the fact.
+    """
+    t = load_tables(spark, sf_dir)
+    cnt = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n_orders"), F.asc("o_orderpriority")
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n_orders",
+        )
     )

@@ -743,3 +743,55 @@ def q_ingest_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+@register(
+    "q_sink_json",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {{dsum_value}} AS total_value,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY event_type
+    """.format(dsum_value=sql_dsum("value")),
+)
+def q_sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink/source roundtrip: two days of events written as JSON
+    partitioned by event_type, read back with an EXPLICIT schema (never
+    inferSchema — a second full pass at 100 TB), then aggregated. The
+    oracle aggregates the original parquet, so the hash check proves the
+    roundtrip preserves timestamps (microsecond ISO-8601 via an explicit
+    timestampFormat — Spark's default JSON format truncates to millis),
+    doubles, and the partition-directory column. partitionBy on the
+    low-cardinality event_type is the 100 TB layout: type predicates on
+    read-back become directory pruning instead of file parsing.
+    """
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    path = tempfile.mkdtemp(prefix="json_roundtrip_") + "/events_json"
+    day = t["events"].filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+    )
+    (
+        day.write.mode("overwrite")
+        .partitionBy("event_type")
+        .option("timestampFormat", ts_fmt)
+        .json(path)
+    )
+    schema = day.schema
+    back = (
+        spark.read.schema(schema).option("timestampFormat", ts_fmt).json(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

@@ -1579,3 +1579,149 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_st.alias("pass_stopwords"),
         (pass_wc & pass_wl & pass_st).alias("pass_all"),
     )
+
+
+@register(
+    "q_text_vocab_oov",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE lang = 'en'
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+            ORDER BY c DESC, token LIMIT 200
+        )
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 8) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + per-document OOV rate — the tokenizer-coverage
+    check run before committing a vocab to a training run.
+
+    The vocab is the top-200 tokens by (count DESC, token ASC) — a total
+    order, so the cut boundary is engine-independent. Plan: one token
+    explode feeds both the vocab aggregation (partial agg + ORDER BY/LIMIT
+    = TakeOrderedAndProject, never a full sort) and the per-doc scoring
+    join; the vocab side is broadcast (it is LIMIT-bounded by construction,
+    at any corpus scale), so scoring adds zero shuffles beyond the per-doc
+    aggregation itself.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("lang") == "en")
+    toks = docs.select("doc_id", F.explode(text.ws_tokens("text")).alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(200)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                8,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@register(
+    "q_dsir_weights",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    stats AS (
+        SELECT token,
+               CAST(COUNT(*) AS DOUBLE) AS c_all,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS c_t
+        FROM toks GROUP BY token
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_all,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS n_t,
+               CAST(COUNT(DISTINCT token) AS DOUBLE) AS v
+        FROM toks
+    ),
+    lr AS (
+        SELECT token,
+               CAST(floor((ln((c_t + 1) / (n_t + v))
+                           - ln((c_all + 1) / (n_all + v))) * 1000000 + 0.5)
+                    AS BIGINT) AS u
+        FROM stats, tot
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(u) AS BIGINT) AS w_units
+    FROM toks t JOIN lr USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: per-doc log-likelihood ratio of an
+    add-one-smoothed target unigram LM (the English slice) against the raw
+    corpus LM — the data-selection score used to up-sample target-like
+    documents when mixing pretraining corpora.
+
+    Determinism: the per-token log-ratio is canonicalized to fixed-point
+    units (floor(x*1e6+0.5) → BIGINT) BEFORE the per-doc sum, so the sum is
+    exact integer arithmetic — associative under any partitioning, no
+    float-summation-order drift (the same discipline as functions.parity).
+    Plan: one explode feeds the token-stats aggregation; the per-token
+    ratio table is vocabulary-sized and broadcast to the scoring join, so
+    scoring a 100 TB corpus is one shuffle (the per-doc agg) plus a
+    broadcast — the stats pass itself is the classic two-phase partial agg.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", "lang", F.explode(text.ws_tokens("text")).alias("token")
+    )
+    stats = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("c_all"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("double")
+        .alias("c_t"),
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("n_all"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("double")
+        .alias("n_t"),
+        F.countDistinct("token").cast("double").alias("v"),
+    )
+    lr = stats.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.floor(
+            (
+                F.log((F.col("c_t") + 1) / (F.col("n_t") + F.col("v")))
+                - F.log((F.col("c_all") + 1) / (F.col("n_all") + F.col("v")))
+            )
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("u"),
+    )
+    return (
+        toks.join(F.broadcast(lr), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("u").cast("long").alias("w_units"),
+        )
+    )

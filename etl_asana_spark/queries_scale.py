@@ -612,3 +612,70 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_triangles",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_quantity >= 40 AND b.l_quantity >= 40
+    )
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT)
+           FROM (SELECT u AS k FROM edges UNION SELECT v FROM edges)) AS n_nodes,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+        (SELECT CAST(COUNT(*) AS BIGINT)
+           FROM edges e1
+           JOIN edges e2 ON e2.u = e1.v
+           JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph — the clustering-structure
+    primitive behind community detection and spam/fraud graph features.
+
+    Edges are the distinct high-quantity co-purchase pairs kept in canonical
+    ``u < v`` orientation, so each triangle ``u < v < w`` is generated
+    exactly once by the standard two-hop join: E(u,v) ⋈ E(v,w) ⋈ E(u,w).
+    Plan shape at scale: all three legs are equi-joins on edge endpoints
+    (shuffle-hash/sort-merge on u then v — never a nested loop); the worst
+    case is bounded by sum-of-degrees², which the canonical orientation
+    roughly halves. On a 100 TB edge set the same plan holds with the edge
+    relation bucketed by ``u`` so legs 1 and 3 co-partition; degree skew
+    (celebrity nodes) is the known hazard and is exactly what AQE skew-join
+    splitting plus the ``u < v`` degree-capping orientation mitigate.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"].filter(F.col("l_quantity") >= 40)
+    sides = [
+        li.select("l_orderkey", F.col("l_partkey").alias(c)) for c in ("u", "v")
+    ]
+    edges = (
+        sides[0]
+        .join(sides[1], ["l_orderkey"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("k"))
+        .union(edges.select("v"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = edges.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        edges.join(e2, "v")
+        .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return nodes.crossJoin(n_edges).crossJoin(tri)

@@ -411,3 +411,32 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     assert set(approx) == set(exact)
     for et, est in approx.items():
         assert abs(est - exact[et]) <= max(3, 0.06 * exact[et]), (et, est, exact[et])
+
+
+def test_vocab_oov_rate_bounds_and_vocab_docs_score_zero(spark, sf_dir):
+    """oov_rate ∈ [0,1]; the token-weighted OOV mass stays below 50% (a
+    top-200 vocab over a synthetic bag-of-words corpus covers the head; at
+    sf0.001 the corpus vocabulary fits entirely, giving exactly 0)."""
+    rows = catalog.queries()["q_text_vocab_oov"](spark, sf_dir).collect()
+    assert rows
+    assert all(0.0 <= r["oov_rate"] <= 1.0 for r in rows)
+    total = sum(r["n_tokens"] for r in rows)
+    oov = sum(r["n_tokens"] * r["oov_rate"] for r in rows)
+    assert 0.0 <= oov / total < 0.5
+
+
+def test_dsir_weights_prefer_target_language(spark, sf_dir):
+    """The importance weights must up-rank the target (English) slice:
+    mean per-token weight of en docs strictly exceeds zh docs."""
+    from etl_asana_spark.registry import load_tables
+
+    w = catalog.queries()["q_dsir_weights"](spark, sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang")
+    per_lang = {
+        r["lang"]: r["m"]
+        for r in w.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(F.avg(F.col("w_units") / F.col("n_tokens")).alias("m"))
+        .collect()
+    }
+    assert per_lang["en"] > per_lang["zh"]

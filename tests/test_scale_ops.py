@@ -220,3 +220,93 @@ def test_quantile_sketch_error_bounded_by_bin_width(spark, sf_dir):
     ).first()
     for q, exact in ((0.5, row["p50"]), (0.9, row["p90"]), (0.99, row["p99"])):
         assert abs(est[q] - exact) <= row["width"] + 1e-9, (q, est[q], exact)
+
+
+def test_triangle_count_matches_local_recount(spark, sf_dir):
+    """The distributed triple-join triangle count equals a driver-side
+    recount on the (small at test scale) edge list, and the plan stays on
+    hash joins (no nested loop)."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from etl_asana_spark import catalog
+    from etl_asana_spark.registry import load_tables
+
+    df = catalog.queries()["q_graph_triangles"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # The edge/triangle legs must be hash joins; the only nested-loop joins
+    # allowed are the two final 1-row × 1-row summary crossJoins (formatted
+    # explain mentions each operator twice: tree line + detail section).
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    row = df.first()
+
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .filter(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    by_order: dict[int, set] = {}
+    for r in li:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            edges.add((a, b))
+    nodes = {x for e in edges for x in e}
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    n_tri = sum(
+        1
+        for a, b in edges
+        for c in adj.get(b, ())
+        if c in adj.get(a, ())
+    )
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (
+        len(nodes),
+        len(edges),
+        n_tri,
+    )
+
+
+def test_mode_is_argmax_of_group_counts(spark, sf_dir):
+    """q_agg_mode returns exactly the per-group maximal count, with the
+    lexicographically-least value on ties."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from etl_asana_spark import catalog
+    from etl_asana_spark.registry import load_tables
+
+    t = load_tables(spark, sf_dir)
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "o_orderpriority")
+        .collect()
+    )
+    counts: dict[str, Counter] = {}
+    for r in joined:
+        counts.setdefault(r["c_mktsegment"], Counter())[r["o_orderpriority"]] += 1
+    expect = {
+        seg: min(
+            (v for v, n in c.items() if n == max(c.values())),
+        )
+        for seg, c in counts.items()
+    }
+    got = {
+        r["c_mktsegment"]: (r["mode_priority"], r["n_orders"])
+        for r in catalog.queries()["q_agg_mode"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for seg, (mode, n) in got.items():
+        assert mode == expect[seg]
+        assert n == max(counts[seg].values())
