@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import register
-from .functions.parity import dsum, sql_dsum
+from .functions.parity import davg, dsum, sql_davg, sql_dsum
 from .operators.skew import salted_join
 from .registry import load_tables
 
@@ -679,3 +679,110 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+# ---------------------------------------------------------------------------
+# Operational layout: small-file compaction, dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_maintenance_compact",
+    oracle=f"""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           COUNT(*) AS n_events,
+           {{dsum_value}} AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY CAST(ts AS DATE)
+    """.format(dsum_value=sql_dsum("value")),
+)
+def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (sources/maintenance.py): purchases written as
+    a deliberately over-fragmented table (64 files via round-robin
+    repartition — the classic streaming-ingest residue), compacted to
+    size-targeted files, then aggregated from the compacted copy. The hash
+    check against the original proves compaction is content-neutral.
+
+    100 TB relevance: file count, not byte count, is what kills planning
+    (one footer read + one task per file); compaction is the maintenance
+    job every ingest-heavy table needs. ``repartition(n)`` round-robin
+    gives uniformly-sized output files; at real scale n derives from
+    input_bytes/target_bytes exactly as maintenance.compact_parquet does.
+    """
+    import tempfile
+
+    from .sources.maintenance import compact_parquet
+
+    t = load_tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="compact_")
+    frag, compacted = base + "/frag", base + "/compacted"
+    (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(frag)
+    )
+    compact_parquet(spark, frag, target_bytes=8 * 1024 * 1024, out_path=compacted)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q_scan_dpp",
+    oracle=f"""
+    WITH hot AS (
+        SELECT o_orderstatus
+        FROM orders
+        GROUP BY o_orderstatus
+        HAVING {{davg_price}} > 95000
+    )
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_orders,
+           {{dsum_price}} AS total_price
+    FROM orders o JOIN hot USING (o_orderstatus)
+    GROUP BY o.o_orderstatus
+    """.format(
+        davg_price=sql_davg("o_totalprice"), dsum_price=sql_dsum("o_totalprice")
+    ),
+)
+def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact is laid out partitioned by
+    o_orderstatus; the qualifying statuses are only known at RUNTIME (an
+    aggregate HAVING over the same data), so static pruning is impossible —
+    Catalyst instead plants a DPP subquery filter on the fact's partition
+    column (``PartitionFilters: [dynamicpruning#...]``, asserted in
+    tests/test_plans.py) and the scan reads only the qualifying
+    directories. This is THE mechanism that makes star joins cheap on a
+    date/tenant-partitioned 100 TB fact: the dim filter prunes fact I/O
+    before it happens, no manual predicate copying.
+    """
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="dpp_") + "/orders_part"
+    t["orders"].write.mode("overwrite").partitionBy("o_orderstatus").parquet(
+        path
+    )
+    fact = spark.read.parquet(path)
+    hot = (
+        fact.groupBy("o_orderstatus")
+        .agg(davg("o_totalprice").alias("avg_price"))
+        .filter(F.col("avg_price") > 95000)
+        .select("o_orderstatus")
+    )
+    return (
+        fact.join(hot, "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )

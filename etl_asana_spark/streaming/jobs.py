@@ -18,6 +18,7 @@ Design notes for the 100 TB/continuous deployment:
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 import uuid
@@ -28,6 +29,30 @@ from pyspark.sql import functions as F
 from ..session import ensure_engine_confs
 
 _STAGE_DIRS: dict[str, str] = {}
+
+#: State-store partition count for the bounded demo/test runs. Stateful
+#: operators create one state store per shuffle partition per micro-batch;
+#: at test volume (≤100 k rows/run) 32 partitions means the wall clock is
+#: dominated by empty state-store commits, not data. Production tuning is the
+#: opposite direction: size partitions so per-key state fits executor memory.
+_STREAM_SHUFFLE_PARTITIONS = "8"
+
+
+@contextlib.contextmanager
+def _stream_shuffle(spark: SparkSession):
+    """Temporarily right-size shuffle partitions for a bounded stateful run.
+
+    The partition count is pinned into the (fresh, per-run) checkpoint at
+    query start, so setting it around start→stop is safe; the previous value
+    is restored for subsequent batch queries on the shared session.
+    """
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    spark.conf.set(key, _STREAM_SHUFFLE_PARTITIONS)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, before)
 
 
 def _events_stream_dir(sf_dir: str) -> str:
@@ -66,15 +91,16 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     """Run a streaming plan to completion (AvailableNow) into a memory sink."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    query = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _stream_shuffle(df.sparkSession):
+        query = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return df.sparkSession.table(name)
 
 
@@ -235,13 +261,14 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         newest.write.mode("append").parquet(target)
 
     ev = _stream_events(spark, sf_dir)
-    query = (
-        ev.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _stream_shuffle(spark):
+        query = (
+            ev.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     merged = spark.read.parquet(target)
     return upsert_last_modified_wins(
         merged, key="user_id", modified_col="ts", tiebreak=["event_type"]
@@ -295,7 +322,7 @@ def sync_token_source_stream(spark: SparkSession) -> DataFrame:
     feed = (
         spark.readStream.format("asana_events")
         .option("path", str(FIXTURES_DIR / "stories.ndjson"))
-        .option("batch_lines", "40")  # ten polls per drain: real pagination
+        .option("batch_lines", "100")  # four polls per drain: real pagination
         .load()
     )
     # (COUNT(DISTINCT) is unsupported on streams; distinct-task counts
@@ -305,13 +332,14 @@ def sync_token_source_stream(spark: SparkSession) -> DataFrame:
     # sync-token feed drains by polling until no new rows arrive — which is
     # exactly processAllAvailable() on a running query.
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .start()
-    )
-    query.processAllAvailable()
-    query.stop()
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
     return spark.table(name)

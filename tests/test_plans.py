@@ -231,3 +231,16 @@ def test_anomaly_mad_statistics_broadcast(spark, sf_dir):
     # mad join, so its broadcast counts twice, plus the mad broadcast = 3
     assert s.n_broadcast_joins == 3
     assert s.n_sortmerge_joins == 0
+
+
+def test_dpp_scan_plants_dynamic_pruning_filter(spark, sf_dir):
+    """q_scan_dpp: the fact scan's PartitionFilters must carry a
+    dynamicpruning subquery (runtime directory pruning from the dim side),
+    and the result must cover only qualifying statuses."""
+    from etl_asana_spark.plans import _plan_text
+
+    df = catalog.queries()["q_scan_dpp"](spark, sf_dir)
+    text = _plan_text(df, executed=False)
+    assert "dynamicpruning" in text, text[:2000]
+    rows = df.collect()
+    assert 1 <= len(rows) <= 3  # only above-average statuses survive
