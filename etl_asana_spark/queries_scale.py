@@ -786,3 +786,113 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+@register(
+    "q_join_bucketed",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           {{dsum_rev}} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderpriority
+    """.format(dsum_rev=sql_dsum("l_extendedprice * (1 - l_discount)")),
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle fact⋈fact join via bucketed tables
+    (sources/bucketing.py): lineitem and orders are both written bucketed
+    by their join key into the session catalog, so the join reads
+    co-located buckets and Catalyst plans NO Exchange on the key (asserted
+    in tests/test_bucketing.py for this exact shape). The write-time
+    pre-shuffle is paid once; at 100 TB every subsequent join or
+    aggregation on the bucket key rides it for free — the single biggest
+    recurring-shuffle eliminator a warehouse layout can buy. Results are
+    hash-checked against the plain (shuffling) join, proving bucketing is
+    invisible to semantics.
+    """
+    import tempfile
+
+    from .sources.bucketing import drop_table, read_table, write_bucketed
+
+    t = load_tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="bucketed_q_")
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        drop_table(spark, f"bq_{name}")
+        write_bucketed(
+            t[name],
+            f"bq_{name}",
+            f"{base}/{name}",
+            bucket_by=[key],
+            n_buckets=8,
+            sort_by=[key],
+        )
+    li, od = read_table(spark, "bq_lineitem"), read_table(spark, "bq_orders")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_orderstatus") != "P")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "q_gdpr_delete",
+    oracle=f"""
+    WITH erased AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'signup' AND value < 5
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           {{dsum_value}} AS total_value
+    FROM events
+    WHERE user_id NOT IN (SELECT user_id FROM erased)
+    GROUP BY event_type
+    """.format(dsum_value=sql_dsum("value")),
+)
+def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten delete propagation: a deletion list (users
+    derived from a predicate here; in production, the DSAR queue) is
+    removed from the events table by a broadcast null-aware anti join, the
+    surviving rows are rewritten, and the result is re-read and audited.
+
+    Plan: the deletion list is orders of magnitude smaller than the fact,
+    so the anti join broadcasts it — the fact is scanned once, never
+    shuffled. At 100 TB the rewrite is confined to affected partitions
+    (join the deletion list against partition-level min/max or a Bloom
+    index first); the full-scan fallback here is the correct shape for the
+    final rewrite pass of whichever partitions matched. The oracle runs the
+    equivalent NOT IN on the original table, proving the delete dropped
+    exactly the targeted users and nothing else.
+    """
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    erased = (
+        ev.filter((F.col("event_type") == "signup") & (F.col("value") < 5))
+        .select("user_id")
+        .distinct()
+    )
+    target = tempfile.mkdtemp(prefix="gdpr_") + "/events_clean"
+    (
+        ev.join(F.broadcast(erased), "user_id", "left_anti")
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+    return (
+        spark.read.parquet(target)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+        )
+    )
