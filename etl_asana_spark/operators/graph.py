@@ -84,3 +84,81 @@ def pagerank(
         if (it + 1) % _CHECKPOINT_EVERY == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("id", "rank")
+
+
+def pagerank_units(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank in exact fixed-point units — engine/partitioning-invariant.
+
+    Same supersteps as :func:`pagerank`, but rank mass is carried as BIGINT
+    units of ``1/scale``: per-edge contributions are integral divisions
+    (``units div outdeg``), per-node sums are exact integer arithmetic
+    (associative under any shuffle order), and the damping/teleport terms
+    are ``floor(double-expression)`` with the identical expression shape on
+    any engine. The result is bit-identical at any parallelism AND
+    reproducible in plain SQL (the q_graph_pagerank oracle unrolls the same
+    recurrence in DuckDB), which the float formulation cannot be — its
+    per-node sums depend on shuffle order in the low bits.
+
+    Returns ``(id, rank_units)``; ``rank ≈ rank_units / scale``. The
+    truncation in ``div`` loses at most ``outdeg`` units per node per step
+    — bounded absolute error ~1e-9 of total mass per superstep at the
+    default scale, irrelevant for ranking and shared exactly by the oracle.
+    """
+    edges = edges.select("src", "dst")
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("outdeg")
+    )
+    base = vertices.join(outdeg, "id", "left")
+    n = base.count()
+    ranks = base.withColumn("u", F.lit(int(scale // n)).cast("long"))
+    edges = edges.localCheckpoint(eager=False)
+    # Teleport term: floor((1-d)*scale / n) — evaluated as the same double
+    # expression the SQL oracle uses (constant for the whole run).
+    teleport = F.floor(
+        F.lit(float((1.0 - damping) * scale)) / F.lit(float(n))
+    ).cast("long")
+
+    for it in range(iterations):
+        contribs = (
+            edges.join(
+                ranks.filter(F.col("outdeg").isNotNull()).select(
+                    F.col("id").alias("src"),
+                    F.expr("u div outdeg").alias("w"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("w").cast("long").alias("contrib"))
+        )
+        dangling = ranks.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("u"), F.lit(0)).cast("long").alias("dmass")
+        )
+        ranks = (
+            base.join(contribs, "id", "left")
+            .join(F.broadcast(dangling))
+            .withColumn(
+                "u",
+                teleport
+                + F.floor(
+                    F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0)).cast("long")
+                        + F.expr(f"dmass div {n}")
+                    ).cast("double")
+                ).cast("long"),
+            )
+            .select("id", "outdeg", "u")
+        )
+        if (it + 1) % _CHECKPOINT_EVERY == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("id", F.col("u").alias("rank_units"))

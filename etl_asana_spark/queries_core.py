@@ -1107,18 +1107,95 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_graph_pagerank")
+#: (1 - damping) * scale computed ONCE in Python and embedded verbatim in
+#: both the Spark plan and the SQL oracle, so the teleport term is the same
+#: IEEE double on both engines (1.0 - 0.85 ≠ the literal 0.15 in doubles).
+_PR_ITERS = 5
+_PR_SCALE = 10**12
+_PR_TELEPORT_NUM = (1.0 - 0.85) * float(_PR_SCALE)
+
+
+def _pagerank_oracle_sql(iterations: int) -> str:
+    """Unroll the fixed-point PageRank recurrence as chained CTEs.
+
+    SQL has no iterative fixpoint, but the iteration count is a constant of
+    the operator, so the recurrence unrolls exactly: pr0 → pr1 → … with the
+    same integer-unit arithmetic the Spark operator uses
+    (operators/graph.py::pagerank_units). Every per-node sum is exact
+    BIGINT arithmetic, so the two engines agree bit-for-bit.
+    """
+    ctes = [
+        """edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    )""",
+        """nodes AS (
+        SELECT src AS id FROM edges UNION SELECT dst FROM edges
+    )""",
+        """deg AS (
+        SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src
+    )""",
+        """base AS (
+        SELECT n.id, d.outdeg FROM nodes n LEFT JOIN deg d USING (id)
+    )""",
+        """meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)""",
+        f"""pr0 AS (
+        SELECT id, outdeg, {_PR_SCALE} // m.n AS u FROM base, meta m
+    )""",
+    ]
+    for it in range(iterations):
+        prev, cur = f"pr{it}", f"pr{it + 1}"
+        ctes.append(
+            f"""{cur} AS (
+        SELECT b.id, b.outdeg,
+               CAST(floor({_PR_TELEPORT_NUM!r} / CAST(m.n AS DOUBLE)) AS BIGINT)
+               + CAST(floor(CAST(0.85 AS DOUBLE) * CAST(
+                     COALESCE(c.contrib, 0) + (dm.dmass // m.n) AS DOUBLE))
+                 AS BIGINT) AS u
+        FROM base b
+        CROSS JOIN meta m
+        CROSS JOIN (
+            SELECT COALESCE(SUM(u), 0) AS dmass FROM {prev}
+            WHERE outdeg IS NULL
+        ) dm
+        LEFT JOIN (
+            SELECT e.dst AS id, CAST(SUM(p.u // p.outdeg) AS BIGINT) AS contrib
+            FROM edges e JOIN {prev} p ON p.id = e.src
+            WHERE p.outdeg IS NOT NULL
+            GROUP BY e.dst
+        ) c USING (id)
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT id, u AS rank_units FROM pr{iterations}
+    ORDER BY u DESC, id LIMIT 20
+    """
+    )
+
+
+@register("q_graph_pagerank", oracle=_pagerank_oracle_sql(_PR_ITERS))
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph — the canonical iterative
     graph algorithm, run Pregel-style (operators/graph.py): each superstep
     is one join + one aggregation, i.e. exactly one shuffle. The graph is
     the symmetric closure of q_part_pairs' co-occurrence edges (both
     directions inserted), so there are no dangling nodes and rank mass
-    stays 1. Rows-only: per-node float sums are shuffle-order-dependent in
-    the low bits and SQL has no iterative fixpoint; mass conservation,
-    positivity, and degree-rank correlation are property-tested in
-    tests/test_properties.py. Top 20 hubs by rounded rank returned."""
-    from .operators.graph import pagerank
+    stays 1.
+
+    Rank mass is carried in exact fixed-point BIGINT units
+    (pagerank_units), which makes the iteration engine- and
+    partitioning-invariant — so unlike the classic float formulation this
+    IS SQL-oracle-checked: the oracle unrolls the same five supersteps as
+    chained CTEs in DuckDB and the top-20 hub table hash-matches
+    bit-for-bit. Mass conservation, positivity, and degree-rank
+    correlation of the float variant remain property-tested in
+    tests/test_properties.py. Top 20 hubs returned.
+    """
+    from .operators.graph import pagerank_units
 
     t = load_tables(spark, sf_dir)
     a = t["lineitem"].select("l_orderkey", F.col("l_partkey").alias("p1"))
@@ -1129,12 +1206,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
         .distinct()
     )
-    ranks = pagerank(pairs, iterations=5, damping=0.85)
-    return (
-        ranks.select("id", F.round("rank", 8).alias("rank"))
-        .orderBy(F.desc("rank"), F.asc("id"))
-        .limit(20)
+    ranks = pagerank_units(
+        pairs, iterations=_PR_ITERS, damping=0.85, scale=_PR_SCALE
     )
+    return ranks.orderBy(F.desc("rank_units"), F.asc("id")).limit(20)
 
 
 @register(

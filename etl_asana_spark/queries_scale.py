@@ -411,7 +411,42 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_quantile_sketch")
+@register(
+    "q_agg_quantile_sketch",
+    oracle="""
+    WITH b AS (
+        SELECT min(value) AS lo, max(value) AS hi,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM events
+    ),
+    binned AS (
+        SELECT LEAST(CAST(floor((value - lo) / ((hi - lo) / 128)) AS INT),
+                     127) AS bin,
+               lo, hi, n
+        FROM events, b
+    ),
+    hist AS (
+        SELECT bin, lo, hi, n, COUNT(*) AS cnt
+        FROM binned GROUP BY bin, lo, hi, n
+    ),
+    cum AS (
+        SELECT *,
+               SUM(cnt) OVER (ORDER BY bin) AS cum,
+               SUM(cnt) OVER (ORDER BY bin) - cnt AS cum_prev
+        FROM hist
+    ),
+    qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+    hit AS (
+        SELECT q, min(bin) AS bin
+        FROM cum, qs WHERE cum >= q * n GROUP BY q
+    )
+    SELECT hit.q,
+           ROUND(c.lo + ((c.hi - c.lo) / 128)
+                 * (c.bin + (hit.q * c.n - c.cum_prev) / c.cnt), 6) AS estimate
+    FROM hit JOIN cum c ON c.bin = hit.bin
+    ORDER BY hit.q
+    """,
+)
 def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable equi-width histogram quantile sketch (p50/p90/p99 of event
     value).
@@ -421,9 +456,14 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     property native percentile lacks (it needs the full sorted column per
     group). Estimates interpolate inside the winning bin, so error is
     bounded by one bin width ((hi−lo)/128) — asserted against the exact
-    percentile in tests/test_scale_ops.py. Deterministic: integer bin
-    counts + fixed-form interpolation. Rows-only: the binned estimate is
-    the engine's own semantic, not SQL percentile.
+    percentile in tests/test_scale_ops.py. Fully deterministic (exact
+    min/max bounds, integer bin counts, fixed-form interpolation — every
+    float op is the identical IEEE expression on both engines), so the
+    sketch semantics themselves are SQL-oracle-checked, not just row-counted:
+    the oracle re-derives the same histogram and interpolation in DuckDB.
+    The per-day grain in the Spark plan is the mergeable-partial
+    demonstration; it sums away before the estimate and is invisible to
+    the result.
     """
     t = load_tables(spark, sf_dir)
     n_bins = 128

@@ -102,3 +102,25 @@ def test_pagerank_uniform_on_cycle(spark):
     df = spark.createDataFrame([(i, (i + 1) % n) for i in range(n)], "src long, dst long")
     ranks = [r["rank"] for r in pagerank(df, iterations=4).collect()]
     assert all(abs(r - 1.0 / n) < 1e-12 for r in ranks)
+
+
+def test_pagerank_units_agrees_with_float_variant(spark):
+    """The exact fixed-point formulation ranks identically to the float one
+    and its units are the float ranks to ~1e-9 absolute."""
+    from etl_asana_spark.operators.graph import pagerank, pagerank_units
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 2), (4, 1)],
+        "src long, dst long",
+    )
+    f = {r["id"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    u = {
+        r["id"]: r["rank_units"] / 1e12
+        for r in pagerank_units(edges, iterations=5).collect()
+    }
+    assert set(f) == set(u)
+    for node in f:
+        assert abs(f[node] - u[node]) < 1e-6, (node, f[node], u[node])
+    rank_f = sorted(f, key=lambda k: (-f[k], k))
+    rank_u = sorted(u, key=lambda k: (-u[k], k))
+    assert rank_f == rank_u
