@@ -145,28 +145,76 @@ def q_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asana.incremental_filter(b2, ckpt).select("gid", "name", "modified_at")
 
 
-@register("q_etl_pipeline")
+@register(
+    "q_etl_pipeline",
+    oracle=f"""
+    WITH unioned AS (
+        SELECT * FROM {_read_json(_B1)}
+        UNION ALL
+        SELECT * FROM {_read_json(_B2)}
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY gid
+                                  ORDER BY modified_at DESC) AS rn
+        FROM unioned
+    )
+    SELECT gid, name, completed, num_likes,
+           CAST(created_at AS TIMESTAMP) AS created_ts,
+           CAST(modified_at AS TIMESTAMP) AS modified_ts,
+           CAST(CAST(due_on AS DATE) AS VARCHAR) AS due_date,
+           assignee.gid AS assignee_gid,
+           parent.gid AS parent_gid,
+           CAST(len(tags) AS BIGINT) AS n_tags,
+           CAST(length(notes) AS BIGINT) AS notes_len
+    FROM ranked WHERE rn = 1
+    """,
+)
 def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole reference program in one call (pipelines.run_asana_etl):
     ingest both sync batches → last-modified-wins merge → typed task table.
-    Rows-only; full-program idempotence/incremental-equivalence properties
-    are asserted in tests/test_pipeline.py."""
+    The oracle re-derives the same end state in one SQL statement (union →
+    newest-per-gid → typed projection), so the full program is value-hashed,
+    not just row-counted; idempotence/incremental-equivalence properties
+    are additionally asserted in tests/test_pipeline.py."""
     from .pipelines import run_asana_etl
     from .sources.asana import coerce_task_scalars
 
-    return coerce_task_scalars(run_asana_etl(spark).tasks)
+    out = coerce_task_scalars(run_asana_etl(spark).tasks)
+    return out.withColumn("n_tags", F.col("n_tags").cast("long")).withColumn(
+        "notes_len", F.col("notes_len").cast("long")
+    )
 
 
-@register("q_source_paginated")
+@register(
+    "q_source_paginated",
+    oracle=f"""
+    SELECT gid, name, completed, num_likes,
+           CAST(created_at AS TIMESTAMP) AS created_ts,
+           CAST(modified_at AS TIMESTAMP) AS modified_ts,
+           CAST(CAST(due_on AS DATE) AS VARCHAR) AS due_date,
+           assignee.gid AS assignee_gid,
+           parent.gid AS parent_gid,
+           CAST(len(tags) AS BIGINT) AS n_tags,
+           CAST(length(notes) AS BIGINT) AS notes_len
+    FROM {_read_json(_B1)}
+    """,
+)
 def q_source_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#6 paginated REST source, offline replay: page-plan DataFrame →
-    ``mapInPandas`` fetch on executors → ``from_json`` typed parse. Rows-only
-    (transport is not SQL-expressible); equality with the direct read is
-    property-tested in tests/test_ingest.py."""
+    ``mapInPandas`` fetch on executors → ``from_json`` typed parse. The
+    transport itself isn't SQL, but its RESULT is the fixture's content —
+    so the oracle reads the same file directly (same SQL as q_ingest_json),
+    and the hash-match proves the page-fan-out + Arrow-batched fetch +
+    typed parse pipeline is lossless end-to-end: no dropped/duplicated
+    page, no column mangled in flight. Equality with the direct read is
+    additionally property-tested in tests/test_ingest.py."""
     ensure_fixtures(FIXTURES_DIR)
     pages = asana.page_plan(spark, _B1, total=N_TASKS, page_size=50)
     parsed = asana.parse_fetched(asana.fetch_pages(pages))
-    return asana.coerce_task_scalars(parsed)
+    out = asana.coerce_task_scalars(parsed)
+    return out.withColumn("n_tags", F.col("n_tags").cast("long")).withColumn(
+        "notes_len", F.col("notes_len").cast("long")
+    )
 
 
 _STORIES = str(FIXTURES_DIR / "stories.ndjson")
