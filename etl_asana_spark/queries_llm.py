@@ -324,10 +324,53 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_text_langid")
+def _stopword_values_sql() -> str:
+    """The operator's stopword lists as a SQL VALUES table (lang, w)."""
+    from .operators.text import STOPWORDS
+
+    rows = [
+        f"('{lang}', '{w}')"
+        for lang in sorted(STOPWORDS)
+        for w in STOPWORDS[lang]
+    ]
+    return ", ".join(rows)
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    WITH stop(lang_cand, w) AS (VALUES {_stopword_values_sql()}),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    hits AS (
+        SELECT t.doc_id, s.lang_cand, COUNT(*) AS score
+        FROM toks t JOIN stop s ON t.w = s.w
+        GROUP BY t.doc_id, s.lang_cand
+    ),
+    best AS (
+        SELECT doc_id, lang_cand,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang_cand DESC) AS rn
+        FROM hits
+    )
+    SELECT d.doc_id, d.lang, COALESCE(b.lang_cand, 'und') AS lang_pred
+    FROM documents d
+    LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+    """,
+)
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID (stopword-hit argmax). Rows-only: the argmax
-    tie-break is struct-ordering-specific; invariants tested instead."""
+    """Heuristic language ID (stopword-hit argmax over per-language lists).
+
+    The argmax tie-break is total and engine-independent: the struct
+    array_max picks the highest hit count, ties broken by the
+    lexicographically greatest language code — which the oracle mirrors
+    with ORDER BY (score DESC, lang DESC). Zero hits across every list →
+    'und' (the oracle's LEFT JOIN + COALESCE). One codegen'd scan, no
+    shuffle: the scoring is per-row array arithmetic against broadcast-
+    literal word lists, which is what language-tagging a 100 TB corpus
+    needs (the real fastText model swaps in via the same mapInPandas shape
+    as the multimodal ops)."""
     t = load_tables(spark, sf_dir)
     return t["documents"].select(
         "doc_id", "lang", text.language_id("text").alias("lang_pred")
