@@ -1,0 +1,143 @@
+"""Catalog-wide physical-plan audit: scan every key's plan for scale hazards.
+
+Usage:  python scripts/plan_audit.py [sf_dir]
+
+For each catalog key, builds the DataFrame (no execution except where the
+query itself materializes intermediates) and greps the formatted physical
+plan for the patterns that kill 100 TB runs:
+
+- CartesianProduct / BroadcastNestedLoopJoin — quadratic joins. Allowed only
+  where the query intentionally crosses a 1-row/LIMIT-bounded side
+  (summaries, broadcast query vectors); everything else is a regression.
+- Exchange SinglePartition — a global funnel onto one task. Allowed only for
+  final 1-row aggregates / global LIMIT collection.
+- row-at-a-time Python (BatchEvalPython) — the slow UDF path. Allowed only
+  in q_udf_python (which exists to exercise exactly that path).
+- filter-bearing scans with no PushedFilters at all.
+
+Prints one line per flagged key and a summary; exits 0 always (report, not
+gate — the hard guarantees live in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from etl_asana_spark import catalog  # noqa: E402
+
+#: Keys whose plans legitimately contain a nested-loop/cross join: 1-row
+#: summary products, broadcast query-vector crosses, theta joins.
+CROSS_OK = {
+    "q_join_cross",        # the Cartesian operator itself
+    "q_join_theta",        # pure inequality join — BNLJ is the only plan
+    "q_graph_triangles",   # two 1-row summary crossJoins
+    "q_sim_cosine_topk",   # broadcast 1-row query vector
+    "q_sim_ann",           # broadcast hyperplane matrix
+    "q_agg_quantile_sketch",  # broadcast 1-row bounds + 3-row quantile grid
+    "q_winsorize",         # broadcast per-group percentile bounds
+    "q_agg_spearman",      # broadcast rank tables
+    "q_hybrid_rrf",        # broadcast 1-row corpus stats
+    "q_text_bm25",         # broadcast 1-row corpus stats
+    "q_text_perplexity",   # broadcast 1-row vocab size
+    "q_dsir_weights",      # broadcast 1-row totals
+    "q_emb_pca",           # broadcast 1-row mean/eigenbasis
+    "q_profile_table",     # per-column 1-row summaries unioned
+    "q_agg_stats",         # 1-row moment frames
+    "q_contamination",     # broadcast bounded benchmark set
+    "q_time_spine",        # generated spine × 1-row bounds
+    "q_fill_forward",      # generated spine × 1-row bounds
+    "q_interval_overlap",  # 1-row global offset
+    "q_mix_corpus",        # broadcast 1-row token budget
+    "q_cap_per_source",    # broadcast 1-row cap constant
+    "q_anomaly_days",      # broadcast per-type stats
+    "q_anomaly_mad",       # broadcast per-type medians
+    "q_golden_important_parts",  # broadcast scalar total (Q11 shape)
+    "q_golden_top_supplier",     # broadcast scalar max (Q15 shape)
+    "q_golden_idle_customers",   # broadcast scalar avg (Q22 shape)
+    "q_golden_small_qty",        # broadcast per-part threshold (Q17 shape)
+    "q_scan_dpp",          # DPP subquery materializes as a broadcast
+    "q_emb_kmeans",        # broadcast model state per Lloyd iteration
+    "q_sim_ivf",           # broadcast centroids
+    "q_dedup_semantic",    # broadcast centroids
+    "q_graph_pagerank",    # broadcast 1-row dangling mass per superstep
+    "q_shuffle_epoch",     # broadcast bucket-offset table
+    "q_agg_bitmap_distinct",  # broadcast 1-row universe bounds
+    "q_win_rolling_median",   # calendar-grain frame
+    "q_hist_tokens",       # broadcast 1-row bin bounds
+    "q_text_vocab_oov",    # broadcast LIMIT-bounded vocab
+    "q_dedup_embed",       # intentionally exact all-pairs at test scale;
+                           # the 100 TB path is q_dedup_semantic/q_sim_ivf
+    "q_skew_report",       # counts × 1-row total for the share column
+}
+
+#: Keys that exist to exercise the row-at-a-time Python path itself.
+PYTHON_OK = {"q_udf_python", "q_udtf_tokens"}
+
+#: Keys allowed a SinglePartition exchange: global scalar results, global
+#: top-k/LIMIT funnels, driver-bounded summaries.
+SINGLE_OK_PATTERNS = (
+    "q_agg_global", "q_agg_approx_cd", "q_topk", "q_page_offset",
+    "q_sort_global", "q_profile_table", "q_agg_quantile_sketch",
+    "q_graph_triangles", "q_time_spine", "q_interval_overlap",
+    "q_observe_gate", "q_agg_stats", "q_agg_spearman",
+)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    jvm = spark.sparkContext._jvm
+
+    flags: list[str] = []
+    n_ok = 0
+    for key, fn in catalog.queries().items():
+        if key.startswith("q_stream_"):  # streaming sinks execute on build
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            text = jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # noqa: BLE001
+            flags.append(f"{key}: PLAN ERROR {type(exc).__name__}: {exc}")
+            continue
+        problems = []
+        if "CartesianProduct" in text and key not in CROSS_OK:
+            problems.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in text and key not in CROSS_OK:
+            problems.append("BroadcastNestedLoopJoin")
+        if (
+            "Exchange SinglePartition" in text
+            and not any(p in key for p in SINGLE_OK_PATTERNS)
+            and "TakeOrderedAndProject" not in text
+        ):
+            problems.append("Exchange SinglePartition")
+        if "BatchEvalPython" in text and key not in PYTHON_OK:
+            problems.append("row-at-a-time Python UDF")
+        if re.search(r"Filter \(", text) and "PushedFilters: \[\]" in text \
+                and "PushedFilters: [" not in text.replace("PushedFilters: []", ""):
+            problems.append("no pushed filters on filtered scan")
+        if problems:
+            flags.append(f"{key}: {', '.join(problems)}")
+        else:
+            n_ok += 1
+    print(f"{n_ok} plans clean, {len(flags)} flagged")
+    for f in flags:
+        print("  FLAG", f)
+    return 0
+
+
+if __name__ == "__main__":
+    main()
