@@ -1259,3 +1259,30 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+_LATERAL_TOPN_SQL = f"""
+    SELECT r.r_name, l.n_name, l.bal
+    FROM region r, LATERAL (
+        SELECT n.n_name, {sql_dsum('c_acctbal')} AS bal
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY bal DESC, n.n_name
+        LIMIT 2
+    ) l
+"""
+
+
+@register("q_sql_lateral_topn", oracle=_LATERAL_TOPN_SQL)
+def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL surface): per-region top-2
+    nations by summed customer balance — the SQL-standard spelling of
+    per-group top-k. The IDENTICAL statement runs on both engines (the
+    fixed-point balance sum keeps the ORDER BY total), and Catalyst
+    decorrelates the lateral into a join + per-group limit rather than
+    re-executing the subquery per outer row — same physical family as the
+    window-rank formulation in q_win_topk_group, so the 100 TB behavior is
+    the decorrelated plan's, not nested-loop re-execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPN_SQL)

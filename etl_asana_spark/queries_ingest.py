@@ -532,8 +532,9 @@ def q_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subtask-tree closure: every task mapped to its root task and depth.
 
     Asana tasks nest via ``parent`` (subtasks of subtasks); reporting rolls
-    work up to the root. Spark has no recursive CTE, so the closure is an
-    iterative frontier BFS: level 0 = parentless roots; each iteration
+    work up to the root. This variant is the engine-portable iterative
+    frontier BFS (q_sql_recursive_cte is the same closure through Spark 4's
+    native WITH RECURSIVE): level 0 = parentless roots; each iteration
     equi-joins the edge table against the previous frontier (one shuffle
     per level, or a broadcast when the frontier is small) and stops when a
     cheap ``isEmpty()`` limit-1 probe says the frontier died out. Work is
@@ -842,4 +843,47 @@ def q_sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("total_value"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "q_sql_recursive_cte",
+    oracle=f"""
+    WITH RECURSIVE tasks AS (
+        SELECT gid, parent.gid AS parent_gid FROM {_read_json(_B1)}
+    ),
+    cl AS (
+        SELECT gid, gid AS root_gid, 0 AS depth
+        FROM tasks WHERE parent_gid IS NULL
+        UNION ALL
+        SELECT t.gid, cl.root_gid, cl.depth + 1
+        FROM tasks t JOIN cl ON t.parent_gid = cl.gid
+    )
+    SELECT gid, root_gid, depth FROM cl
+    """,
+)
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The subtask-tree closure through Spark 4's NATIVE ``WITH RECURSIVE``
+    (the SQL entry point), hash-checked against DuckDB running the
+    identical recursion — the same answer q_hierarchy_closure derives with
+    its hand-rolled frontier BFS. Native recursion plans each step as a
+    join against the previous iteration's result exactly like the manual
+    loop, but inside one SQL statement with the engine managing the
+    fixpoint; at 100 TB the same caveat applies as to the loop (work =
+    edges × depth, fine for shallow task trees)."""
+    ensure_fixtures(FIXTURES_DIR)
+    asana.read_tasks(spark, _B1).select(
+        "gid", F.col("parent.gid").alias("parent_gid")
+    ).createOrReplaceTempView("task_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE cl AS (
+            SELECT gid, gid AS root_gid, 0 AS depth
+            FROM task_edges WHERE parent_gid IS NULL
+            UNION ALL
+            SELECT t.gid, cl.root_gid, cl.depth + 1
+            FROM task_edges t JOIN cl ON t.parent_gid = cl.gid
+        )
+        SELECT gid, root_gid, depth FROM cl
+        """
     )
