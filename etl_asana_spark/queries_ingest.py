@@ -887,3 +887,56 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT gid, root_gid, depth FROM cl
         """
     )
+
+
+_DIRTY = str(FIXTURES_DIR / "events_feed_dirty.ndjson")
+
+
+@register(
+    "q_ingest_badlines",
+    oracle=f"""
+    WITH lines AS (
+        SELECT line FROM read_csv('{_DIRTY}', header=false, delim='{chr(1)}',
+                                  quote='', columns={{'line': 'VARCHAR'}})
+    ),
+    parsed AS (
+        SELECT CASE WHEN json_valid(line)
+                    THEN json_extract_string(line, '$.type')
+                    ELSE 'CORRUPT' END AS bucket,
+               CASE WHEN json_valid(line)
+                    THEN CAST(json_extract(line, '$.value') AS DOUBLE)
+                    ELSE 0.0 END AS value
+        FROM lines
+    )
+    SELECT bucket, COUNT(*) AS n_rows, {sql_dsum('value')} AS total_value
+    FROM parsed GROUP BY bucket
+    """,
+)
+def q_ingest_badlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling: a dirty webhook feed (~15% structurally
+    invalid JSON lines) read under PERMISSIVE mode with a corrupt-record
+    column — bad lines are ROUTED, not dropped and never kill the job
+    (the ingestion posture a 100 TB feed requires; FAILFAST is for CI,
+    DROPMALFORMED silently loses data). The summary buckets good rows by
+    type and corrupt rows under 'CORRUPT'; the oracle re-derives the same
+    split with json_valid over raw lines, so the hash check pins exactly
+    which lines the engine classified as corrupt. One pass, single
+    aggregation — the corrupt column is computed inside the scan.
+    """
+    ensure_fixtures(FIXTURES_DIR)
+    schema = "event_id BIGINT, type STRING, value DOUBLE, _corrupt STRING"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(_DIRTY)
+    )
+    bucket = (
+        F.when(F.col("_corrupt").isNotNull(), F.lit("CORRUPT"))
+        .otherwise(F.col("type"))
+        .alias("bucket")
+    )
+    return df.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+    )

@@ -153,13 +153,37 @@ def generate(out_dir: Path | str = FIXTURES_DIR) -> dict[str, Path]:
             for r in rows:
                 f.write(json.dumps(r, separators=(",", ":")) + "\n")
         paths[name] = p
+
+    # A deliberately dirty webhook feed for the malformed-record path
+    # (q_ingest_badlines): ~15% of lines are STRUCTURALLY invalid JSON
+    # (truncated / plain garbage). Valid lines are always type-correct, so
+    # engines agree on exactly which lines are corrupt.
+    dirty = out / "events_feed_dirty.ndjson"
+    with open(dirty, "w") as f:
+        for i in range(250):
+            row = {
+                "event_id": 9000000 + i,
+                "type": rng.choice(["task_added", "task_changed", "story_added"]),
+                "value": round(rng.uniform(0, 100), 3),
+            }
+            line = json.dumps(row, separators=(",", ":"))
+            roll = rng.random()
+            if roll < 0.08:
+                line = line[: len(line) // 2]  # truncated JSON
+            elif roll < 0.15:
+                line = f"garbage line {i} not json"
+            f.write(line + "\n")
+    paths["events_feed_dirty"] = dirty
     return paths
 
 
 def ensure_fixtures(out_dir: Path | str = FIXTURES_DIR) -> Path:
     """Generate the fixtures if any file is missing; return the directory."""
     out = Path(out_dir)
-    expected = ["tasks_batch1", "tasks_batch2", "projects", "users", "stories"]
+    expected = [
+        "tasks_batch1", "tasks_batch2", "projects", "users", "stories",
+        "events_feed_dirty",
+    ]
     if not all((out / f"{n}.ndjson").exists() for n in expected):
         generate(out)
     return out
