@@ -244,3 +244,57 @@ def test_dpp_scan_plants_dynamic_pruning_filter(spark, sf_dir):
     assert "dynamicpruning" in text, text[:2000]
     rows = df.collect()
     assert 1 <= len(rows) <= 3  # only above-average statuses survive
+
+
+def test_vocab_oov_broadcasts_limit_bounded_vocab(spark, sf_dir):
+    """q_text_vocab_oov: the vocab side is TakeOrderedAndProject (top-200,
+    never a full sort) and joins back by broadcast — scoring adds no
+    shuffle beyond the per-doc aggregation."""
+    from etl_asana_spark.plans import _plan_text
+
+    df = catalog.queries()["q_text_vocab_oov"](spark, sf_dir)
+    text = _plan_text(df, executed=False)
+    assert "TakeOrderedAndProject" in text
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text
+
+
+def test_dsir_scoring_join_is_broadcast(spark, sf_dir):
+    """q_dsir_weights: the per-token ratio table is vocabulary-sized and
+    broadcast; the fact-side token stream is never shuffled for the join."""
+    from etl_asana_spark.plans import _plan_text
+
+    df = catalog.queries()["q_dsir_weights"](spark, sf_dir)
+    text = _plan_text(df, executed=False)
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text
+
+
+def test_bucketed_join_reads_colocated_buckets(spark, sf_dir):
+    """q_join_bucketed: after the bucketed write, the (shuffle-family) join
+    plans with NO exchange on the join key — both scans read co-located
+    buckets. At test scale Spark would prefer broadcasting the small side,
+    which also avoids the shuffle but doesn't exercise bucketing, so the
+    broadcast threshold is disabled for the assertion."""
+    from etl_asana_spark.plans import _plan_text
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    before = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        df = catalog.queries()["q_join_bucketed"](spark, sf_dir)
+        text = _plan_text(df, executed=False)
+    finally:
+        spark.conf.set(key, before)
+    assert "Bucketed: true" in text
+    join_idx = min(
+        i for i in (
+            text.find("SortMergeJoin"), text.find("ShuffledHashJoin"),
+        ) if i >= 0
+    )
+    # Plans print root-first, so the join's INPUT subtree is the text after
+    # the join line. The only hash exchange allowed is the post-join
+    # aggregation (above the join); the join inputs come straight from the
+    # co-located bucketed scans with no exchange.
+    input_subtree = text[join_idx:]
+    assert "Exchange hashpartitioning" not in input_subtree
