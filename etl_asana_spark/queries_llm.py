@@ -1772,3 +1772,105 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("u").cast("long").alias("w_units"),
         )
     )
+
+
+@register(
+    "q_scrub_dup_spans",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE lang = 'de'
+    ),
+    sh AS (
+        SELECT doc_id, i AS start,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                    || ' ' || t[i+4] AS s
+        FROM toks, unnest(generate_series(1, len(t) - 4)) AS g(i)
+    ),
+    dup AS (
+        SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT sh.doc_id, CAST(sh.start + off AS BIGINT) AS pos
+        FROM sh JOIN dup USING (s),
+             unnest(generate_series(0, 4)) AS o(off)
+    ),
+    pos_tok AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS token
+        FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN p.token END, ' '
+                               ORDER BY p.pos), '') AS cleaned_text
+    FROM pos_tok p
+    LEFT JOIN covered c ON c.doc_id = p.doc_id AND c.pos = p.pos
+    GROUP BY p.doc_id
+    """,
+)
+def q_scrub_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span scrubbing (the RefinedWeb/Lee-et-al exact-
+    substring dedup, word-granular): any 5-gram span that occurs in two or
+    more documents is removed from EVERY document, and the surviving tokens
+    are stitched back in order.
+
+    Plan: one explode produces positioned 5-gram shingles; the duplicated-
+    shingle set is a grouped HAVING (partial agg combines map-side, the
+    shuffle carries one row per distinct shingle); covered token positions
+    come from exploding each duplicated shingle into its 5 offsets; a
+    left anti-style join marks covered tokens; the rebuild is a per-doc
+    sort-free aggregation (collect sorted by position). At 100 TB the
+    shingle strings become xxhash64 fingerprints (same plan, 8-byte keys)
+    and the dup set is range-partitioned — no step is quadratic; everything
+    is keyed joins and two-phase aggs on the shingle/doc keys. German
+    slice: small enough that the cleaned_text column stays hash-friendly.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("lang") == "de")
+    toks = docs.select("doc_id", text.ws_tokens("text").alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.posexplode(text.shingles("t", n=5)).alias("start0", "s"),
+    ).select("doc_id", (F.col("start0") + 1).alias("start"), "s")
+    dup = sh.groupBy("s").agg(
+        F.countDistinct("doc_id").alias("nd")
+    ).filter(F.col("nd") >= 2).select("s")
+    covered = (
+        sh.join(dup, "s")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(4))
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("is_covered", F.lit(1))
+    )
+    pos_tok = toks.select(
+        "doc_id", F.posexplode("t").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "token")
+    return (
+        pos_tok.join(covered, ["doc_id", "pos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("is_covered").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_covered").isNull(),
+                                F.struct("pos", "token"),
+                            )
+                        )
+                    ),
+                    lambda x: x.getField("token"),
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )

@@ -440,3 +440,25 @@ def test_dsir_weights_prefer_target_language(spark, sf_dir):
         .collect()
     }
     assert per_lang["en"] > per_lang["zh"]
+
+
+def test_scrub_dup_spans_token_accounting(spark, sf_dir):
+    """Scrubbed docs: cleaned token count == n_tokens - n_removed; docs with
+    nothing removed keep their exact original text."""
+    out = {
+        r["doc_id"]: r
+        for r in catalog.queries()["q_scrub_dup_spans"](spark, sf_dir).collect()
+    }
+    assert out
+    originals = {
+        r["doc_id"]: r["text"]
+        for r in load_tables(spark, sf_dir)["documents"]
+        .filter(F.col("lang") == "de")
+        .collect()
+    }
+    assert set(out) == set(originals)
+    for doc_id, r in out.items():
+        kept = [t for t in r["cleaned_text"].split(" ") if t != ""]
+        assert len(kept) == r["n_tokens"] - r["n_removed"]
+        if r["n_removed"] == 0:
+            assert r["cleaned_text"] == originals[doc_id]
