@@ -1286,3 +1286,42 @@ def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decorrelated plan's, not nested-loop re-execution."""
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_TOPN_SQL)
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, NULLIF(c_mktsegment, 'MACHINERY') AS seg
+        FROM customer
+    ),
+    seg_stats AS (
+        SELECT NULLIF(c_mktsegment, 'MACHINERY') AS seg,
+               COUNT(*) AS seg_size
+        FROM customer GROUP BY NULLIF(c_mktsegment, 'MACHINERY')
+    )
+    SELECT c.c_custkey, c.seg, s.seg_size
+    FROM c JOIN seg_stats s ON c.seg IS NOT DISTINCT FROM s.seg
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    suppressed segment (NULL after NULLIF) still matches its own stats row
+    — under ordinary equality those rows would silently drop, the classic
+    silent-data-loss bug when dimension keys are nullable. Catalyst plans
+    ``<=>`` as a hash join with a null-safe key (NULL hashes to a regular
+    bucket), so the plan family and scale behavior are identical to a
+    plain equi-join — no nested-loop penalty for the null handling.
+    """
+    t = load_tables(spark, sf_dir)
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))
+    c = t["customer"].select("c_custkey", seg.alias("seg"))
+    stats = (
+        t["customer"]
+        .groupBy(seg.alias("seg"))
+        .agg(F.count(F.lit(1)).alias("seg_size"))
+    )
+    return c.join(
+        F.broadcast(stats).withColumnRenamed("seg", "s_seg"),
+        F.col("seg").eqNullSafe(F.col("s_seg")),
+    ).select("c_custkey", "seg", "seg_size")

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import register
-from .functions.parity import dsum
+from .functions.parity import dsum, sql_dsum
 from .registry import load_tables
 
 _DEC = "decimal(25,6)"
@@ -460,4 +460,106 @@ def q_win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy()
             ), 9
         ).alias("share_of_total"),
+    )
+
+
+@register(
+    "q_interpolate_linear",
+    oracle=f"""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, value FROM events
+        WHERE event_type = 'purchase' AND user_id % 97 = 0
+    ),
+    daily AS (
+        SELECT day, {sql_dsum('value')} AS total FROM ev GROUP BY day
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ev),
+    days AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+        FROM bounds
+    ),
+    joined AS (
+        SELECT d.day, t.total FROM days d LEFT JOIN daily t USING (day)
+    ),
+    anchored AS (
+        SELECT day, total,
+               last_value(total IGNORE NULLS) OVER (
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS prev_val,
+               last_value(CASE WHEN total IS NOT NULL THEN day END
+                          IGNORE NULLS) OVER (
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS prev_day,
+               first_value(total IGNORE NULLS) OVER (
+                   ORDER BY day ROWS BETWEEN CURRENT ROW
+                   AND UNBOUNDED FOLLOWING) AS next_val,
+               first_value(CASE WHEN total IS NOT NULL THEN day END
+                           IGNORE NULLS) OVER (
+                   ORDER BY day ROWS BETWEEN CURRENT ROW
+                   AND UNBOUNDED FOLLOWING) AS next_day
+        FROM joined
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           ROUND(CASE
+               WHEN total IS NOT NULL THEN total
+               WHEN prev_val IS NULL THEN next_val
+               WHEN next_val IS NULL THEN prev_val
+               ELSE prev_val + (next_val - prev_val)
+                    * CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                    / CAST(date_diff('day', prev_day, next_day) AS DOUBLE)
+           END, 6) AS filled_total
+    FROM anchored
+    """,
+)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation on a dense day spine — the gap-filling step a
+    feature/metrics store runs after LOCF isn't good enough (LOCF holds a
+    stale level; interpolation draws the line between the neighboring
+    observations).
+
+    Same spine shape as q_fill_forward; two extra window passes anchor each
+    missing day to its previous and next observed (day, value) pairs
+    (last/first with ignorenulls over unbounded frames — one shuffle, the
+    frame is the calendar-sized spine, never the fact), and the fill is
+    pure per-row arithmetic on exact fixed-point day totals. Edge days
+    beyond the first/last observation clamp to the nearest observed value.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 97 == 0)
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        dsum("value").alias("total")
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    joined = days.join(daily, "day", "left")
+    w_back = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    obs_day = F.when(F.col("total").isNotNull(), F.col("day"))
+    anchored = joined.select(
+        "day",
+        "total",
+        F.last("total", ignorenulls=True).over(w_back).alias("prev_val"),
+        F.last(obs_day, ignorenulls=True).over(w_back).alias("prev_day"),
+        F.first("total", ignorenulls=True).over(w_fwd).alias("next_val"),
+        F.first(obs_day, ignorenulls=True).over(w_fwd).alias("next_day"),
+    )
+    frac = F.datediff(F.col("day"), F.col("prev_day")).cast("double") / F.datediff(
+        F.col("next_day"), F.col("prev_day")
+    ).cast("double")
+    filled = (
+        F.when(F.col("total").isNotNull(), F.col("total"))
+        .when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .otherwise(
+            F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac
+        )
+    )
+    return anchored.select(
+        F.col("day").cast("string").alias("day"),
+        F.round(filled, 6).alias("filled_total"),
     )
