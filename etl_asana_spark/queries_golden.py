@@ -12,7 +12,7 @@ tie-breaks so LIMIT is deterministic on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import register
@@ -541,3 +541,64 @@ def q_audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out
+
+
+@register(
+    "q_orders_rfm",
+    oracle=f"""
+    WITH ref AS (SELECT MAX(o_orderdate) AS ref_ts FROM orders),
+    per_cust AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                              CAST(ref.ref_ts AS DATE)) AS INT) AS recency_days,
+               COUNT(*) AS frequency,
+               {{dsum_price}} AS monetary
+        FROM orders, ref
+        GROUP BY o_custkey, ref.ref_ts
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+           ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+           ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+    FROM per_cust
+    """.format(dsum_price=sql_dsum("o_totalprice")),
+)
+def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring — the classic segmentation report: per-customer
+    recency (days since last order vs the dataset's reference date),
+    frequency, monetary total, each quintile-bucketed by ntile.
+
+    The fact-scale work is one grouped aggregation; the three ntile windows
+    run on the customer-grain result (dim cardinality — a deliberate
+    exception to the no-global-window rule, like every ranking report).
+    ntile orderings carry the unique customer key as tiebreak, so bucket
+    assignment is total-order deterministic on both engines; monetary uses
+    the fixed-point sum so the M ordering can't drift in the low bits.
+    """
+    t = load_tables(spark, sf_dir)
+    ref = t["orders"].agg(F.max("o_orderdate").alias("ref_ts"))
+    per_cust = (
+        t["orders"]
+        .crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey", "ref_ts")
+        .agg(
+            F.datediff(
+                F.to_date(F.max("ref_ts")), F.to_date(F.max("o_orderdate"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+        .drop("ref_ts")
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )

@@ -1874,3 +1874,99 @@ def q_scrub_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cleaned_text"),
         )
     )
+
+
+@register(
+    "q_dedup_url_canonical",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'HTTP://WWW.Example.COM/corpus/doc-'
+                         || CAST(doc_id // 3 AS VARCHAR) || '/'
+                    ELSE 'https://example.com/corpus/doc-'
+                         || CAST(doc_id // 3 AS VARCHAR) END
+               || '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(lower(regexp_replace(url, '\\?.*$', '')),
+                                          '^http://', 'https://'),
+                           '^https://www\\.', 'https://'),
+                       '/$', ''),
+                   '^$', '') AS canonical
+        FROM urls
+    )
+    SELECT canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_urls,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+    FROM canon
+    GROUP BY canonical
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the web-crawl curation stage that runs
+    BEFORE content dedup: scheme/case/www/trailing-slash/tracking-param
+    variants of the same target collapse to one canonical form
+    (lowercase, https, no www., no trailing slash, query stripped), and
+    each canonical group keeps its minimum doc as the survivor.
+
+    The messy URLs are synthesized deterministically (the corpus has none)
+    with real-world variance: alternating scheme case, WWW prefixes,
+    trailing slashes, and utm/ref tracking params, three raw variants per
+    target. Pure regexp projection (codegen'd, identical RE2-safe patterns
+    on both engines) + one grouped aggregation — at 100 TB this is a scan
+    plus a shuffle on the canonical key, with the same skew answer as any
+    hot-key aggregation (AQE/salting for the front-page URLs).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    url = F.concat(
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Example.COM/corpus/doc-"),
+                F.expr("doc_id div 3").cast("string"),
+                F.lit("/"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("https://example.com/corpus/doc-"),
+                F.expr("doc_id div 3").cast("string"),
+            )
+        ),
+        F.lit("?utm_source=feed&ref="),
+        F.col("doc_id").cast("string"),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.lower(F.regexp_replace(url, r"\?.*$", "")),
+                    r"^http://",
+                    "https://",
+                ),
+                r"^https://www\.",
+                "https://",
+            ),
+            r"/$",
+            "",
+        ),
+        r"^$",
+        "",
+    )
+    return (
+        docs.select("doc_id", url.alias("url"), canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("url").alias("n_distinct_urls"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_variants") >= 2)
+    )

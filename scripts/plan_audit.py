@@ -71,6 +71,7 @@ CROSS_OK = {
     "q_dedup_embed",       # intentionally exact all-pairs at test scale;
                            # the 100 TB path is q_dedup_semantic/q_sim_ivf
     "q_skew_report",       # counts × 1-row total for the share column
+    "q_orders_rfm",        # fact × 1-row reference-date broadcast
 }
 
 #: Keys that exist to exercise the row-at-a-time Python path itself.
@@ -83,6 +84,9 @@ SINGLE_OK_PATTERNS = (
     "q_sort_global", "q_profile_table", "q_agg_quantile_sketch",
     "q_graph_triangles", "q_time_spine", "q_interval_overlap",
     "q_observe_gate", "q_agg_stats", "q_agg_spearman",
+    "q_orders_rfm",          # global ntile windows on the customer-grain
+                             # aggregate (dim cardinality, ranking report)
+    "q_interpolate_linear",  # calendar-grain spine windows
 )
 
 
