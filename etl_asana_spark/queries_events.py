@@ -608,3 +608,62 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n") - F.col("m")) / (1.4826 * F.col("mad")), 6).alias("robust_z"),
         )
     )
+
+
+@register(
+    "q_events_markov",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS curr_type, COUNT(*) AS n_trans
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    outdeg AS (
+        SELECT prev_type, SUM(n_trans) AS n_from
+        FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.curr_type,
+           CAST(t.n_trans AS BIGINT) AS n_trans,
+           ROUND(CAST(t.n_trans AS DOUBLE) / o.n_from, 8) AS p
+    FROM trans t JOIN outdeg o USING (prev_type)
+    """,
+)
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current), the behavioral model behind funnel
+    prediction and anomaly scoring.
+
+    One window pass (lag over user, event-time order with a unique-key
+    tiebreak — deterministic successor pairing), then two grouped aggs at
+    (type × type) grain: 25 cells regardless of fact size, so the heavy
+    work is exactly one shuffle on user_id and the probabilities are
+    double divisions of exact counts — engine-identical. At 100 TB the
+    window shuffle dominates and is the same one any sessionization
+    already pays; the transition table itself is broadcast-sized.
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = t["events"].select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    outdeg = trans.groupBy("prev_type").agg(F.sum("n_trans").alias("n_from"))
+    return trans.join(F.broadcast(outdeg), "prev_type").select(
+        "prev_type",
+        "curr_type",
+        "n_trans",
+        F.round(F.col("n_trans").cast("double") / F.col("n_from"), 8).alias("p"),
+    )

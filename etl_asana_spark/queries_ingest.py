@@ -940,3 +940,63 @@ def q_ingest_badlines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=f"""
+    WITH merged AS (
+        SELECT gid, modified_at FROM (
+            SELECT gid, modified_at,
+                   row_number() OVER (PARTITION BY gid
+                                      ORDER BY modified_at DESC) AS rn
+            FROM (
+                SELECT gid, modified_at FROM {_read_json(_B1)}
+                UNION ALL
+                SELECT gid, modified_at FROM {_read_json(_B2)}
+            )
+        ) WHERE rn = 1
+    ),
+    prior AS (SELECT gid, modified_at FROM {_read_json(_B1)}),
+    classified AS (
+        SELECT CASE
+            WHEN p.gid IS NULL THEN 'added'
+            WHEN m.modified_at > p.modified_at THEN 'updated'
+            ELSE 'unchanged'
+        END AS change_type
+        FROM merged m LEFT JOIN prior p ON m.gid = p.gid
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_tasks
+    FROM classified GROUP BY change_type
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the sync-audit report between the prior extract and
+    the post-merge state: how many tasks were added, updated in place, or
+    untouched. The operational answer to 'what did this sync actually do',
+    and the check that catches a silently-empty incremental batch.
+
+    Plan: the merged state is the standard newest-per-gid window; the diff
+    is one left join back to the prior snapshot keyed on gid + a grouped
+    count at change-type grain (3 rows out). At warehouse scale both sides
+    are gid-partitioned tables, so the join is co-located and the report
+    costs one scan each.
+    """
+    ensure_fixtures(FIXTURES_DIR)
+    b1 = asana.read_tasks(spark, _B1).select("gid", "modified_at")
+    b2 = asana.read_tasks(spark, _B2).select("gid", "modified_at")
+    merged = asana.upsert_batches(b1, b2).select("gid", "modified_at")
+    prior = b1.select(
+        F.col("gid").alias("p_gid"), F.col("modified_at").alias("p_modified")
+    )
+    classified = merged.join(
+        prior, F.col("gid") == F.col("p_gid"), "left"
+    ).select(
+        F.when(F.col("p_gid").isNull(), "added")
+        .when(F.col("modified_at") > F.col("p_modified"), "updated")
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    return classified.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_tasks")
+    )

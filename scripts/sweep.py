@@ -74,11 +74,17 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
     from pyspark.sql import SparkSession
 
+    # SWEEP_SHUFFLE overrides the shuffle-partition count: running the whole
+    # sweep at an odd count (e.g. 7) proves results are partitioning-
+    # invariant — the fixed-point aggregation discipline's whole point.
+    n_shuffle = os.environ.get("SWEEP_SHUFFLE", "32")
     spark = (
         SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", n_shuffle)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
