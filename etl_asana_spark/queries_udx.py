@@ -173,7 +173,27 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_win_ema")
+@register(
+    "q_win_ema",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    rec AS (
+        SELECT user_id, event_id, value, rn, value AS ema
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.value, s.rn,
+               (1.0 - 0.2) * r.ema + 0.2 * s.value
+        FROM seq s JOIN rec r
+          ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, value, ROUND(ema, 6) AS ema FROM rec
+    """,
+)
 def q_win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average of event value per user
     (α=0.2, adjust-free recurrence ema_t = α·x_t + (1−α)·ema_{t−1}).
@@ -183,8 +203,15 @@ def q_win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflows (1−α)^{−t}). The scalable shape is exactly this: one shuffle
     on the key, then an Arrow-batched sequential fold per group
     (applyInPandas + pandas ewm) — each user's history is bounded, the
-    fleet of groups is what scales out. Rows-only (SQL has no fixpoint);
-    the recurrence itself is re-verified in pure Python in
+    fleet of groups is what scales out.
+
+    Oracle-checked despite the fixpoint: the DuckDB oracle steps the SAME
+    recurrence through a recursive CTE, advancing every user one event per
+    iteration, with the multiplication written exactly as pandas computes
+    it under ``adjust=False`` — ``(1.0 - α)·prev + α·x`` (note 1.0-0.2 is
+    one ulp off the 0.8 literal; the order and operand shapes match the
+    fold bit-for-bit, and the 6-dp round absorbs accumulated ulp drift).
+    The recurrence is additionally re-verified in pure Python in
     tests/test_udx_extra.py.
     """
     t = load_tables(spark, sf_dir)
@@ -202,4 +229,5 @@ def q_win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(
             ema, schema="user_id long, event_id long, value double, ema double"
         )
+        .withColumn("ema", F.round("ema", 6))
     )

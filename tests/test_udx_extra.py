@@ -30,7 +30,9 @@ def test_ema_matches_pure_python_recurrence(spark, sf_dir):
         .collect()
     }
     assert set(got) == set(expect)
-    assert all(abs(got[k] - expect[k]) < 1e-9 for k in expect)
+    # The query rounds ema to 6 dp for the cross-engine oracle; allow the
+    # half-unit-in-last-place of that rounding on top of float drift.
+    assert all(abs(got[k] - expect[k]) < 5.1e-7 for k in expect)
 
 
 def test_variant_extract_equals_schema_declared_path(spark, sf_dir):
