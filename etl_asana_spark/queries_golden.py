@@ -602,3 +602,123 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(w_f).alias("f_score"),
         F.ntile(5).over(w_m).alias("m_score"),
     )
+
+
+@register(
+    "q_growth_mom",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               COUNT(*) AS n_orders,
+               {{dsum_price}} AS revenue
+        FROM orders
+        GROUP BY date_trunc('month', o_orderdate)
+    )
+    SELECT CAST(month AS VARCHAR) AS month, n_orders, revenue,
+           ROUND(CASE WHEN lag(revenue) OVER (ORDER BY month) IS NULL
+                      THEN NULL
+                      ELSE (revenue - lag(revenue) OVER (ORDER BY month))
+                           / lag(revenue) OVER (ORDER BY month) END,
+                 8) AS mom_growth
+    FROM monthly
+    """.format(dsum_price=sql_dsum("o_totalprice")),
+)
+def q_growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the first chart of every revenue
+    dashboard. Aggregate to the month grain FIRST (fact-scale work is one
+    grouped agg), then a lag window over the few-dozen-row monthly series;
+    growth is a double ratio of fixed-point-exact month totals, so the
+    percentages can't drift with partitioning. The month-grain window is a
+    deliberate tiny SinglePartition — windowing the reduced series, never
+    the fact.
+    """
+    t = load_tables(spark, sf_dir)
+    monthly = (
+        t["orders"]
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        F.col("month").cast("string").alias("month"),
+        "n_orders",
+        "revenue",
+        F.round(
+            F.when(prev.isNull(), F.lit(None)).otherwise(
+                (F.col("revenue") - prev) / prev
+            ),
+            8,
+        ).alias("mom_growth"),
+    )
+
+
+@register(
+    "q_pareto_8020",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey, {{dsum_price}} AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, spend,
+               SUM(spend) OVER (ORDER BY spend DESC, o_custkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_spend
+        FROM per_cust
+    ),
+    total AS (SELECT MAX(cum_spend) AS tot FROM ranked)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_top_customers,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM per_cust) AS n_customers,
+           ROUND(MAX(cum_spend) / (SELECT tot FROM total), 8)
+               AS captured_share
+    FROM ranked
+    WHERE cum_spend < 0.8 * (SELECT tot FROM total)
+    """.format(dsum_price=sql_dsum("o_totalprice")),
+)
+def q_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration (the 80/20 report): how many top customers it
+    takes to reach 80% of revenue, and the exact share they capture just
+    before crossing the threshold.
+
+    Fact-scale work is one grouped agg to customer grain; the running
+    share is a window over that reduced frame ordered by (spend DESC,
+    custkey) — a total order, so the crossing point is deterministic; the
+    grand total is the final running value (identical sequential addition
+    order on both engines), so the 0.8 threshold comparison can't flip
+    with partitioning or engine. One summary row out.
+    """
+    t = load_tables(spark, sf_dir)
+    per_cust = t["orders"].groupBy("o_custkey").agg(
+        dsum("o_totalprice").alias("spend")
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = per_cust.select(
+        "o_custkey", "spend", F.sum("spend").over(w).alias("cum_spend")
+    )
+    # Grand total = the LAST running value: the same deterministic sequential
+    # addition order on both engines (a plain SUM would re-associate and
+    # could differ in the low bits, flipping the 0.8 threshold at the edge).
+    total = ranked.agg(F.max("cum_spend").alias("tot"))
+    n_customers = per_cust.agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .filter(F.col("cum_spend") < 0.8 * F.col("tot"))
+        .agg(
+            F.count(F.lit(1)).alias("n_top_customers"),
+            F.round(F.max("cum_spend") / F.first("tot"), 8).alias(
+                "captured_share"
+            ),
+        )
+        .crossJoin(F.broadcast(n_customers))
+        .select("n_top_customers", "n_customers", "captured_share")
+    )

@@ -72,6 +72,7 @@ CROSS_OK = {
                            # the 100 TB path is q_dedup_semantic/q_sim_ivf
     "q_skew_report",       # counts × 1-row total for the share column
     "q_orders_rfm",        # fact × 1-row reference-date broadcast
+    "q_pareto_8020",       # ranked × 1-row total/count broadcasts
 }
 
 #: Keys that exist to exercise the row-at-a-time Python path itself.
@@ -87,6 +88,8 @@ SINGLE_OK_PATTERNS = (
     "q_orders_rfm",          # global ntile windows on the customer-grain
                              # aggregate (dim cardinality, ranking report)
     "q_interpolate_linear",  # calendar-grain spine windows
+    "q_growth_mom",          # month-grain series window
+    "q_pareto_8020",         # customer-grain running share + 1-row total
 )
 
 
