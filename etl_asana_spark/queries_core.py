@@ -1325,3 +1325,73 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(stats).withColumnRenamed("seg", "s_seg"),
         F.col("seg").eqNullSafe(F.col("s_seg")),
     ).select("c_custkey", "seg", "seg_size")
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+    ),
+    agg AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               MAX(CASE WHEN v.view_ts <= p.ts THEN v.view_ts END) AS back_ts,
+               MIN(CASE WHEN v.view_ts >= p.ts THEN v.view_ts END) AS fwd_ts
+        FROM p JOIN v ON p.user_id = v.user_id
+        GROUP BY p.event_id, p.user_id, p.ts
+    )
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(CASE
+               WHEN back_ts IS NULL THEN fwd_ts
+               WHEN fwd_ts IS NULL THEN back_ts
+               WHEN ts - back_ts <= fwd_ts - ts THEN back_ts
+               ELSE fwd_ts END AS TIMESTAMP) AS nearest_view_ts
+    FROM agg
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction: each purchase paired with the closest
+    view in time, before OR after (ties go to the earlier view) — the
+    sensor-alignment variant of as-of (backward-only is attribution;
+    nearest is clock alignment).
+
+    One equi join on the user key + a single conditional aggregation
+    computes both directional candidates at once (latest view ≤ t, earliest
+    view ≥ t) — one shuffle total, same cost as the backward as-of; the
+    direction pick is per-row arithmetic on exact microsecond differences.
+    No window over the fact, no per-row subquery.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"), F.col("ts").alias("view_ts")
+    )
+    agg = (
+        p.join(v, F.col("user_id") == F.col("v_user_id"))
+        .groupBy("event_id", "user_id", "ts")
+        .agg(
+            F.max(
+                F.when(F.col("view_ts") <= F.col("ts"), F.col("view_ts"))
+            ).alias("back_ts"),
+            F.min(
+                F.when(F.col("view_ts") >= F.col("ts"), F.col("view_ts"))
+            ).alias("fwd_ts"),
+        )
+    )
+    back_diff = F.unix_micros("ts") - F.unix_micros("back_ts")
+    fwd_diff = F.unix_micros("fwd_ts") - F.unix_micros("ts")
+    nearest = (
+        F.when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+        .when(back_diff <= fwd_diff, F.col("back_ts"))
+        .otherwise(F.col("fwd_ts"))
+    )
+    return agg.select(
+        "event_id", "user_id", "ts", nearest.alias("nearest_view_ts")
+    )
