@@ -667,3 +667,38 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_trans",
         F.round(F.col("n_trans").cast("double") / F.col("n_from"), 8).alias("p"),
     )
+
+
+@register(
+    "q_weekday_seasonality",
+    oracle=f"""
+    SELECT CAST(isodow(ts) AS INT) AS weekday,
+           CAST(CAST(hour(ts) AS BIGINT) // 6 AS INT) AS day_quarter,
+           COUNT(*) AS n_events,
+           {{dsum_value}} AS total_value
+    FROM events
+    GROUP BY isodow(ts), CAST(hour(ts) AS BIGINT) // 6
+    """.format(dsum_value=sql_dsum("value")),
+)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × day-quarter seasonality profile — the heat-map behind
+    capacity planning and anomaly baselines (is Monday morning always
+    like this?). ISO weekday (Mon=1..Sun=7) × 6-hour bucket: 28 cells
+    regardless of fact size; one grouped aggregation with both grouping
+    keys derived in the scan projection (codegen'd date-part extraction,
+    no pre-shuffle).
+    """
+    t = load_tables(spark, sf_dir)
+    # Spark dayofweek: Sun=1..Sat=7 — convert to ISO (Mon=1..Sun=7).
+    iso_dow = ((F.dayofweek("ts") + 5) % 7) + 1
+    return (
+        t["events"]
+        .groupBy(
+            iso_dow.cast("int").alias("weekday"),
+            F.expr("CAST(hour(ts) div 6 AS INT)").alias("day_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )

@@ -936,3 +936,136 @@ def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+@register(
+    "q_part_affinity_lift",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM baskets
+    ),
+    item AS (
+        SELECT l_partkey, COUNT(*) AS n_item FROM baskets GROUP BY l_partkey
+    ),
+    pair AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_pair
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 3
+    )
+    SELECT p.p1, p.p2, CAST(p.n_pair AS BIGINT) AS n_pair,
+           ROUND((CAST(p.n_pair AS DOUBLE) / n.n)
+                 / ((CAST(i1.n_item AS DOUBLE) / n.n)
+                    * (CAST(i2.n_item AS DOUBLE) / n.n)), 6) AS lift
+    FROM pair p
+    JOIN item i1 ON i1.l_partkey = p.p1
+    JOIN item i2 ON i2.l_partkey = p.p2
+    CROSS JOIN n_orders n
+    """,
+)
+def q_part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift: P(a,b) / (P(a)·P(b)) for part pairs co-bought in
+    ≥3 orders — the association-rule score that separates genuine affinity
+    from popularity (support alone over-ranks pairs of bestsellers).
+
+    Pair generation is the canonical per-basket self-join (bounded by
+    basket size squared, keyed on the order — never a global cross
+    product); item supports broadcast back onto the surviving pairs; lift
+    is per-row arithmetic on exact counts over one fixed order total, so
+    the scores are engine-identical at 6 dp.
+    """
+    t = load_tables(spark, sf_dir)
+    baskets = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n")
+    )
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    i1 = item.select(
+        F.col("l_partkey").alias("p1"), F.col("n_item").alias("n1")
+    )
+    i2 = item.select(
+        F.col("l_partkey").alias("p2"), F.col("n_item").alias("n2")
+    )
+    return (
+        pair.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            F.round(
+                (F.col("n_pair").cast("double") / F.col("n"))
+                / (
+                    (F.col("n1").cast("double") / F.col("n"))
+                    * (F.col("n2").cast("double") / F.col("n"))
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "q_zscore_normalize",
+    oracle=f"""
+    WITH stats AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {{dsum_bal}} AS sx,
+               {{dsum_bal_sq}} AS sxx
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+           ROUND((c.c_acctbal - (s.sx / s.n))
+                 / sqrt(((s.sxx) - ((s.sx * s.sx) / s.n)) / (s.n - 1)),
+                 8) AS bal_z
+    FROM customer c JOIN stats s USING (c_mktsegment)
+    """.format(
+        dsum_bal=sql_dsum("c_acctbal"),
+        dsum_bal_sq=sql_dsum("c_acctbal * c_acctbal"),
+    ),
+)
+def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization — the feature-engineering
+    normalization every ML pipeline applies before training.
+
+    Group mean and sample stddev come from exact fixed-point moments (the
+    functions.parity discipline: native stddev merges co-moments in
+    shuffle order and drifts in the low bits), computed in one grouped agg
+    at segment grain and broadcast back onto the fact — the normalization
+    itself is per-row codegen'd arithmetic, one shuffle total, identical
+    expression tree on both engines.
+    """
+    t = load_tables(spark, sf_dir)
+    bal = F.col("c_acctbal")
+    stats = t["customer"].groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(bal).alias("sx"),
+        dsum(bal * bal).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    std = F.sqrt((sxx - ((sx * sx) / n)) / (n - F.lit(1.0)))
+    return (
+        t["customer"]
+        .join(F.broadcast(stats), "c_mktsegment")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.round((bal - (sx / n)) / std, 8).alias("bal_z"),
+        )
+    )

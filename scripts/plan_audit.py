@@ -73,6 +73,7 @@ CROSS_OK = {
     "q_skew_report",       # counts × 1-row total for the share column
     "q_orders_rfm",        # fact × 1-row reference-date broadcast
     "q_pareto_8020",       # ranked × 1-row total/count broadcasts
+    "q_part_affinity_lift",  # pairs × 1-row order-total broadcast
 }
 
 #: Keys that exist to exercise the row-at-a-time Python path itself.
