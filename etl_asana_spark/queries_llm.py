@@ -1970,3 +1970,65 @@ def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_variants") >= 2)
     )
+
+
+@register(
+    "q_text_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM toks GROUP BY doc_id, token
+    ),
+    dl AS (
+        SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM tf GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(d.n AS BIGINT) AS n_tokens,
+           d.n_distinct,
+           CAST(SUM(CAST(floor((t.c / d.n) * ln(t.c / d.n) * 1000000000 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS neg_entropy_units
+    FROM tf t JOIN dl d USING (doc_id)
+    GROUP BY t.doc_id, d.n, d.n_distinct
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy (−Σ p·ln p over in-doc token
+    frequencies) — the compressibility/repetitiveness quality signal:
+    machine-generated or boilerplate text scores low, diverse prose high.
+
+    Determinism: each term p·ln(p) is canonicalized to fixed-point 1e-9
+    units (floor(x+0.5) → BIGINT) BEFORE the per-doc sum, so the sum is
+    exact integer arithmetic — associative under any partitioning, the
+    same discipline as q_dsir_weights. Entropy in nats =
+    −neg_entropy_units/1e9. Plan: one explode, a (doc, token) grouped
+    count (partial agg combines map-side), a doc-grain length join, one
+    per-doc aggregation — two shuffles total, nothing Python.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select("doc_id", F.explode(text.ws_tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    dl = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    p = F.col("c") / F.col("n")
+    units = F.floor(p * F.log(p) * 1000000000 + 0.5).cast("long")
+    return (
+        tf.join(dl, "doc_id")
+        .groupBy("doc_id", "n", "n_distinct")
+        .agg(F.sum(units).cast("long").alias("neg_entropy_units"))
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            "n_distinct",
+            "neg_entropy_units",
+        )
+    )
