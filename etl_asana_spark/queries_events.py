@@ -702,3 +702,89 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+@register(
+    "q_events_dau_wau_mau",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM user_days),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS snap_day
+        FROM bounds
+    ),
+    joined AS (
+        SELECT s.snap_day, u.user_id, u.day
+        FROM spine s JOIN user_days u
+          ON u.day BETWEEN s.snap_day - 29 AND s.snap_day
+    )
+    SELECT CAST(snap_day AS VARCHAR) AS snap_day,
+           CAST(COUNT(DISTINCT CASE WHEN day = snap_day
+                                    THEN user_id END) AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT CASE WHEN day >= snap_day - 6
+                                    THEN user_id END) AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau,
+           ROUND(CAST(COUNT(DISTINCT CASE WHEN day = snap_day
+                                          THEN user_id END) AS DOUBLE)
+                 / COUNT(DISTINCT user_id), 8) AS stickiness
+    FROM joined
+    GROUP BY snap_day
+    """,
+)
+def q_events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU + stickiness (DAU/MAU) — the engagement metric family
+    every product dashboard leads with, computed for every day of the range
+    with true trailing windows (not calendar buckets).
+
+    Plan: the fact reduces to distinct (user, day) once; the day spine is
+    calendar-sized and BROADCAST, so the trailing-window expansion is a
+    broadcast range join with bounded fan-out (each user-day lands in at
+    most 30 snapshots) — never a shuffle of the fact against itself. The
+    three distinct counts share one aggregation over the expanded frame.
+    At 100 TB the user-day reduction is the heavy (and partial-agg
+    friendly) step; the expansion after it is proportional to active
+    users × 30, not raw events.
+    """
+    t = load_tables(spark, sf_dir)
+    user_days = (
+        t["events"].select("user_id", F.to_date("ts").alias("day")).distinct()
+    )
+    bounds = user_days.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("snap_day")
+    )
+    joined = user_days.join(
+        F.broadcast(spine),
+        (F.col("day") >= F.date_sub(F.col("snap_day"), 29))
+        & (F.col("day") <= F.col("snap_day")),
+    )
+    return joined.groupBy("snap_day").agg(
+        F.countDistinct(
+            F.when(F.col("day") == F.col("snap_day"), F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct(
+            F.when(
+                F.col("day") >= F.date_sub(F.col("snap_day"), 6),
+                F.col("user_id"),
+            )
+        ).alias("wau"),
+        F.countDistinct("user_id").alias("mau"),
+        F.round(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("snap_day"), F.col("user_id"))
+            ).cast("double")
+            / F.countDistinct("user_id"),
+            8,
+        ).alias("stickiness"),
+    ).select(
+        F.col("snap_day").cast("string").alias("snap_day"),
+        "dau",
+        "wau",
+        "mau",
+        "stickiness",
+    )
