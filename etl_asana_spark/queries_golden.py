@@ -722,3 +722,79 @@ def q_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_customers))
         .select("n_top_customers", "n_customers", "captured_share")
     )
+
+
+@register(
+    "q_cohort_ltv",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    monthly AS (
+        SELECT f.cohort,
+               CAST((year(o.o_orderdate) - year(f.cohort)) * 12
+                    + (month(o.o_orderdate) - month(f.cohort)) AS INT)
+                   AS month_offset,
+               {{dsum_price}} AS revenue
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+        GROUP BY f.cohort,
+                 (year(o.o_orderdate) - year(f.cohort)) * 12
+                 + (month(o.o_orderdate) - month(f.cohort))
+    )
+    SELECT CAST(cohort AS VARCHAR) AS cohort, month_offset, revenue,
+           CAST(SUM(CAST(revenue AS DECIMAL(25,6))) OVER (
+               PARTITION BY cohort ORDER BY month_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS cumulative_ltv
+    FROM monthly
+    WHERE month_offset <= 11
+    """.format(dsum_price=sql_dsum("o_totalprice")),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: customers grouped by first-order month, revenue
+    accumulated by month offset over the first year — the growth-finance
+    view of q_golden_retention_cohorts (which counts heads; this sums
+    money).
+
+    Plan: first-order month per customer is one grouped agg; it joins back
+    onto orders (broadcast at dim scale, co-partitioned on the customer key
+    at 100 TB), revenue reduces to (cohort × offset) grain with the
+    fixed-point sum, and the cumulative curve is a decimal-exact running
+    window over that tiny matrix — ~cohorts × 12 cells, never the fact.
+    """
+    t = load_tables(spark, sf_dir)
+    firsts = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.date_trunc("month", F.min("o_orderdate"))
+            .cast("date")
+            .alias("cohort")
+        )
+    )
+    joined = t["orders"].join(firsts, "o_custkey")
+    offset = (
+        (F.year("o_orderdate") - F.year("cohort")) * 12
+        + (F.month("o_orderdate") - F.month("cohort"))
+    ).cast("int")
+    monthly = (
+        joined.groupBy("cohort", offset.alias("month_offset"))
+        .agg(dsum("o_totalprice").alias("revenue"))
+        .filter(F.col("month_offset") <= 11)
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return monthly.select(
+        F.col("cohort").cast("string").alias("cohort"),
+        "month_offset",
+        "revenue",
+        F.sum(F.col("revenue").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("cumulative_ltv"),
+    )
