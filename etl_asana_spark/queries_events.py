@@ -788,3 +788,79 @@ def q_events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         "stickiness",
     )
+
+
+@register(
+    "q_ab_test_lift",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN (user_id * 2654435761) % 4294967296 % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv,
+               CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+                   AS purchase_value
+        FROM events
+    ),
+    per_user AS (
+        SELECT arm, user_id,
+               MAX(conv) AS converted,
+               {{dsum_pv}} AS user_value
+        FROM assigned GROUP BY arm, user_id
+    )
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 8) AS conv_rate,
+           ROUND(SUM(CAST(floor(user_value * 1000000 + 0.5) AS BIGINT))
+                 / 1000000.0 / COUNT(*), 8) AS avg_user_value
+    FROM per_user
+    GROUP BY arm
+    """.format(dsum_pv=sql_dsum("purchase_value")),
+)
+def q_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-assigned to two
+    arms (the same Knuth multiplicative hash as the sampling family, so
+    assignment is a pure function of user_id — reproducible across engines,
+    runs, and partitionings), then per-arm conversion rate and average
+    per-user purchase value.
+
+    Plan: assignment is per-row arithmetic in the scan; the analysis is two
+    grouped aggregations (user grain, then arm grain) — the same
+    partial-agg-friendly shape as any funnel. Per-user values re-enter the
+    arm-level mean through fixed-point units so the division is over an
+    exact sum. At 100 TB this is the nightly experiment scorecard: one
+    scan, two shuffles, two rows out.
+    """
+    t = load_tables(spark, sf_dir)
+    arm = F.when(
+        (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296) % 2 == 0,
+        "A",
+    ).otherwise("B")
+    assigned = t["events"].select(
+        "user_id",
+        arm.alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(0.0)
+        .alias("purchase_value"),
+    )
+    per_user = assigned.groupBy("arm", "user_id").agg(
+        F.max("conv").alias("converted"),
+        dsum("purchase_value").alias("user_value"),
+    )
+    return per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(
+            F.sum("converted").cast("double") / F.count(F.lit(1)), 8
+        ).alias("conv_rate"),
+        F.round(
+            F.sum(
+                F.floor(F.col("user_value") * 1000000 + 0.5).cast("long")
+            )
+            / F.lit(1000000.0)
+            / F.count(F.lit(1)),
+            8,
+        ).alias("avg_user_value"),
+    )
