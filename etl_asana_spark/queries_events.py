@@ -864,3 +864,71 @@ def q_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("avg_user_value"),
     )
+
+
+@register(
+    "q_conversion_latency",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+    ),
+    matched AS (
+        SELECT p.event_id,
+               (epoch_us(p.ts)
+                - epoch_us(MAX(CASE WHEN v.view_ts <= p.ts
+                                    THEN v.view_ts END))) // 1000000
+                   AS latency_sec
+        FROM p JOIN v ON p.user_id = v.user_id
+        GROUP BY p.event_id, p.ts
+        HAVING MAX(CASE WHEN v.view_ts <= p.ts THEN v.view_ts END) IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(CAST(median(latency_sec) AS DOUBLE), 4) AS p50_sec,
+           ROUND(CAST(quantile_cont(latency_sec, 0.90) AS DOUBLE), 4) AS p90_sec,
+           ROUND(CAST(quantile_cont(latency_sec, 0.99) AS DOUBLE), 4) AS p99_sec
+    FROM matched
+    """,
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: seconds from a user's latest prior
+    view to each purchase (the backward as-of pairing), summarized as exact
+    p50/p90/p99 — the SLA-style readout of how long intent takes to close.
+
+    The as-of pairing is the same one-shuffle conditional-argmax as
+    q_join_asof; latencies are exact integer seconds; the percentiles are
+    exact continuous quantiles over the bounded conversions set (rounded to
+    absorb the engines' equivalent interpolation arithmetic). One summary
+    row out.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"), F.col("ts").alias("view_ts")
+    )
+    matched = (
+        p.join(v, F.col("user_id") == F.col("v_user_id"))
+        .groupBy("event_id", "ts")
+        .agg(
+            F.max(
+                F.when(F.col("view_ts") <= F.col("ts"), F.col("view_ts"))
+            ).alias("last_view_ts")
+        )
+        .filter(F.col("last_view_ts").isNotNull())
+        .select(
+            F.expr(
+                "(unix_micros(ts) - unix_micros(last_view_ts)) div 1000000"
+            ).alias("latency_sec")
+        )
+    )
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.median("latency_sec"), 4).alias("p50_sec"),
+        F.round(F.percentile("latency_sec", 0.90), 4).alias("p90_sec"),
+        F.round(F.percentile("latency_sec", 0.99), 4).alias("p99_sec"),
+    )
