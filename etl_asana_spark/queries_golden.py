@@ -798,3 +798,58 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("cumulative_ltv"),
     )
+
+
+@register(
+    "q_backlog_aging",
+    oracle=f"""
+    WITH ref AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS ref_day FROM orders),
+    open_orders AS (
+        SELECT o_orderkey, o_totalprice,
+               date_diff('day', CAST(o_orderdate AS DATE), ref.ref_day)
+                   AS age_days
+        FROM orders, ref
+        WHERE o_orderstatus = 'O'
+    )
+    SELECT CASE WHEN age_days <= 30 THEN '0-30'
+                WHEN age_days <= 90 THEN '31-90'
+                WHEN age_days <= 365 THEN '91-365'
+                ELSE '365+' END AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {{dsum_price}} AS backlog_value
+    FROM open_orders
+    GROUP BY CASE WHEN age_days <= 30 THEN '0-30'
+                  WHEN age_days <= 90 THEN '31-90'
+                  WHEN age_days <= 365 THEN '91-365'
+                  ELSE '365+' END
+    """.format(dsum_price=sql_dsum("o_totalprice")),
+)
+def q_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging — the operations report behind working-
+    capital and fulfillment SLAs: open orders bucketed by age at the
+    dataset's reference date, with count and value per bucket.
+
+    The reference date is a 1-row broadcast (never a driver-side collect);
+    bucketing is a per-row CASE in the scan projection; one grouped
+    aggregation at bucket grain (4 rows out) with the fixed-point value
+    sum. The status filter pushes to the parquet reader.
+    """
+    t = load_tables(spark, sf_dir)
+    ref = t["orders"].agg(F.to_date(F.max("o_orderdate")).alias("ref_day"))
+    age = F.datediff(F.col("ref_day"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 90, "31-90")
+        .when(age <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(ref))
+        .groupBy(bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("backlog_value"),
+        )
+    )

@@ -75,6 +75,7 @@ CROSS_OK = {
     "q_pareto_8020",       # ranked × 1-row total/count broadcasts
     "q_part_affinity_lift",  # pairs × 1-row order-total broadcast
     "q_events_dau_wau_mau",  # broadcast calendar spine range join
+    "q_backlog_aging",       # fact × 1-row reference-date broadcast
 }
 
 #: Keys that exist to exercise the row-at-a-time Python path itself.
