@@ -1395,3 +1395,48 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_id", "user_id", "ts", nearest.alias("nearest_view_ts")
     )
+
+
+@register(
+    "q_agg_geomean",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(exp(SUM(CAST(floor(ln(l_extendedprice) * 1000000000 + 0.5)
+                         AS BIGINT)) / 1000000000.0 / COUNT(*)), 6)
+               AS geomean_price
+    FROM lineitem
+    WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean per group — the multiplicative-average aggregate
+    neither engine exposes as a SQL standard (Spark has no PRODUCT at all),
+    composed portably as exp(mean(ln x)).
+
+    The log terms are canonicalized to fixed-point 1e-9 units before
+    summing (exact integer arithmetic — associative under any shuffle
+    order, the functions.parity discipline applied to a log-domain sum),
+    so the group means and the final exp are identical on both engines;
+    a naive SUM(ln x) would drift in the low bits with partitioning.
+    Positive-domain filter pushes to the scan.
+    """
+    t = load_tables(spark, sf_dir)
+    units = F.floor(
+        F.log(F.col("l_extendedprice")) * 1000000000 + 0.5
+    ).cast("long")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_extendedprice") > 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.exp(
+                    F.sum(units) / F.lit(1000000000.0) / F.count(F.lit(1))
+                ),
+                6,
+            ).alias("geomean_price"),
+        )
+    )
