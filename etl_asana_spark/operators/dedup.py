@@ -16,9 +16,10 @@ Fuzzy families, all linear-ish by blocking (never all-pairs at scale):
                   expressions (xxhash64 + bit ops), no ml dependency.
 - n-gram Jaccard— exact set Jaccard with shared-shingle blocking: only pairs
                   sharing ≥1 shingle are ever materialized.
-- embedding cos — near-dups in embedding space; exact all-pairs here, with
-                  the documented scale path being the LSH/IVF bucketing from
-                  operators.similarity.
+- embedding cos — near-dups in embedding space; the registered path is
+                  triangle-inequality cell blocking (exact, BNLJ-free —
+                  ``embedding_cosine_dups_blocked``); the plain all-pairs
+                  form is kept as the small-scale reference/oracle twin.
 """
 
 from __future__ import annotations
@@ -255,6 +256,124 @@ def embedding_cosine_dups(
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine("vec_a", "vec_b").alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_cosine_dups_blocked(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_sign_bits: int = 4,
+) -> DataFrame:
+    """Exact near-dup pairs (cos ≥ threshold) WITHOUT the all-pairs join.
+
+    Provably the same answer set as :func:`embedding_cosine_dups`, via
+    triangle-inequality cell blocking on the unit sphere:
+
+    1. Every vector is L2-normalized; ``cos(a,b) ≥ t ⇔ ‖â−b̂‖ ≤ d`` with
+       ``d = √(2−2t)``, so the cosine cut is a Euclidean ball.
+    2. Cells = sign pattern of the first ``n_sign_bits`` coordinates (any
+       deterministic partition works — EXACTNESS NEVER DEPENDS ON THE
+       PARTITION, only pruning quality does; at cluster scale raise the bit
+       count so cell count tracks data volume).
+    3. Per cell: centroid ``c`` (mean of normalized members) and radius
+       ``r = max ‖v̂−c‖``. A cell pair (i, j) can contain a matching pair
+       only if ``‖cᵢ−cⱼ‖ ≤ rᵢ+rⱼ+d`` (triangle inequality: any a∈i, b∈j
+       has ``‖â−b̂‖ ≥ ‖cᵢ−cⱼ‖−rᵢ−rⱼ``); all other cell pairs are pruned
+       with proof, never scanned.
+    4. The surviving cell pairs get the SAME exact cosine verify join as
+       the all-pairs form (raw vectors, identical expression), so values
+       are bit-identical where produced.
+
+    Scale shape: no BNLJ anywhere — cell stats are two shuffles on the cell
+    key, the cell-pair table is O(cells²) tiny rows computed from a bounded
+    ``collect()`` (cells ≤ 2^n_sign_bits, same class as the repo's other
+    bounded collects), and the verify join is a broadcast of that table plus
+    one shuffle on the cell key. With clustered real-world embeddings and a
+    realistic threshold, pruning discards most cell pairs; on an adversarial
+    uniform corpus it degrades to the same total comparisons as all-pairs
+    but still executes as shuffle joins, never a nested loop.
+    """
+    import math
+
+    from ..functions.vector import cosine, l2_normalize
+
+    d_cut = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-9
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_normalize(vec_col).alias("nv"),
+    )
+    # Cell id from coordinate signs — pure projection, no shuffle.
+    cell = F.lit(0)
+    for p in range(n_sign_bits):
+        cell = cell + F.when(F.col("nv")[p] > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    assigned = base.withColumn("cell", cell)
+
+    # Centroid per cell via posexplode → (cell, pos) mean → re-assembled
+    # array (ordered collect_list — the repo's standard array-rebuild).
+    cent = (
+        assigned.select("cell", F.posexplode("nv").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+    dist_to_cent = F.sqrt(
+        F.aggregate(
+            F.zip_with("nv", "centroid", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    stats = (
+        assigned.join(F.broadcast(cent), "cell")
+        .groupBy("cell")
+        .agg(F.first("centroid").alias("centroid"), F.max(dist_to_cent).alias("r"))
+    )
+
+    # Bounded collect (≤ 2^n_sign_bits rows): prune cell pairs driver-side.
+    cells = [(row["cell"], row["centroid"], row["r"]) for row in stats.collect()]
+    edges = []
+    for i, (ci, vi, ri) in enumerate(cells):
+        for cj, vj, rj in cells[i:]:
+            cc = math.sqrt(sum((a - b) ** 2 for a, b in zip(vi, vj)))
+            if cc <= ri + rj + d_cut + 1e-9:
+                edges.append((min(ci, cj), max(ci, cj)))
+    spark = embeddings.sparkSession
+    edge_df = spark.createDataFrame(edges or [], "cell_a int, cell_b int")
+
+    a = assigned.select(
+        F.col("cell").alias("cell_a"),
+        F.col("id").alias("ida"),
+        F.col("vec").alias("veca"),
+    )
+    b = assigned.select(
+        F.col("cell").alias("cell_b"),
+        F.col("id").alias("idb"),
+        F.col("vec").alias("vecb"),
+    )
+    # Cross-cell pairs match exactly once (edge has cell_a < cell_b);
+    # same-cell pairs dedupe on id order.
+    return (
+        a.join(F.broadcast(edge_df), "cell_a")
+        .join(b, "cell_b")
+        .filter((F.col("cell_a") != F.col("cell_b")) | (F.col("ida") < F.col("idb")))
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            # cosine is bit-symmetric here: per-element products commute and
+            # the accumulation order is the element index either way.
+            cosine("veca", "vecb").alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
 

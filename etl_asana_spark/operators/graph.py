@@ -24,7 +24,15 @@ from pyspark.sql import functions as F
 #: nests the previous plan and Catalyst analysis goes super-linear — the
 #: classic iterative-DataFrame failure mode (and at cluster scale the same
 #: checkpoint bounds recovery cost after executor loss).
-_CHECKPOINT_EVERY = 2
+#: Materialize + truncate lineage EVERY superstep. Each superstep references
+#: the previous rank vector in two subtrees (edge contributions AND dangling
+#: mass), so without per-step materialization Catalyst re-derives ranks_t
+#: once per reference — the recomputation tree grows geometrically between
+#: checkpoints (measured round 3: 5 supersteps at sf0.01 cost 11+ s with
+#: cadence 2, under 5 s with cadence 1). The rank vector is n_nodes rows —
+#: tiny next to the recomputation it prevents — and per-superstep
+#: checkpointing is the standard Pregel discipline anyway.
+_CHECKPOINT_EVERY = 1
 
 
 def pagerank(
@@ -91,6 +99,7 @@ def pagerank_units(
     iterations: int = 5,
     damping: float = 0.85,
     scale: int = 10**12,
+    dangling_free: bool = False,
 ) -> DataFrame:
     """PageRank in exact fixed-point units — engine/partitioning-invariant.
 
@@ -118,7 +127,10 @@ def pagerank_units(
     outdeg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("outdeg")
     )
-    base = vertices.join(outdeg, "id", "left")
+    # base is joined every superstep — materialize it once instead of
+    # re-deriving vertices⋈outdeg from the raw edges each round (the count()
+    # below forces it anyway).
+    base = vertices.join(outdeg, "id", "left").localCheckpoint(eager=True)
     n = base.count()
     ranks = base.withColumn("u", F.lit(int(scale // n)).cast("long"))
     edges = edges.localCheckpoint(eager=False)
@@ -140,25 +152,43 @@ def pagerank_units(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("w").cast("long").alias("contrib"))
         )
-        dangling = ranks.filter(F.col("outdeg").isNull()).agg(
-            F.coalesce(F.sum("u"), F.lit(0)).cast("long").alias("dmass")
-        )
-        ranks = (
-            base.join(contribs, "id", "left")
-            .join(F.broadcast(dangling))
-            .withColumn(
+        if dangling_free:
+            # Caller guarantees every node has outdeg ≥ 1 (e.g. a symmetric
+            # edge closure): dmass ≡ 0, so dmass div n ≡ 0 and the whole
+            # dangling subtree — a second full pass over the rank vector
+            # plus a broadcast per superstep — drops out with no change to
+            # the arithmetic (the SQL-oracle twin keeps its dmass CTE, which
+            # evaluates to the same zero).
+            stepped = base.join(contribs, "id", "left").withColumn(
                 "u",
                 teleport
                 + F.floor(
                     F.lit(damping)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0)).cast("long")
-                        + F.expr(f"dmass div {n}")
-                    ).cast("double")
+                    * F.coalesce(F.col("contrib"), F.lit(0))
+                    .cast("long")
+                    .cast("double")
                 ).cast("long"),
             )
-            .select("id", "outdeg", "u")
-        )
+        else:
+            dangling = ranks.filter(F.col("outdeg").isNull()).agg(
+                F.coalesce(F.sum("u"), F.lit(0)).cast("long").alias("dmass")
+            )
+            stepped = (
+                base.join(contribs, "id", "left")
+                .join(F.broadcast(dangling))
+                .withColumn(
+                    "u",
+                    teleport
+                    + F.floor(
+                        F.lit(damping)
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0)).cast("long")
+                            + F.expr(f"dmass div {n}")
+                        ).cast("double")
+                    ).cast("long"),
+                )
+            )
+        ranks = stepped.select("id", "outdeg", "u")
         if (it + 1) % _CHECKPOINT_EVERY == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("id", F.col("u").alias("rank_units"))

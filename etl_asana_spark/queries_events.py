@@ -522,9 +522,12 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day
     )
     SELECT CAST(day AS VARCHAR) AS day, new_users,
-           SUM(new_users) OVER (
+           -- CAST: DuckDB windowed SUM(BIGINT) yields HUGEINT, which pandas
+           -- materializes as float64 and the driver's value-hash then
+           -- distinguishes from Spark's int64 (r02 driver red).
+           CAST(SUM(new_users) OVER (
                ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS cum_users
+           ) AS BIGINT) AS cum_users
     FROM per_day
     """,
 )

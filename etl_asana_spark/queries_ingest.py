@@ -689,12 +689,14 @@ def q_load_store_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     store read back. The oracle is the relational upsert the sink's
     commit must equal — two sequential loads ≡ one windowed
     last-modified-wins merge."""
-    import tempfile
-
+    from .scratch import fresh_dir
     from .sources.datasource import register_asana_store
 
     register_asana_store(spark)
-    store = tempfile.mkdtemp(prefix="asana_store_") + "/tasks.ndjson"
+    # fresh_dir, not scratch_dir: the two loads APPEND to the store to
+    # exercise incremental-commit semantics, so a reused directory would
+    # accumulate batches across invocations.
+    store = fresh_dir("asana_store") + "/tasks.ndjson"
     cols = ["gid", "name", "modified_at", "completed"]
     for batch in (_B1, _B2):
         (
@@ -770,10 +772,10 @@ def q_ingest_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot read ORC itself. partitionBy on the low-cardinality status key
     is the 100 TB layout: status predicates become directory pruning, and
     the year filter still pushes into each ORC stripe's min/max index."""
-    import tempfile
+    from .scratch import scratch_dir
 
     t = load_tables(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="orc_roundtrip_") + "/orders_orc"
+    path = scratch_dir("orc_roundtrip", sf_dir) + "/orders_orc"
     (
         t["orders"]
         .filter(
@@ -819,11 +821,11 @@ def q_sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-cardinality event_type is the 100 TB layout: type predicates on
     read-back become directory pruning instead of file parsing.
     """
-    import tempfile
+    from .scratch import scratch_dir
 
     t = load_tables(spark, sf_dir)
     ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-    path = tempfile.mkdtemp(prefix="json_roundtrip_") + "/events_json"
+    path = scratch_dir("json_roundtrip", sf_dir) + "/events_json"
     day = t["events"].filter(
         (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
         & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))

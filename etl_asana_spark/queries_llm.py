@@ -113,12 +113,17 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicates. Exact all-pairs at this scale; the
-    100 TB path blocks by LSH/IVF bucket first (same verify join). The 0.45
-    cut is tuned to this corpus (uniform-ish embeddings, max pairwise cosine
-    ~0.51) so the operator returns a non-empty exact answer set."""
+    """Embedding-cosine near-duplicates via triangle-inequality cell
+    blocking — EXACT (provably the same answer set as the all-pairs oracle,
+    see operators.dedup.embedding_cosine_dups_blocked) but with no BNLJ:
+    cell stats + a broadcast cell-pair table + one shuffle-key verify join.
+    The 0.45 cut is tuned to this corpus (uniform-ish embeddings, max
+    pairwise cosine ~0.51) so the operator returns a non-empty exact answer
+    set; probabilistic LSH banding at such a low threshold would degenerate,
+    which is why the blocking here is metric (centroid+radius pruning with a
+    recall PROOF) rather than probabilistic."""
     t = load_tables(spark, sf_dir)
-    pairs = dedup.embedding_cosine_dups(t["embeddings"], threshold=0.45)
+    pairs = dedup.embedding_cosine_dups_blocked(t["embeddings"], threshold=0.45)
     return pairs.select("id_a", "id_b", F.round("cos", 8).alias("cos"))
 
 
@@ -1714,7 +1719,7 @@ def q_text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(u) AS BIGINT) AS w_units
+           ROUND(SUM(u) / 1000000.0, 3) AS w_logratio
     FROM toks t JOIN lr USING (token)
     GROUP BY t.doc_id
     """,
@@ -1729,6 +1734,14 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     units (floor(x*1e6+0.5) → BIGINT) BEFORE the per-doc sum, so the sum is
     exact integer arithmetic — associative under any partitioning, no
     float-summation-order drift (the same discipline as functions.parity).
+    The OUTPUT is the summed log-ratio rounded to 3 dp, not the raw units:
+    both engines feed ln identical doubles, but their ln implementations
+    are not guaranteed ulp-identical, and a 1-ulp disagreement exactly at a
+    floor(x+0.5) boundary would flip that token's unit in every doc that
+    contains it. The 3-dp round absorbs up to ~500 such per-doc unit flips;
+    residual risk (a flip landing a value exactly on a 0.0005 edge) is the
+    product of two independent boundary events — negligible, and strictly
+    smaller than exposing raw units was.
     Plan: one explode feeds the token-stats aggregation; the per-token
     ratio table is vocabulary-sized and broadcast to the scoring join, so
     scoring a 100 TB corpus is one shuffle (the per-doc agg) plus a
@@ -1769,7 +1782,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("u").cast("long").alias("w_units"),
+            F.round(F.sum("u") / F.lit(1000000.0), 3).alias("w_logratio"),
         )
     )
 
@@ -1991,8 +2004,8 @@ def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.doc_id,
            CAST(d.n AS BIGINT) AS n_tokens,
            d.n_distinct,
-           CAST(SUM(CAST(floor((t.c / d.n) * ln(t.c / d.n) * 1000000000 + 0.5)
-                    AS BIGINT)) AS BIGINT) AS neg_entropy_units
+           ROUND(-SUM(CAST(floor((t.c / d.n) * ln(t.c / d.n) * 1000000000 + 0.5)
+                    AS BIGINT)) / 1000000000.0, 6) AS entropy_nats
     FROM tf t JOIN dl d USING (doc_id)
     GROUP BY t.doc_id, d.n, d.n_distinct
     """,
@@ -2005,10 +2018,16 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: each term p·ln(p) is canonicalized to fixed-point 1e-9
     units (floor(x+0.5) → BIGINT) BEFORE the per-doc sum, so the sum is
     exact integer arithmetic — associative under any partitioning, the
-    same discipline as q_dsir_weights. Entropy in nats =
-    −neg_entropy_units/1e9. Plan: one explode, a (doc, token) grouped
-    count (partial agg combines map-side), a doc-grain length join, one
-    per-doc aggregation — two shuffles total, nothing Python.
+    same discipline as q_dsir_weights. The OUTPUT is entropy in nats
+    rounded to 6 dp rather than the raw units: JVM Math.log and DuckDB's
+    libm are not guaranteed ulp-identical, and a 1-ulp disagreement right
+    at a floor(x+0.5) boundary would flip one raw unit — the 6-dp round
+    absorbs that (a flip changes the value by 1e-9; it could only surface
+    if the true value also sat within 1e-9 of a 0.5e-6 rounding edge —
+    jointly negligible where raw units were a single ulp from red). Plan:
+    one explode, a (doc, token) grouped count (partial agg combines
+    map-side), a doc-grain length join, one per-doc aggregation — two
+    shuffles total, nothing Python.
     """
     docs = load_tables(spark, sf_dir)["documents"]
     toks = docs.select("doc_id", F.explode(text.ws_tokens("text")).alias("token"))
@@ -2029,6 +2048,8 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("n").cast("long").alias("n_tokens"),
             "n_distinct",
-            "neg_entropy_units",
+            F.round(
+                -F.col("neg_entropy_units") / F.lit(1000000000.0), 6
+            ).alias("entropy_nats"),
         )
     )

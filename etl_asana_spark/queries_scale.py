@@ -750,12 +750,11 @@ def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives uniformly-sized output files; at real scale n derives from
     input_bytes/target_bytes exactly as maintenance.compact_parquet does.
     """
-    import tempfile
-
+    from .scratch import scratch_dir
     from .sources.maintenance import compact_parquet
 
     t = load_tables(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="compact_")
+    base = scratch_dir("compact", sf_dir)
     frag, compacted = base + "/frag", base + "/compacted"
     (
         t["events"]
@@ -804,10 +803,10 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     date/tenant-partitioned 100 TB fact: the dim filter prunes fact I/O
     before it happens, no manual predicate copying.
     """
-    import tempfile
+    from .scratch import scratch_dir
 
     t = load_tables(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="dpp_") + "/orders_part"
+    path = scratch_dir("dpp", sf_dir) + "/orders_part"
     t["orders"].write.mode("overwrite").partitionBy("o_orderstatus").parquet(
         path
     )
@@ -851,23 +850,26 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against the plain (shuffling) join, proving bucketing is
     invisible to semantics.
     """
-    import tempfile
-
+    from .scratch import PROCESS_TAG, scratch_dir
     from .sources.bucketing import drop_table, read_table, write_bucketed
 
     t = load_tables(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="bucketed_q_")
+    base = scratch_dir("bucketed_q", sf_dir)
+    # Table names carry the per-process tag: repeated calls in one process
+    # reuse the same catalog entries, concurrent processes stay disjoint
+    # instead of dropping each other's tables mid-query.
     for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
-        drop_table(spark, f"bq_{name}")
+        drop_table(spark, f"bq_{name}_{PROCESS_TAG}")
         write_bucketed(
             t[name],
-            f"bq_{name}",
+            f"bq_{name}_{PROCESS_TAG}",
             f"{base}/{name}",
             bucket_by=[key],
             n_buckets=8,
             sort_by=[key],
         )
-    li, od = read_table(spark, "bq_lineitem"), read_table(spark, "bq_orders")
+    li = read_table(spark, f"bq_lineitem_{PROCESS_TAG}")
+    od = read_table(spark, f"bq_orders_{PROCESS_TAG}")
     return (
         li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("o_orderstatus") != "P")
@@ -912,7 +914,7 @@ def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent NOT IN on the original table, proving the delete dropped
     exactly the targeted users and nothing else.
     """
-    import tempfile
+    from .scratch import scratch_dir
 
     t = load_tables(spark, sf_dir)
     ev = t["events"]
@@ -921,7 +923,7 @@ def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .distinct()
     )
-    target = tempfile.mkdtemp(prefix="gdpr_") + "/events_clean"
+    target = scratch_dir("gdpr", sf_dir) + "/events_clean"
     (
         ev.join(F.broadcast(erased), "user_id", "left_anti")
         .write.mode("overwrite")

@@ -1,0 +1,58 @@
+"""Per-process scratch space for queries that materialize intermediate files.
+
+Sink/maintenance/layout queries (JSON·ORC·CSV round-trips, compaction, DPP
+repartitions, GDPR rewrites, bucketed tables) need somewhere to write. A bare
+``tempfile.mkdtemp`` per invocation leaks a full table copy every call —
+sweep + bench + tests in one session rewrote the events/orders tables dozens
+of times (round-2 advice). Two disciplines instead:
+
+- :func:`scratch_dir` — ONE cached directory per (purpose, key) per process.
+  Callers write with ``.mode("overwrite")``, so repeated invocations rewrite
+  in place. Keyed by ``sf_dir`` so different scale factors never share a
+  path.
+- :func:`fresh_dir` — a new directory every call for state that must NOT be
+  reused (streaming checkpoints replay old state if recycled), but tracked
+  and removed at interpreter exit like the cached ones.
+
+``PROCESS_TAG`` suffixes shared session-catalog table names (bucketed-join
+tables): repeated calls in one process reuse the same catalog entries, while
+concurrent processes get disjoint names instead of dropping each other's
+tables mid-query.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+import uuid
+
+_DIRS: dict[tuple[str, str], str] = {}
+_FRESH: list[str] = []
+
+#: One tag per process — see module docstring.
+PROCESS_TAG = uuid.uuid4().hex[:8]
+
+
+def scratch_dir(purpose: str, key: str = "") -> str:
+    """The process-wide scratch directory for ``purpose`` (+ optional key)."""
+    k = (purpose, key)
+    d = _DIRS.get(k)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix=f"{purpose}_")
+        _DIRS[k] = d
+    return d
+
+
+def fresh_dir(purpose: str) -> str:
+    """A never-reused directory (checkpoints), still cleaned at exit."""
+    d = tempfile.mkdtemp(prefix=f"{purpose}_")
+    _FRESH.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup() -> None:
+    for d in list(_DIRS.values()) + _FRESH:
+        shutil.rmtree(d, ignore_errors=True)

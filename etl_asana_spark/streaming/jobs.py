@@ -26,6 +26,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..scratch import fresh_dir
+
 from ..session import ensure_engine_confs
 
 _STAGE_DIRS: dict[str, str] = {}
@@ -96,7 +98,7 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .option("checkpointLocation", fresh_dir("ckpt"))
             .trigger(availableNow=True)
             .start()
         )
@@ -247,7 +249,7 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming twin of the reference's R3 upsert)."""
     from ..operators.dedup import upsert_last_modified_wins
 
-    target = tempfile.mkdtemp(prefix="upsert_target_")
+    target = fresh_dir("upsert_target")
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         newest = upsert_last_modified_wins(
@@ -264,7 +266,7 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_shuffle(spark):
         query = (
             ev.writeStream.foreachBatch(upsert)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .option("checkpointLocation", fresh_dir("ckpt"))
             .trigger(availableNow=True)
             .start()
         )
@@ -337,7 +339,7 @@ def sync_token_source_stream(spark: SparkSession) -> DataFrame:
             agg.writeStream.format("memory")
             .queryName(name)
             .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .option("checkpointLocation", fresh_dir("ckpt"))
             .start()
         )
         query.processAllAvailable()

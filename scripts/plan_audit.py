@@ -32,7 +32,8 @@ from etl_asana_spark import catalog  # noqa: E402
 #: summary products, broadcast query-vector crosses, theta joins.
 CROSS_OK = {
     "q_join_cross",        # the Cartesian operator itself
-    "q_join_theta",        # pure inequality join — BNLJ is the only plan
+    # NOTE: q_join_theta is deliberately NOT here — it has an equi-conjunct
+    # and must hash-join; a BNLJ in its plan is a regression to flag.
     "q_graph_triangles",   # two 1-row summary crossJoins
     "q_sim_cosine_topk",   # broadcast 1-row query vector
     "q_sim_ann",           # broadcast hyperplane matrix
@@ -68,8 +69,9 @@ CROSS_OK = {
     "q_win_rolling_median",   # calendar-grain frame
     "q_hist_tokens",       # broadcast 1-row bin bounds
     "q_text_vocab_oov",    # broadcast LIMIT-bounded vocab
-    "q_dedup_embed",       # intentionally exact all-pairs at test scale;
-                           # the 100 TB path is q_dedup_semantic/q_sim_ivf
+    # NOTE: q_dedup_embed left this list in round 3 — it now runs the exact
+    # triangle-inequality blocked pipeline (broadcast cell-pair table + hash
+    # joins); a BNLJ in its plan is a regression to flag.
     "q_skew_report",       # counts × 1-row total for the share column
     "q_orders_rfm",        # fact × 1-row reference-date broadcast
     "q_pareto_8020",       # ranked × 1-row total/count broadcasts
@@ -112,8 +114,11 @@ def main() -> int:
 
     flags: list[str] = []
     n_ok = 0
+    crossing: set[str] = set()
+    never_built: set[str] = set()
     for key, fn in catalog.queries().items():
         if key.startswith("q_stream_"):  # streaming sinks execute on build
+            never_built.add(key)
             continue
         try:
             df = fn(spark, sf_dir)
@@ -122,6 +127,7 @@ def main() -> int:
             )
         except Exception as exc:  # noqa: BLE001
             flags.append(f"{key}: PLAN ERROR {type(exc).__name__}: {exc}")
+            never_built.add(key)
             continue
         problems = []
         if "CartesianProduct" in text and key not in CROSS_OK:
@@ -136,13 +142,25 @@ def main() -> int:
             problems.append("Exchange SinglePartition")
         if "BatchEvalPython" in text and key not in PYTHON_OK:
             problems.append("row-at-a-time Python UDF")
-        if re.search(r"Filter \(", text) and "PushedFilters: \[\]" in text \
-                and "PushedFilters: [" not in text.replace("PushedFilters: []", ""):
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", text)
+        if (
+            re.search(r"Filter \(", text)
+            and pushed
+            and all(p.strip() == "" for p in pushed)
+        ):
             problems.append("no pushed filters on filtered scan")
+        if "CartesianProduct" in text or "BroadcastNestedLoopJoin" in text:
+            crossing.add(key)
         if problems:
             flags.append(f"{key}: {', '.join(problems)}")
         else:
             n_ok += 1
+    # Whitelist-staleness check: a CROSS_OK entry whose plan no longer
+    # crosses is stale — it would silently bless a future BNLJ regression on
+    # that key (the round-2 q_join_theta lesson). Flag it so the whitelist
+    # shrinks with the plans.
+    for key in sorted(CROSS_OK - crossing - never_built):
+        flags.append(f"{key}: STALE CROSS_OK entry (plan has no cross/BNLJ)")
     print(f"{n_ok} plans clean, {len(flags)} flagged")
     for f in flags:
         print("  FLAG", f)

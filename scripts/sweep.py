@@ -36,18 +36,53 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
 
 
+def _kind(dtype) -> str:
+    """Collapse a pandas dtype to the kind the driver's value-hash is
+    sensitive to: int widths hash alike (both engines print ``134``), but an
+    int column vs a float column hash differently (``134`` vs ``134.0`` —
+    the r02 ``q_cumulative_uniques`` driver red that the old cell-wise
+    ``134 == 134.0`` compare waved through)."""
+    k = getattr(dtype, "kind", "O")
+    return {"i": "int", "u": "int", "f": "float", "b": "bool",
+            "M": "ts", "m": "td"}.get(k, "obj")
+
+
+def _cell_kind(v) -> str:
+    """Kind of a scalar inside an object column (mixed/object dtype path)."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, float):
+        return "null" if math.isnan(v) else "float"
+    if isinstance(v, int):
+        return "int"
+    import numpy as np
+
+    if isinstance(v, np.integer):
+        return "int"
+    if isinstance(v, np.floating):
+        return "null" if math.isnan(float(v)) else "float"
+    if isinstance(v, np.bool_):
+        return "bool"
+    return "obj"
+
+
 def cells_equal(a, b) -> bool:
     if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
     try:
         if pd.isna(a) and pd.isna(b):
             return True
     except (TypeError, ValueError):
         pass
+    # Dtype-strict: an int cell never equals a float cell, even when the
+    # numeric values coincide — the driver's hash distinguishes them.
+    ka, kb = _cell_kind(a), _cell_kind(b)
+    if ka != kb:
+        return False
+    if ka == "float":
+        return float(a) == float(b)
     if isinstance(a, pd.Timestamp) or isinstance(b, pd.Timestamp):
         return pd.Timestamp(a) == pd.Timestamp(b)
     return a == b
@@ -63,10 +98,19 @@ def frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str | Non
         return f"rows: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
     a, b = canon(spark_pdf), canon(oracle_pdf)
     for col in a.columns:
+        ka, kb = _kind(a[col].dtype), _kind(b[col].dtype)
+        # Object columns get per-cell kind checks below; concrete dtypes
+        # must agree on kind up front (int-vs-float drift FAILS even when
+        # every value compares numerically equal).
+        if "obj" not in (ka, kb) and ka != kb:
+            return f"dtype: col={col} spark={a[col].dtype} oracle={b[col].dtype}"
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
             if not cells_equal(x, y):
-                return f"value: col={col} row={i} spark={x!r} oracle={y!r}"
+                return (
+                    f"value: col={col} row={i} spark={x!r} ({_cell_kind(x)}) "
+                    f"oracle={y!r} ({_cell_kind(y)})"
+                )
     return None
 
 

@@ -122,6 +122,30 @@ def test_batched_cosine_matches_hof_exact(spark, sf_dir):
     assert ids(hof) == ids(batched)
 
 
+def test_embed_dedup_blocked_equals_all_pairs(spark, sf_dir):
+    """The triangle-inequality blocked pipeline is EXACT: identical answer
+    set (ids and cos values) to the plain all-pairs join, at several
+    thresholds including ones that prune nothing and nearly everything."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    for thr in (0.3, 0.45, 0.9):
+        ap = dedup.embedding_cosine_dups(e, threshold=thr).collect()
+        bl = dedup.embedding_cosine_dups_blocked(e, threshold=thr).collect()
+        key = lambda r: (r["id_a"], r["id_b"], round(r["cos"], 10))
+        assert sorted(map(key, ap)) == sorted(map(key, bl)), thr
+
+
+def test_embed_dedup_plan_has_no_nested_loop(spark, sf_dir):
+    """q_dedup_embed (round-3 re-registration) must never BNLJ/Cartesian —
+    the whole point of the blocked pipeline."""
+    from etl_asana_spark.plans import _plan_text
+
+    df = catalog.queries()["q_dedup_embed"](spark, sf_dir)
+    text = _plan_text(df, executed=False)
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+
+
 def test_multimodal_resize_binary_roundtrip(spark, sf_dir):
     """Resize keeps binary-out schema, fixed target dims, non-empty payloads."""
     qs = catalog.queries()
@@ -436,7 +460,7 @@ def test_dsir_weights_prefer_target_language(spark, sf_dir):
         r["lang"]: r["m"]
         for r in w.join(docs, "doc_id")
         .groupBy("lang")
-        .agg(F.avg(F.col("w_units") / F.col("n_tokens")).alias("m"))
+        .agg(F.avg(F.col("w_logratio") / F.col("n_tokens")).alias("m"))
         .collect()
     }
     assert per_lang["en"] > per_lang["zh"]
