@@ -6,6 +6,17 @@ Prints ONE JSON line:
 Method mirrors BASELINE.md: per query one warm-up run, second run timed with
 a full collect. ``value`` is the total of per-query seconds — directly
 comparable against the PySpark column of BASELINE.md (bench bar = within 2×).
+
+Round-to-round comparability caveat (the r01→r02 question, closed in round
+3): BENCH_r01 recorded 1.99 s and BENCH_r02 3.15 s for identical plans — a
+uniform ~1.58× across all six unrelated queries. Bisected on an idle round-3
+machine: the round-2 code (commit f0f8602, which recorded 2.27 s at its own
+commit time) ran at 3.05 s while round-3 HEAD ran 2.76–2.96 s on
+back-to-back runs — i.e. the OLD code is not faster than the new code on the
+same box; the per-round absolute numbers move with machine state (JIT/page
+cache/CPU contention from the driver harness), not with the plans. Compare
+ratios against BASELINE.md (measured the same session), not absolute seconds
+across rounds.
 """
 
 from __future__ import annotations

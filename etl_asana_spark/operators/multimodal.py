@@ -6,19 +6,38 @@ co-located with row metadata in parquet; heavy decode work happens in
 Arrow-batched Python, not the JVM).
 
 The decode kernels themselves (JPEG decode, resampling, frame sampling)
-require media libraries that are NOT in this container — they are STUBBED
-behind ``decode_stub``: a clearly-marked deterministic fake that preserves
-every real aspect of the Spark plumbing (schema, batch iteration, partition
-behavior, UDF signature). Swap ``_decode_payload`` for a real PIL/ffmpeg
-call and nothing else changes.
+require media libraries that are NOT in this container. Kernel dispatch is
+optional-import (round-3): when PIL is importable and the payload parses as
+a real image, ``_decode_payload`` / the resize kernel run the REAL
+PIL-backed path; otherwise they fall back to a clearly-marked deterministic
+stub that preserves every real aspect of the Spark plumbing (schema, batch
+iteration, partition behavior, UDF signature). In this container PIL is
+absent and the synthetic fixtures are UTF-8 text bytes, so execution always
+lands on the stub — but an environment with PIL + real media runs real
+kernels with zero code changes (dispatch is tested by module injection in
+tests/test_llm_ops.py). Frame sampling's real path needs an ffmpeg binding
+(``av``), gated the same way.
 """
 
 from __future__ import annotations
 
+import importlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _optional(name: str):
+    """Import ``name`` if present, else None — kernel dispatch helper.
+
+    Resolved at call time (inside the Arrow-batch functions, i.e. on the
+    EXECUTOR) so a cluster where workers have PIL but the driver doesn't —
+    or vice versa — behaves per-process, and tests can inject fakes."""
+    try:
+        return importlib.import_module(name)
+    except ImportError:
+        return None
 
 #: Output schema of the feature extractor — fixed contract for downstream.
 FEATURE_SCHEMA = (
@@ -49,14 +68,27 @@ def attach_binary_payload(
     )
 
 
-def _decode_payload(payload: bytes) -> tuple[int, int, list[float]]:
+def _decode_payload_real(payload: bytes, pil_image) -> tuple[int, int, list[float]]:
+    """REAL decode kernel (used when PIL is importable and the bytes parse):
+    decodes the image, downsamples to an 8-value grayscale intensity
+    signature — same (width, height, feat[8]) contract as the stub."""
+    import io
+
+    img = pil_image.open(io.BytesIO(payload))
+    img.load()
+    w, h = img.size
+    gray = img.convert("L").resize((8, 1))
+    feats = [float(v) / 255.0 for v in list(gray.getdata())]
+    return w, h, feats
+
+
+def _decode_payload_stub(payload: bytes) -> tuple[int, int, list[float]]:
     """STUB decode kernel — deterministic fake standing in for a real
-    image/audio decoder (PIL/libav are not installed in this container).
+    image/audio decoder when PIL is absent (this container) or the payload
+    is not real media (the synthetic text-byte fixtures).
 
     Returns (width, height, feature_vector). The fake derives 8 'features'
     from byte statistics so tests get stable, content-sensitive values.
-    Replace the body with e.g. ``PIL.Image.open(io.BytesIO(payload))`` for
-    real media; the Spark-side contract (FEATURE_SCHEMA) does not change.
     """
     n = len(payload)
     if n == 0:
@@ -68,6 +100,20 @@ def _decode_payload(payload: bytes) -> tuple[int, int, list[float]]:
         checksum = (checksum * 131 + payload[i]) % (1 << 31)
     feats = [float((checksum >> (4 * k)) & 0xFF) / 255.0 for k in range(8)]
     return checksum % 1920, checksum % 1080, feats
+
+
+def _decode_payload(payload: bytes) -> tuple[int, int, list[float]]:
+    """Kernel dispatch: real PIL decode when available and the bytes are a
+    parseable image, deterministic stub otherwise (absent lib, or synthetic
+    non-image fixtures — the fallback keeps CI/container runs green while a
+    production cluster with PIL + real media takes the real path)."""
+    pil = _optional("PIL.Image")
+    if pil is not None and payload:
+        try:
+            return _decode_payload_real(payload, pil)
+        except Exception:  # not parseable media → stub
+            pass
+    return _decode_payload_stub(payload)
 
 
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -125,17 +171,33 @@ def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224) -> 
     """
     import pandas as pd
 
+    def _resize_real(payload: bytes, pil) -> bytes | None:
+        """PIL path: decode → resize → re-encode PNG; None if not media."""
+        import io
+
+        try:
+            img = pil.open(io.BytesIO(payload))
+            img.load()
+        except Exception:
+            return None
+        buf = io.BytesIO()
+        img.resize((target_w, target_h)).save(buf, format="PNG")
+        return buf.getvalue()
+
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil = _optional("PIL.Image")
         for pdf in batches:
             rows = []
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["payload"], pdf["media_meta"]
             ):
                 payload = bytes(payload)
-                src_px = max(int(meta["width"]) * int(meta["height"]), 1)
-                ratio = min((target_w * target_h) / src_px, 1.0)
-                new_len = max(int(len(payload) * ratio), 1)
-                out = (payload * (new_len // max(len(payload), 1) + 1))[:new_len]
+                out = _resize_real(payload, pil) if (pil and payload) else None
+                if out is None:  # stub: re-scale byte length by pixel ratio
+                    src_px = max(int(meta["width"]) * int(meta["height"]), 1)
+                    ratio = min((target_w * target_h) / src_px, 1.0)
+                    new_len = max(int(len(payload) * ratio), 1)
+                    out = (payload * (new_len // max(len(payload), 1) + 1))[:new_len]
                 rows.append(
                     {
                         "doc_id": doc_id,
@@ -166,18 +228,38 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """
     import pandas as pd
 
+    def _frames_real(payload: bytes, av) -> list[bytes] | None:
+        """PyAV path: demux, take ``n_frames`` evenly-spaced video frames,
+        emit raw RGB bytes; None when the payload is not a real container."""
+        import io
+
+        try:
+            with av.open(io.BytesIO(payload)) as container:
+                decoded = [f for f in container.decode(video=0)]
+        except Exception:
+            return None
+        if not decoded:
+            return None
+        step = max(len(decoded) // n_frames, 1)
+        picked = [decoded[min(i * step, len(decoded) - 1)] for i in range(n_frames)]
+        return [f.to_ndarray(format="rgb24").tobytes() for f in picked]
+
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        av = _optional("av")
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
                 if not payload:
                     raise NotImplementedError("empty payload: stub undefined")
-                step = max(len(payload) // n_frames, 1)
-                for i in range(n_frames):
-                    frame = payload[i * step : i * step + step]
-                    if not frame:
-                        frame = payload[-step:]
+                frames = _frames_real(payload, av) if av else None
+                if frames is None:  # stub: deterministic payload slices
+                    step = max(len(payload) // n_frames, 1)
+                    frames = [
+                        payload[i * step : i * step + step] or payload[-step:]
+                        for i in range(n_frames)
+                    ]
+                for i, frame in enumerate(frames):
                     rows.append(
                         {
                             "doc_id": doc_id,

@@ -36,39 +36,17 @@ CROSS_OK = {
     # and must hash-join; a BNLJ in its plan is a regression to flag.
     "q_graph_triangles",   # two 1-row summary crossJoins
     "q_sim_cosine_topk",   # broadcast 1-row query vector
-    "q_sim_ann",           # broadcast hyperplane matrix
     "q_agg_quantile_sketch",  # broadcast 1-row bounds + 3-row quantile grid
-    "q_winsorize",         # broadcast per-group percentile bounds
-    "q_agg_spearman",      # broadcast rank tables
     "q_hybrid_rrf",        # broadcast 1-row corpus stats
     "q_text_bm25",         # broadcast 1-row corpus stats
-    "q_text_perplexity",   # broadcast 1-row vocab size
     "q_dsir_weights",      # broadcast 1-row totals
-    "q_emb_pca",           # broadcast 1-row mean/eigenbasis
-    "q_profile_table",     # per-column 1-row summaries unioned
-    "q_agg_stats",         # 1-row moment frames
-    "q_contamination",     # broadcast bounded benchmark set
-    "q_time_spine",        # generated spine × 1-row bounds
     "q_fill_forward",      # generated spine × 1-row bounds
-    "q_interval_overlap",  # 1-row global offset
     "q_mix_corpus",        # broadcast 1-row token budget
-    "q_cap_per_source",    # broadcast 1-row cap constant
-    "q_anomaly_days",      # broadcast per-type stats
-    "q_anomaly_mad",       # broadcast per-type medians
     "q_golden_important_parts",  # broadcast scalar total (Q11 shape)
-    "q_golden_top_supplier",     # broadcast scalar max (Q15 shape)
     "q_golden_idle_customers",   # broadcast scalar avg (Q22 shape)
-    "q_golden_small_qty",        # broadcast per-part threshold (Q17 shape)
-    "q_scan_dpp",          # DPP subquery materializes as a broadcast
     "q_emb_kmeans",        # broadcast model state per Lloyd iteration
     "q_sim_ivf",           # broadcast centroids
     "q_dedup_semantic",    # broadcast centroids
-    "q_graph_pagerank",    # broadcast 1-row dangling mass per superstep
-    "q_shuffle_epoch",     # broadcast bucket-offset table
-    "q_agg_bitmap_distinct",  # broadcast 1-row universe bounds
-    "q_win_rolling_median",   # calendar-grain frame
-    "q_hist_tokens",       # broadcast 1-row bin bounds
-    "q_text_vocab_oov",    # broadcast LIMIT-bounded vocab
     # NOTE: q_dedup_embed left this list in round 3 — it now runs the exact
     # triangle-inequality blocked pipeline (broadcast cell-pair table + hash
     # joins); a BNLJ in its plan is a regression to flag.

@@ -173,6 +173,53 @@ def test_multimodal_frame_sampling_fanout(spark, sf_dir):
     assert (per_doc == 4).all()
 
 
+def test_multimodal_kernel_dispatch_prefers_real_decoder(monkeypatch):
+    """Kernel dispatch (round-3 optional-import path): when a PIL-shaped
+    module is importable, _decode_payload routes to the real kernel; when
+    the decode raises (non-media bytes) or the module is absent, it falls
+    back to the deterministic stub. Driver-side unit test — no Spark."""
+    import sys
+    import types
+
+    from etl_asana_spark.operators import multimodal as mm
+
+    # No PIL (this container): stub result.
+    stub = mm._decode_payload_stub(b"hello world")
+    assert mm._decode_payload(b"hello world") == stub
+
+    class _FakeImg:
+        size = (640, 480)
+
+        def load(self):
+            pass
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            return self
+
+        def getdata(self):
+            return [0, 32, 64, 96, 128, 160, 192, 255]
+
+    fake = types.ModuleType("PIL.Image")
+    fake.open = lambda buf: _FakeImg()
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake)
+    w, h, feats = mm._decode_payload(b"pretend-jpeg-bytes")
+    assert (w, h) == (640, 480)
+    assert len(feats) == 8 and feats[-1] == 1.0
+
+    # A "PIL" whose open() rejects the bytes → stub fallback, not an error.
+    broken = types.ModuleType("PIL.Image")
+
+    def _raise(buf):
+        raise OSError("cannot identify image file")
+
+    broken.open = _raise
+    monkeypatch.setitem(sys.modules, "PIL.Image", broken)
+    assert mm._decode_payload(b"hello world") == stub
+
+
 def test_connected_components_on_known_graph(spark):
     """Chain, triangle, pair, and isolated nodes resolve to min-id labels."""
     edges = spark.createDataFrame(

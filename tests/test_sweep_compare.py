@@ -1,0 +1,78 @@
+"""Pin scripts/sweep.py's driver-shaped strict compare (no Spark needed).
+
+The external gate hashes canonicalized result frames, so its notion of
+equality is stricter than numeric ==: an int64 column and a float64 column
+with identical numeric values hash DIFFERENTLY (the round-2
+q_cumulative_uniques red: DuckDB HUGEINT → pandas float64 134.0 vs Spark
+int64 134). These tests keep the local mirror at least that strict so a
+future refactor cannot quietly re-lenient it.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sweep():
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "sweep.py",
+    )
+    spec = importlib.util.spec_from_file_location("sweep_under_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_int_vs_float_column_drift_fails(sweep):
+    """The exact r02 failure shape: equal values, int64 vs float64 dtype."""
+    a = pd.DataFrame({"day": ["d1"], "cum": pd.array([134], dtype="int64")})
+    b = pd.DataFrame({"day": ["d1"], "cum": pd.array([134.0], dtype="float64")})
+    assert sweep.frames_match(a, b) is not None
+    assert sweep.frames_match(b, a) is not None
+
+
+def test_int_width_does_not_matter(sweep):
+    """int32 vs int64 print identically → must compare equal (nation keys)."""
+    a = pd.DataFrame({"x": pd.array([1, 2], dtype="int32")})
+    b = pd.DataFrame({"x": pd.array([1, 2], dtype="int64")})
+    assert sweep.frames_match(a, b) is None
+
+
+def test_object_column_cell_kinds_checked(sweep):
+    """Mixed/object columns get per-cell kind checks: a Python int cell is
+    not equal to a float cell even when == says so."""
+    a = pd.DataFrame({"x": pd.Series([1, None], dtype="object")})
+    b = pd.DataFrame({"x": [1.0, float("nan")]})
+    assert sweep.frames_match(a, b) is not None
+
+
+def test_matching_frames_pass_with_nulls_and_row_order(sweep):
+    """Equality is order-insensitive (canon sorts) and NaN==NaN within a
+    float column; column order is irrelevant."""
+    a = pd.DataFrame({"k": [2, 1], "v": [float("nan"), 1.5]})
+    b = pd.DataFrame({"v": [1.5, float("nan")], "k": [1, 2]})
+    assert sweep.frames_match(a, b) is None
+
+
+def test_value_mismatch_still_caught(sweep):
+    a = pd.DataFrame({"x": [1.5]})
+    b = pd.DataFrame({"x": [1.500001]})
+    assert sweep.frames_match(a, b) is not None
+
+
+def test_array_cells_raise_like_the_driver_hasher(sweep):
+    """ndarray/list cells must blow up in canon (sort_values), exactly like
+    the driver's hasher did on round-1 q_agg_collect — the sweep treats the
+    exception as a FAIL, so a key returning array columns fails locally."""
+    import numpy as np
+
+    a = pd.DataFrame({"x": [np.array([1, 2]), np.array([3])]})
+    with pytest.raises(Exception):
+        sweep.canon(a)
