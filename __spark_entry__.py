@@ -33,10 +33,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return _catalog.queries()
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Gate-facing ordering: the driver verifies a time/count-budgeted PREFIX
+    of this dict, so keys are ordered least-externally-verified first (see
+    catalog._rotated for the full disclosure). The library API
+    ``catalog.queries()`` stays in deterministic registration order.
+    """
+    return _catalog.queries(ordering="verification-rotation")
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per oracle-checkable query key."""
-    return _catalog.oracle_sql()
+    return _catalog.oracle_sql(ordering="verification-rotation")

@@ -433,7 +433,10 @@ def connected_components(
             .groupBy(sym["a"].alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        # A node's label changes iff a neighbor's label beats its own, so the
+        # convergence flag rides the SAME join that builds the new labels —
+        # no second labels⋈labels join per round just to count changes.
+        stepped = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
@@ -441,15 +444,11 @@ def connected_components(
                     F.col("component"),
                     F.coalesce("nbr_component", F.col("component")),
                 ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("chg"),
             )
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("chg")).count()
+        labels = stepped.select("node", "component")
         if changed == 0:
             break
     return labels

@@ -139,8 +139,11 @@ def main() -> int:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     con = duckdb_connect(sf_dir)
 
-    qs = catalog.queries()
-    oracles = catalog.oracle_sql()
+    # Mirror the driver: iterate in the gate-facing verification-rotation
+    # order so per-key costs and failures are observed on the same prefix
+    # the external gate will spend its budget on.
+    qs = catalog.queries(ordering="verification-rotation")
+    oracles = catalog.oracle_sql(ordering="verification-rotation")
     n_fail = 0
     total_t = 0.0
     timings: list[tuple[str, float]] = []
