@@ -36,7 +36,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.parity import _ACC, _SCALE, _units
+from ..functions.parity import _ACC, _SCALE, _units_dec
 
 __all__ = ["build_state", "merge_state", "finalize_state"]
 
@@ -60,7 +60,7 @@ def build_state(
     aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
     for name, col in measures.items():
         c = F.col(col) if isinstance(col, str) else col
-        aggs.append(F.sum(_units(c)).alias(_sum(name)))
+        aggs.append(F.sum(_units_dec(c)).alias(_sum(name)))
         aggs.append(F.count(c).alias(_cnt(name)))
     return df.groupBy(*keys).agg(*aggs)
 

@@ -70,3 +70,30 @@ def test_salted_paths_reproduce_across_runs(spark, sf_dir):
         for _ in range(2)
     ]
     assert runs[0] == runs[1]
+
+
+def test_split_accumulator_equals_wide_decimal(spark):
+    """The split two-BIGINT accumulator (parity.dsum's hot path) must compute
+    the IDENTICAL double as the wide DECIMAL(38,0) single-accumulator form it
+    replaced — including negatives (pmod wrap), exact .5 rounding boundaries,
+    zero, and values spanning the split modulus."""
+    from etl_asana_spark.functions.parity import _SCALE, _units_dec
+
+    vals = [
+        0.0, -0.0, 1.5e-6, -1.5e-6, 0.9999995, -0.9999995,
+        1048576.0, -1048576.0, 1048575.999999, 123456.789012,
+        -987654.321098, 5.0000005, -5.0000005, 1e6, -1e6,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    wide = df.agg(
+        (F.sum(_units_dec("x")).cast("double") / F.lit(_SCALE)).alias("s")
+    ).collect()[0]["s"]
+    split = df.agg(dsum("x").alias("s")).collect()[0]["s"]
+    assert split == wide  # bit-identical
+
+    # and per-row: each single value round-trips identically through both
+    for v in vals:
+        one = spark.createDataFrame([(v,)], "x double")
+        w = one.agg((F.sum(_units_dec("x")).cast("double") / F.lit(_SCALE)).alias("s")).collect()[0]["s"]
+        s = one.agg(dsum("x").alias("s")).collect()[0]["s"]
+        assert s == w, v
