@@ -1,0 +1,121 @@
+"""Degenerate-input behavior of the core operators.
+
+At 100 TB the degenerate shapes are not hypothetical: a partition filter can
+zero out a day, a tenant can have exactly one row, a measure column can be
+entirely NULL for a slice. Operators must return EMPTY/NULL results with the
+correct schema — not throw — because a scheduled pipeline hitting an empty
+day must produce an empty output, not a page.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_asana_spark.functions.parity import davg, dsum
+from etl_asana_spark.operators.dedup import (
+    connected_components,
+    dedup_clusters,
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from etl_asana_spark.operators.joins import asof_join
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id bigint, text string")
+
+
+def test_dsum_davg_on_all_null_and_empty(spark):
+    """SUM semantics: NULL over an empty/all-NULL group, never 0 or a crash."""
+    empty = spark.createDataFrame([], "k string, x double")
+    row = empty.groupBy("k").agg(dsum("x").alias("s")).collect()
+    assert row == []  # no groups at all
+
+    nulls = spark.createDataFrame([("a", None), ("a", None)], "k string, x double")
+    got = nulls.groupBy("k").agg(
+        dsum("x").alias("s"), davg("x").alias("m")
+    ).collect()[0]
+    assert got["s"] is None and got["m"] is None
+
+    # global (no grouping key) aggregate over empty input: one NULL row,
+    # exactly like SQL's SELECT SUM(x) FROM empty
+    g = empty.agg(dsum("x").alias("s")).collect()
+    assert len(g) == 1 and g[0]["s"] is None
+
+
+def test_dsum_mixed_null_rows_ignore_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", 1.5), ("a", None), ("a", 2.5)], "k string, x double"
+    )
+    got = df.groupBy("k").agg(dsum("x").alias("s"), davg("x").alias("m")).collect()[0]
+    assert got["s"] == 4.0
+    assert got["m"] == 2.0  # count excludes the NULL
+
+
+def test_dedup_exact_empty_and_singleton(spark):
+    empty = spark.createDataFrame([], "k bigint, v string")
+    assert dedup_exact(empty, keys=["k"], order_by=["v"]).collect() == []
+    one = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    assert dedup_exact(one, keys=["k"], order_by=["v"]).count() == 1
+
+
+def test_fuzzy_pair_generators_on_empty_corpus(spark):
+    docs = _empty_docs(spark)
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect() == []
+    assert minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect() == []
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert connected_components(edges).collect() == []
+
+
+def test_dedup_clusters_no_pairs_all_singletons(spark):
+    """A corpus with zero near-dup pairs: every doc is its own canonical
+    singleton cluster — the everyday case for a clean slice."""
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    out = {r["doc_id"]: r for r in dedup_clusters(pairs, docs).collect()}
+    assert set(out) == {1, 2, 3}
+    for doc_id, r in out.items():
+        assert r["cluster_id"] == doc_id
+        assert r["cluster_size"] == 1
+        assert r["is_canonical"] is True
+
+
+def test_asof_join_no_candidates_is_empty_inner(spark):
+    probe = spark.createDataFrame([(1, 100)], "k bigint, t bigint")
+    build = spark.createDataFrame([(1, 200)], "k bigint, t2 bigint")
+    # backward as-of with every build time AFTER the probe: inner semantics
+    # drop the probe row (no candidate at-or-before)
+    out = asof_join(probe, build, on="k", probe_time="t", build_time="t2")
+    assert out.collect() == []
+    # forward direction finds it
+    fwd = asof_join(
+        probe, build, on="k", probe_time="t", build_time="t2", direction="forward"
+    )
+    assert [tuple(r) for r in fwd.collect()] == [(1, 100, 200)]
+
+
+def test_asof_join_rejects_bad_direction(spark):
+    df = spark.createDataFrame([(1, 1)], "k bigint, t bigint")
+    with pytest.raises(ValueError):
+        asof_join(df, df, on="k", probe_time="t", build_time="t", direction="nearest ")
+
+
+def test_window_rank_single_row_group(spark):
+    """Window ops over singleton partitions: rank 1, lag NULL, sum = self."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([("g", 5.0)], "g string, x double")
+    w = Window.partitionBy("g").orderBy("x")
+    got = df.select(
+        F.row_number().over(w).alias("rn"),
+        F.lag("x").over(w).alias("prev"),
+        F.sum("x").over(w).alias("run"),
+    ).collect()[0]
+    assert (got["rn"], got["prev"], got["run"]) == (1, None, 5.0)
