@@ -87,3 +87,166 @@ def write_etl_outputs(result: EtlResult, out_dir: str | Path) -> None:
     write_table(result.task_tags, str(out / "task_tags"))
     write_table(result.task_memberships, str(out / "task_memberships"))
     write_table(result.task_custom_fields, str(out / "task_custom_fields"))
+
+
+# ---------------------------------------------------------------------------
+# LLM training-corpus curation — the operators composed end-to-end
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from .operators import text as text_ops  # noqa: E402
+from .operators.curation import hash_bucket  # noqa: E402
+from .operators.dedup import (  # noqa: E402
+    dedup_clusters,
+    dedup_exact,
+    ngram_jaccard_pairs,
+)
+
+
+@dataclass(frozen=True)
+class CurationResult:
+    """Curated training corpus plus the per-stage survival funnel."""
+
+    curated: DataFrame            # doc_id, source, lang, split, text, n_tokens
+    funnel: dict[str, int] | None # stage → surviving docs (None unless counted)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    jaccard_threshold: float = 0.015,
+    bench_docs: DataFrame | None = None,
+    contamination_min_shared: int = 5,
+    splits: dict[str, float] | None = None,
+    count_funnel: bool = False,
+) -> CurationResult:
+    """The full training-data curation pipeline as one composition of the
+    engine's operators — what a user actually runs over a raw crawl before
+    training:
+
+    1. **quality gate** — Gopher-style rules (word count in [50, 100k],
+       mean word length in [3, 10]; ≥2 stopwords for English docs), pure
+       column predicates in one scan;
+    2. **exact dedup** — one survivor (smallest doc_id) per identical text
+       (xxhash64 grouping; hash-collision risk ~n²/2^64, negligible);
+    3. **fuzzy dedup** — n-gram Jaccard pairs (shared-shingle blocking) →
+       connected components → canonical survivor per near-dup cluster;
+    4. **contamination scrub** — drop docs sharing ≥``min_shared`` distinct
+       word trigrams with any ``bench_docs`` row (broadcast bench side);
+    5. **PII scrub** — JVM-side regexp redaction of emails/phones;
+    6. **split** — deterministic hash split into named slices (a doc's
+       slice never changes when data is added or the job re-runs).
+
+    Scale shape: stages 1/2/5/6 are single scans or one keyed shuffle;
+    stage 3 is the blocked pair join + label propagation (linear in shared-
+    shingle collisions, one shuffle per propagation round); stage 4
+    broadcasts the (small) benchmark side. Nothing collects data to the
+    driver — ``funnel`` counts are scalar job metrics, computed only on
+    request. Stage 3's component loop materializes intermediates eagerly
+    (localCheckpoint), so this function launches jobs; the returned
+    ``curated`` frame itself stays lazy.
+
+    Idempotent by construction: curating an already-curated corpus is a
+    no-op (every gate passes, no duplicate pair survives, scrubbed text has
+    no PII left to scrub) — property-tested in tests/test_pipeline.py.
+    """
+    splits = splits or {"train": 0.90, "val": 0.05, "test": 0.05}
+    funnel: dict[str, int] = {}
+
+    def note(stage: str, df: DataFrame) -> DataFrame:
+        if count_funnel:
+            funnel[stage] = df.count()
+        return df
+
+    note("raw", docs)
+
+    # 1. quality gate
+    toks = text_ops.ws_tokens("text")
+    n_words = F.size(toks)
+    mean_wl = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / n_words
+    )
+    n_stop_en = F.size(
+        F.filter(toks, lambda tk: tk.isin(*text_ops.STOPWORDS["en"]))
+    )
+    quality = docs.filter(
+        n_words.between(50, 100_000)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & ((F.col("lang") != F.lit("en")) | (n_stop_en >= 2))
+    )
+    quality = note("quality", quality)
+
+    # 2. exact dedup (content hash, deterministic survivor)
+    exact = (
+        dedup_exact(
+            quality.withColumn("__h", F.xxhash64(F.col("text"))),
+            keys=["__h"],
+            order_by=["doc_id"],
+        )
+        .drop("__h")
+    )
+    exact = note("exact_dedup", exact)
+
+    # 3. fuzzy dedup → canonical survivors
+    pairs = ngram_jaccard_pairs(
+        exact, n=3, threshold=jaccard_threshold
+    ).select("doc_a", "doc_b")
+    clusters = dedup_clusters(pairs, exact)
+    fuzzy = exact.join(
+        clusters.filter(F.col("is_canonical")).select("doc_id"), "doc_id", "semi"
+    )
+    fuzzy = note("fuzzy_dedup", fuzzy)
+
+    # 4. benchmark-contamination scrub
+    if bench_docs is not None:
+        def shingled(df: DataFrame, idc: str) -> DataFrame:
+            return (
+                df.select(idc, text_ops.ws_tokens("text").alias("t"))
+                .select(idc, F.explode(text_ops.shingles("t", 3)).alias("s"))
+                .distinct()
+            )
+
+        contaminated = (
+            shingled(fuzzy, "doc_id")
+            .join(F.broadcast(shingled(bench_docs, "bench_id")), "s")
+            .groupBy("doc_id", "bench_id")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= contamination_min_shared)
+            .select("doc_id")
+            .distinct()
+        )
+        fuzzy = fuzzy.join(contaminated, "doc_id", "anti")
+    clean = note("decontaminated", fuzzy)
+
+    # 5. PII scrub (idempotent: the replacement tokens match neither regex)
+    scrubbed_text = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"
+        ),
+        r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{2,6}",
+        "<PHONE>",
+    )
+
+    # 6. deterministic split + token accounting
+    bucket = hash_bucket("doc_id", 10_000)
+    split_col = F.lit(None).cast("string")
+    lo = 0
+    for name, frac in splits.items():
+        hi = lo + int(round(frac * 10_000))
+        split_col = F.when(
+            (bucket >= lo) & (bucket < hi), F.lit(name)
+        ).otherwise(split_col)
+        lo = hi
+
+    keep = [c for c in clean.columns if c != "text"]
+    curated = clean.select(
+        *keep,
+        scrubbed_text.alias("text"),
+        text_ops.token_count(scrubbed_text).cast("long").alias("n_tokens"),
+        split_col.alias("split"),
+    )
+    curated = note("curated", curated)
+    return CurationResult(curated=curated, funnel=funnel if count_funnel else None)

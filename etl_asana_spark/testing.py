@@ -83,7 +83,7 @@ def compare_frames(
     a_rows, e_rows = canonical_rows(actual), canonical_rows(expected)
     n_bad = 0
     for i, (ar, er) in enumerate(zip(a_rows, e_rows)):
-        if ar == er:
+        if _rows_strict_equal(ar, er):
             continue
         if float_atol and _rows_close(ar, er, float_atol):
             continue
@@ -93,6 +93,30 @@ def compare_frames(
     if n_bad > 3:
         problems.append(f"... {n_bad} mismatched rows total of {len(a_rows)}")
     return problems
+
+
+def _rows_strict_equal(a: tuple, b: tuple) -> bool:
+    """Driver-hash-strict row equality: numeric == is not enough — an int
+    cell never equals a float cell (134 vs 134.0 hash differently in the
+    external gate: the round-2 q_cumulative_uniques lesson), and bool never
+    equals int despite bool being an int subclass. Mirrors
+    scripts/sweep.py's dtype-strict compare at the testing layer so
+    tests/test_parity.py can't pass what the gate would hash red."""
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if isinstance(x, bool) != isinstance(y, bool):
+            return False
+        if isinstance(x, float) != isinstance(y, float):
+            if isinstance(x, (int, float)) and isinstance(y, (int, float)):
+                return False
+        if isinstance(x, tuple) and isinstance(y, tuple):
+            if not _rows_strict_equal(x, y):
+                return False
+            continue
+        if x != y:
+            return False
+    return True
 
 
 def _rows_close(a: tuple, b: tuple, atol: float) -> bool:

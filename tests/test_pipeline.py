@@ -55,3 +55,75 @@ def test_etl_outputs_written_and_typed(spark):
     assert dict(tasks.dtypes)["created_ts"] == "timestamp"
     assert tasks.count() == r.tasks.count()
     assert spark.read.parquet(f"{out}/task_tags").count() == r.task_tags.count()
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation pipeline (pipelines.curate_corpus)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, sf_dir):
+    from etl_asana_spark.registry import load_tables
+
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def test_curation_funnel_monotone_and_splits_partition(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    r = pipelines.curate_corpus(docs, bench_docs=bench, count_funnel=True)
+    f = r.funnel
+    assert f["raw"] >= f["quality"] >= f["exact_dedup"] >= f["fuzzy_dedup"]
+    assert f["fuzzy_dedup"] >= f["decontaminated"] == f["curated"]
+    assert f["curated"] > 0
+    # split column partitions the survivors (fractions sum to 1 here)
+    by_split = {
+        row["split"]: row["count"]
+        for row in r.curated.groupBy("split").count().collect()
+    }
+    assert None not in by_split
+    assert sum(by_split.values()) == f["curated"]
+    assert set(by_split) <= {"train", "val", "test"}
+    assert by_split.get("train", 0) > by_split.get("val", 0)
+
+
+def test_curation_deterministic_across_runs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = pipelines.curate_corpus(docs).curated
+    b = pipelines.curate_corpus(docs.repartition(7)).curated
+    ca, cb = canonical_rows(a.toPandas()), canonical_rows(b.toPandas())
+    assert ca == cb  # identical rows regardless of input partitioning
+
+
+def test_curation_idempotent(spark, sf_dir):
+    """Curating an already-curated corpus is a no-op: every quality gate
+    passes, no duplicate pair survives, no PII is left to scrub, and the
+    hash split assigns every doc the same slice."""
+    docs = _docs(spark, sf_dir)
+    once = pipelines.curate_corpus(docs).curated
+    again = pipelines.curate_corpus(
+        once.select([c for c in docs.columns if c in once.columns])
+    ).curated
+    a = canonical_rows(once.toPandas())
+    b = canonical_rows(again.toPandas())
+    assert a == b
+
+
+def test_curation_scrubs_planted_pii(spark):
+    # 60+ words with stopwords (English quality gate), and per-doc DISTINCT
+    # bases so the fuzzy-dedup stage does not collapse the three docs
+    def base(tag):
+        return " ".join(f"the {tag}{i} and item{tag}{i} of" for i in range(15))
+
+    rows = [
+        (1, "web", "en", base("alpha") + " contact bob.smith@corp.example now"),
+        (2, "web", "en", base("beta") + " call +1-555-0147 today"),
+        (3, "web", "en", base("gamma") + " the clean control document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, lang string, text string")
+    out = {r["doc_id"]: r["text"] for r in pipelines.curate_corpus(docs).curated.collect()}
+    assert "<EMAIL>" in out[1] and "@" not in out[1]
+    assert "<PHONE>" in out[2] and "555" not in out[2]
+    assert "<" not in out[3]
