@@ -33,13 +33,19 @@ Bounds (ANSI mode: any overflow raises loudly, never wraps):
   shared by every fixed-point scheme at this scale, including the wide
   decimal one; results stay deterministic either way);
 - ``SUM(lo)`` overflows past ``2^43 ≈ 8.8·10^12`` rows per group;
-- ``SUM(hi)`` overflows when a group's Σ|x| exceeds ``≈ 9.7·10^18`` value
-  units at scale 10^-6.
-A 100 TB corpus (~10^11 rows, money/measure magnitudes ≤ 10^6) sits two-plus
-orders of magnitude inside every bound. For re-aggregatable MATERIALIZED
-state with unbounded lifetime (operators/mv.py), the wide DECIMAL(38,0)
-accumulator remains the right choice — merge-safe to 10^32 value units —
-via :func:`_units_dec`; the split form is the hot per-query path.
+- ``SUM(hi)`` overflows when a group's ``Σ|x|`` exceeds ``≈ 9.7·10^18``
+  value units at scale 10^-6.
+A 100 TB corpus (~10^11 rows) sits two-plus orders inside every bound for
+money/measure magnitudes ≤ 10^6. **The split form is NOT for second
+moments**: ``dsum(x·x)`` with x ~ 10^5 has per-row magnitude ~10^10, which
+hits the ``SUM(hi)`` bound near 10^9 rows per group — far below the design
+point. Squared/product moments (correlation, variance, z-score pipelines)
+use :func:`dsum_wide` / :func:`sql_dsum_wide`, the DECIMAL(38,0)
+single-accumulator form — overflow-safe to 10^32 value units — which is
+also the entry for re-aggregatable MATERIALIZED state with unbounded
+lifetime (operators/mv.py, via :func:`_units_dec`). Rule of thumb: split
+for first moments of money/measure columns, wide for anything whose
+per-row magnitude can exceed ~10^7.
 
 ``dsum``/``davg`` (Spark) pair with ``sql_dsum``/``sql_davg`` (oracle SQL);
 both sides compute the identical exact integer, so parity is exact by
@@ -88,8 +94,15 @@ def _split_sums(col: Column | str) -> tuple[Column, Column]:
 
 
 def _recombine(sum_hi: Column, sum_lo: Column) -> Column:
-    """Exact per-group recombination: units → double value."""
-    total_units = sum_hi.cast(_ACC) * F.lit(_M) + sum_lo.cast(_ACC)
+    """Exact per-group recombination: units → double value.
+
+    The multiply is typed DECIMAL(31,0) × DECIMAL(7,0) → DECIMAL(38,0) so
+    BOTH engines keep the arithmetic in exact decimal (an untyped integer
+    literal would be legal too, but the product's decimal width then depends
+    on the dialect's literal-typing rules — pinning the operand types pins
+    the result type everywhere). sum_hi is BIGINT-bounded, well inside 31
+    digits; the product is ≤ ~10^25, well inside 38."""
+    total_units = sum_hi.cast("decimal(31,0)") * F.lit(_M).cast("decimal(7,0)") + sum_lo.cast(_ACC)
     return total_units.cast("double") / F.lit(_SCALE)
 
 
@@ -103,6 +116,22 @@ def davg(col: Column | str) -> Column:
     """Order-independent AVG: exact unit sum ÷ exact count, one fp divide."""
     sum_hi, sum_lo = _split_sums(col)
     return (_recombine(sum_hi, sum_lo) / F.count(_c(col))).cast("double")
+
+
+def dsum_wide(col: Column | str) -> Column:
+    """Order-independent SUM via the wide DECIMAL(38,0) accumulator —
+    overflow-safe to 10^32 value units. ~1.6× slower per row than
+    :func:`dsum`; use for second moments (``dsum_wide(x*x)``) and any
+    measure whose per-row magnitude can exceed ~10^7 (see module
+    docstring's bound analysis)."""
+    return F.sum(_units_dec(col)).cast("double") / F.lit(_SCALE)
+
+
+def davg_wide(col: Column | str) -> Column:
+    """Order-independent AVG via the wide accumulator."""
+    return (
+        F.sum(_units_dec(col)).cast("double") / F.lit(_SCALE) / F.count(_c(col))
+    ).cast("double")
 
 
 def sql_dsum(expr: str) -> str:
@@ -119,7 +148,7 @@ def sql_dsum(expr: str) -> str:
     lo = f"((({u}) % 1048576) + 1048576) % 1048576"
     hi = f"CAST((({u}) - ({lo})) / 1048576.0 AS BIGINT)"
     return (
-        f"(CAST(CAST(SUM({hi}) AS DECIMAL(38,0)) * 1048576"
+        f"(CAST(CAST(SUM({hi}) AS DECIMAL(31,0)) * CAST(1048576 AS DECIMAL(7,0))"
         f" + CAST(SUM({lo}) AS DECIMAL(38,0)) AS DOUBLE) / 1000000.0)"
     )
 
@@ -127,3 +156,16 @@ def sql_dsum(expr: str) -> str:
 def sql_davg(expr: str) -> str:
     """SQL mirror of ``davg``."""
     return f"CAST({sql_dsum(expr)} / COUNT({expr}) AS DOUBLE)"
+
+
+def sql_dsum_wide(expr: str) -> str:
+    """SQL mirror of ``dsum_wide`` (single DECIMAL(38,0) accumulator)."""
+    return (
+        f"(CAST(SUM(CAST(floor(({expr}) * 1000000.0 + 0.5) AS DECIMAL(38,0)))"
+        " AS DOUBLE) / 1000000.0)"
+    )
+
+
+def sql_davg_wide(expr: str) -> str:
+    """SQL mirror of ``davg_wide``."""
+    return f"CAST({sql_dsum_wide(expr)} / COUNT({expr}) AS DOUBLE)"

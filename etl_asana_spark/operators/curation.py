@@ -25,6 +25,27 @@ def hash_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
     return ((c * F.lit(_MULT)) % F.lit(_MOD)) % F.lit(n_buckets)
 
 
+def split_ranges(
+    fractions: dict[str, float], buckets: int = 10_000
+) -> list[tuple[str, int, int]]:
+    """Contiguous, validated bucket ranges for a named hash split.
+
+    Fractions must sum to ≤ 1 (any remainder is simply unassigned); the
+    single validation point shared by :func:`hash_split` and
+    ``pipelines.curate_corpus`` so the two can never diverge silently.
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    ranges: list[tuple[str, int, int]] = []
+    lo = 0
+    for name, frac in fractions.items():
+        hi = lo + int(round(frac * buckets))
+        ranges.append((name, lo, hi))
+        lo = hi
+    return ranges
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -37,17 +58,11 @@ def hash_split(
     a row's slice never changes when data is added, re-partitioned, or the
     job re-runs — the contract a train/val/test split must keep.
     """
-    total = sum(fractions.values())
-    if total > 1.0 + 1e-9:
-        raise ValueError(f"fractions sum to {total} > 1")
     bucket = hash_bucket(id_col, 10_000)
-    out: dict[str, DataFrame] = {}
-    lo = 0
-    for name, frac in fractions.items():
-        hi = lo + int(round(frac * 10_000))
-        out[name] = df.filter((bucket >= lo) & (bucket < hi))
-        lo = hi
-    return out
+    return {
+        name: df.filter((bucket >= lo) & (bucket < hi))
+        for name, lo, hi in split_ranges(fractions)
+    }
 
 
 PACKED_SCHEMA = (

@@ -96,7 +96,7 @@ def write_etl_outputs(result: EtlResult, out_dir: str | Path) -> None:
 from pyspark.sql import functions as F  # noqa: E402
 
 from .operators import text as text_ops  # noqa: E402
-from .operators.curation import hash_bucket  # noqa: E402
+from .operators.curation import hash_bucket, split_ranges  # noqa: E402
 from .operators.dedup import (  # noqa: E402
     dedup_clusters,
     dedup_exact,
@@ -161,11 +161,14 @@ def curate_corpus(
 
     note("raw", docs)
 
-    # 1. quality gate
-    toks = text_ops.ws_tokens("text")
+    # 1. quality gate — word stats from the token array itself (splitting on
+    # \s+ can yield ''-tokens at the text boundaries, and stripping only
+    # literal spaces would count tabs/newlines as word characters)
+    toks = F.filter(text_ops.ws_tokens("text"), lambda tk: tk != F.lit(""))
     n_words = F.size(toks)
     mean_wl = (
-        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, tk: a + F.length(tk))
+        .cast("double")
         / n_words
     )
     n_stop_en = F.size(
@@ -230,18 +233,18 @@ def curate_corpus(
         "<PHONE>",
     )
 
-    # 6. deterministic split + token accounting
+    # 6. deterministic split + token accounting (ranges validated by the
+    # same helper hash_split uses, so the two can never silently diverge)
     bucket = hash_bucket("doc_id", 10_000)
     split_col = F.lit(None).cast("string")
-    lo = 0
-    for name, frac in splits.items():
-        hi = lo + int(round(frac * 10_000))
+    for name, lo, hi in split_ranges(splits):
         split_col = F.when(
             (bucket >= lo) & (bucket < hi), F.lit(name)
         ).otherwise(split_col)
-        lo = hi
 
-    keep = [c for c in clean.columns if c != "text"]
+    # drop any derived columns from a PREVIOUS curation pass so re-curating
+    # an already-curated frame replaces them instead of duplicating them
+    keep = [c for c in clean.columns if c not in ("text", "n_tokens", "split")]
     curated = clean.select(
         *keep,
         scrubbed_text.alias("text"),

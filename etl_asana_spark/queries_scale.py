@@ -21,7 +21,14 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import register
-from .functions.parity import davg, dsum, sql_davg, sql_dsum
+from .functions.parity import (
+    davg,
+    dsum,
+    dsum_wide,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_wide,
+)
 from .operators.skew import salted_join
 from .registry import load_tables
 
@@ -39,9 +46,9 @@ from .registry import load_tables
                CAST(COUNT(*) AS DOUBLE) AS n,
                {sql_dsum('l_quantity')} AS sx,
                {sql_dsum('l_extendedprice')} AS sy,
-               {sql_dsum('l_quantity * l_extendedprice')} AS sxy,
-               {sql_dsum('l_quantity * l_quantity')} AS sxx,
-               {sql_dsum('l_extendedprice * l_extendedprice')} AS syy
+               {sql_dsum_wide('l_quantity * l_extendedprice')} AS sxy,
+               {sql_dsum_wide('l_quantity * l_quantity')} AS sxx,
+               {sql_dsum_wide('l_extendedprice * l_extendedprice')} AS syy
         FROM lineitem
         GROUP BY l_returnflag
     )
@@ -76,9 +83,9 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("double").alias("n"),
             dsum(x).alias("sx"),
             dsum(y).alias("sy"),
-            dsum(x * y).alias("sxy"),
-            dsum(x * x).alias("sxx"),
-            dsum(y * y).alias("syy"),
+            dsum_wide(x * y).alias("sxy"),
+            dsum_wide(x * x).alias("sxx"),
+            dsum_wide(y * y).alias("syy"),
         )
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
@@ -584,9 +591,9 @@ def q_observe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT COUNT(*) AS n_rows, CAST(COUNT(*) AS DOUBLE) AS n,
                {sql_dsum('r_x')} AS sx, {sql_dsum('r_y')} AS sy,
-               {sql_dsum('r_x * r_y')} AS sxy,
-               {sql_dsum('r_x * r_x')} AS sxx,
-               {sql_dsum('r_y * r_y')} AS syy
+               {sql_dsum_wide('r_x * r_y')} AS sxy,
+               {sql_dsum_wide('r_x * r_x')} AS sxx,
+               {sql_dsum_wide('r_y * r_y')} AS syy
         FROM ranked
     )
     SELECT n_rows,
@@ -638,9 +645,9 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("n"),
         dsum(x).alias("sx"),
         dsum(y).alias("sy"),
-        dsum(x * y).alias("sxy"),
-        dsum(x * x).alias("sxx"),
-        dsum(y * y).alias("syy"),
+        dsum_wide(x * y).alias("sxy"),
+        dsum_wide(x * x).alias("sxx"),
+        dsum_wide(y * y).alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
@@ -1038,7 +1045,7 @@ def q_part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c JOIN stats s USING (c_mktsegment)
     """.format(
         dsum_bal=sql_dsum("c_acctbal"),
-        dsum_bal_sq=sql_dsum("c_acctbal * c_acctbal"),
+        dsum_bal_sq=sql_dsum_wide("c_acctbal * c_acctbal"),
     ),
 )
 def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1057,7 +1064,7 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = t["customer"].groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         dsum(bal).alias("sx"),
-        dsum(bal * bal).alias("sxx"),
+        dsum_wide(bal * bal).alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     std = F.sqrt((sxx - ((sx * sx) / n)) / (n - F.lit(1.0)))

@@ -102,13 +102,18 @@ def _rows_strict_equal(a: tuple, b: tuple) -> bool:
     equals int despite bool being an int subclass. Mirrors
     scripts/sweep.py's dtype-strict compare at the testing layer so
     tests/test_parity.py can't pass what the gate would hash red."""
+    import decimal
+
     if len(a) != len(b):
         return False
+    numeric = (int, float, decimal.Decimal)
     for x, y in zip(a, b):
         if isinstance(x, bool) != isinstance(y, bool):
             return False
-        if isinstance(x, float) != isinstance(y, float):
-            if isinstance(x, (int, float)) and isinstance(y, (int, float)):
+        if isinstance(x, numeric) and isinstance(y, numeric):
+            # kind-strict: int vs float vs Decimal all hash differently in
+            # the gate even when numerically equal (Decimal('1.5') == 1.5)
+            if type(x) is not type(y):
                 return False
         if isinstance(x, tuple) and isinstance(y, tuple):
             if not _rows_strict_equal(x, y):

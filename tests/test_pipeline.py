@@ -100,15 +100,26 @@ def test_curation_deterministic_across_runs(spark, sf_dir):
 def test_curation_idempotent(spark, sf_dir):
     """Curating an already-curated corpus is a no-op: every quality gate
     passes, no duplicate pair survives, no PII is left to scrub, and the
-    hash split assigns every doc the same slice."""
+    hash split assigns every doc the same slice. The curated frame is fed
+    back VERBATIM — curate_corpus itself must replace (not duplicate) its
+    derived n_tokens/split columns."""
     docs = _docs(spark, sf_dir)
     once = pipelines.curate_corpus(docs).curated
-    again = pipelines.curate_corpus(
-        once.select([c for c in docs.columns if c in once.columns])
-    ).curated
+    again = pipelines.curate_corpus(once).curated
+    assert again.columns == once.columns  # no duplicated derived columns
     a = canonical_rows(once.toPandas())
     b = canonical_rows(again.toPandas())
     assert a == b
+
+
+def test_curation_rejects_overcommitted_splits(spark, sf_dir):
+    import pytest
+
+    docs = _docs(spark, sf_dir)
+    with pytest.raises(ValueError):
+        pipelines.curate_corpus(
+            docs, splits={"train": 0.9, "val": 0.1, "test": 0.05}
+        )
 
 
 def test_curation_scrubs_planted_pii(spark):
