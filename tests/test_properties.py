@@ -124,3 +124,25 @@ def test_pagerank_units_agrees_with_float_variant(spark):
     rank_f = sorted(f, key=lambda k: (-f[k], k))
     rank_u = sorted(u, key=lambda k: (-u[k], k))
     assert rank_f == rank_u
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    values=st.lists(
+        st.floats(min_value=-1e9, max_value=1e9, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_dsum_split_equals_wide_across_magnitudes(spark, values):
+    """The split two-BIGINT path and the wide DECIMAL(38,0) path must agree
+    bit-for-bit across the documented per-value envelope (|x| ≤ ~9e9),
+    including negatives and magnitudes spanning the 2^20 split modulus —
+    under different partitionings of the same multiset."""
+    from etl_asana_spark.functions.parity import dsum_wide
+
+    df = spark.createDataFrame([(float(v),) for v in values], "x double")
+    a = df.repartition(3).agg(dsum("x").alias("s")).collect()[0]["s"]
+    b = df.repartition(5).agg(dsum_wide("x").alias("s")).collect()[0]["s"]
+    assert a == b
