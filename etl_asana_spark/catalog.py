@@ -76,8 +76,9 @@ def load_all() -> None:
             raise
 
 
-def _last_verified_round() -> dict[str, int]:
-    """Per key: the latest driver round whose CORRECTNESS report passed it.
+def _driver_check_history() -> tuple[dict[str, int], set[str]]:
+    """Per key: latest driver round that PASSED it, plus the keys whose most
+    recent driver check FAILED.
 
     The driver's per-round correctness gate verifies a PREFIX of the catalog
     (round 1 checked exactly the first 50 of 195 keys — a count/time budget),
@@ -85,9 +86,15 @@ def _last_verified_round() -> dict[str, int]:
     verified. We read the driver's own ``CORRECTNESS_r*.json`` records and
     treat a key as verified-in-round-N when it was checked there and did not
     mismatch (a rows-only ``no_oracle`` record counts; an error or a False
-    match flag does not).
+    match flag does not). A key whose LATEST check failed goes in the failed
+    set — those must re-enter the next round's prefix so the fix is
+    externally proven (a failed key that merely rejoined the never-verified
+    pool would sort mid-pack by cost and could wait rounds for re-check; the
+    r02 ``q_cumulative_uniques`` red landed at position 94 that way).
     """
-    verified: dict[str, int] = {}
+    passed: dict[str, int] = {}
+    checked: dict[str, int] = {}  # latest round each key was checked at all
+    latest_ok: dict[str, bool] = {}
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
         m = re.search(r"_r0*(\d+)\.json$", path)
@@ -108,8 +115,12 @@ def _last_verified_round() -> dict[str, int]:
                 and rec.get("hash_match") is not False
             ) or (err == "no_oracle" and rec.get("spark_rows") is not None)
             if ok:
-                verified[key] = max(verified.get(key, 0), rnd)
-    return verified
+                passed[key] = max(passed.get(key, 0), rnd)
+            if rnd >= checked.get(key, 0):
+                checked[key] = rnd
+                latest_ok[key] = ok
+    failed = {k for k, ok in latest_ok.items() if not ok}
+    return passed, failed
 
 
 def _key_costs() -> dict[str, float]:
@@ -152,13 +163,15 @@ def _rotated(keys: list[str]) -> list[str]:
     with zero external evidence forever. This ordering reads the gate's own
     ``CORRECTNESS_r*.json`` records (repo root) plus measured per-key costs
     (``scripts/key_costs.json``) and key registration generations
-    (``scripts/key_generations.json``) and sorts never-verified (or
-    last-failed) keys first — oldest generation first, then cheapest — then
-    previously-passed keys oldest-round first. Coverage thus ACCUMULATES
-    across rounds: every round's prefix is spent on the keys with the least
-    external evidence, a failure re-sorts to the front for re-verification,
-    and a newly added key queues BEHIND every key that has been waiting
-    longer (so catalog growth cannot displace unverified keys).
+    (``scripts/key_generations.json``) and sorts keys whose LATEST driver
+    check failed first of all (the fix must be externally re-proven next
+    round), then never-verified keys — oldest generation first, then
+    cheapest — then previously-passed keys oldest-round first. Coverage thus
+    ACCUMULATES across rounds: every round's prefix is spent on the keys
+    with the least external evidence, a failure re-sorts to the very front
+    for re-verification, and a newly added key queues BEHIND every key that
+    has been waiting longer (so catalog growth cannot displace unverified
+    keys).
 
     Only the gate-facing surfaces use this ordering — ``__spark_entry__.py``
     (what the external driver imports) and ``scripts/sweep.py`` (its local
@@ -169,14 +182,14 @@ def _rotated(keys: list[str]) -> list[str]:
     """
     if os.environ.get("SPARK_GRAFT_STATIC_ORDER"):
         return list(keys)
-    verified = _last_verified_round()
+    passed, failed = _driver_check_history()
     costs = _key_costs()
     gens = _key_generations()
     order = {k: i for i, k in enumerate(keys)}
     return sorted(
         keys,
         key=lambda k: (
-            verified.get(k, -1),
+            -2 if k in failed else passed.get(k, -1),
             gens.get(k, 999),
             costs.get(k, 2.0),
             order[k],

@@ -3,11 +3,13 @@
 The external correctness gate checks a ~50-key prefix of ``queries()`` per
 round, so the rotation's ordering rules ARE the coverage strategy:
 
-1. never-verified (or last-failed) keys sort before verified ones;
-2. within never-verified, OLDER generations first — a key added in a later
+1. keys whose LATEST driver check FAILED sort first of all — a fix must be
+   externally re-proven the very next round, not rejoin the waiting pool;
+2. never-verified keys sort before verified ones;
+3. within never-verified, OLDER generations first — a key added in a later
    round can never displace a key that has been waiting longer;
-3. within a generation, cheaper keys first (more keys fit the time budget);
-4. ``SPARK_GRAFT_STATIC_ORDER=1`` restores registration order exactly.
+4. within a generation, cheaper keys first (more keys fit the time budget);
+5. ``SPARK_GRAFT_STATIC_ORDER=1`` restores registration order exactly.
 """
 
 from __future__ import annotations
@@ -15,8 +17,11 @@ from __future__ import annotations
 import etl_asana_spark.catalog as catalog
 
 
-def _order(monkeypatch, keys, verified, costs, gens, static=False):
-    monkeypatch.setattr(catalog, "_last_verified_round", lambda: verified)
+def _order(monkeypatch, keys, passed, costs, gens, failed=frozenset(),
+           static=False):
+    monkeypatch.setattr(
+        catalog, "_driver_check_history", lambda: (passed, set(failed))
+    )
     monkeypatch.setattr(catalog, "_key_costs", lambda: costs)
     monkeypatch.setattr(catalog, "_key_generations", lambda: gens)
     if static:
@@ -30,7 +35,7 @@ def test_unverified_before_verified(monkeypatch):
     got = _order(
         monkeypatch,
         ["a", "b", "c"],
-        verified={"a": 1, "c": 2},
+        passed={"a": 1, "c": 2},
         costs={},
         gens={"a": 1, "b": 1, "c": 1},
     )
@@ -43,7 +48,7 @@ def test_new_generation_queues_behind_waiting_keys(monkeypatch):
     got = _order(
         monkeypatch,
         ["old_slow", "old_fast", "new"],
-        verified={},
+        passed={},
         costs={"old_slow": 9.0, "old_fast": 0.1, "new": 0.01},
         gens={"old_slow": 2, "old_fast": 2},
     )
@@ -54,24 +59,38 @@ def test_cheapest_first_within_generation(monkeypatch):
     got = _order(
         monkeypatch,
         ["x", "y", "z"],
-        verified={},
+        passed={},
         costs={"x": 3.0, "y": 0.5, "z": 1.0},
         gens={"x": 1, "y": 1, "z": 1},
     )
     assert got == ["y", "z", "x"]
 
 
-def test_failed_key_resorts_to_front(monkeypatch):
-    # A key checked but FAILED is absent from _last_verified_round() output,
-    # so it sorts with the never-verified group for re-verification.
+def test_failed_key_resorts_before_everything(monkeypatch):
+    # A key whose latest check failed must lead the prefix — even ahead of
+    # never-verified keys from older generations with lower cost. (The r02
+    # q_cumulative_uniques red otherwise landed at position 94, outside the
+    # ~50-key gate budget, and its fix would have gone unproven.)
     got = _order(
         monkeypatch,
-        ["ok", "failed"],
-        verified={"ok": 2},
-        costs={"ok": 0.1, "failed": 0.1},
-        gens={"ok": 1, "failed": 1},
+        ["ok", "waiting_cheap", "failed_costly"],
+        passed={"ok": 2},
+        costs={"ok": 0.1, "waiting_cheap": 0.1, "failed_costly": 9.0},
+        gens={"ok": 1, "waiting_cheap": 1, "failed_costly": 1},
+        failed={"failed_costly"},
     )
-    assert got == ["failed", "ok"]
+    assert got == ["failed_costly", "waiting_cheap", "ok"]
+
+
+def test_fail_then_pass_counts_as_passed():
+    # q_agg_collect failed r01 and passed r02: the LATEST check decides,
+    # so it must be in the passed map and not the failed set. Exercises the
+    # real repo-root CORRECTNESS_r01/r02 artifacts end-to-end.
+    passed, failed = catalog._driver_check_history()
+    assert passed.get("q_agg_collect") == 2
+    assert "q_agg_collect" not in failed
+    # and the r02 hash-mismatch key is in the failed set
+    assert "q_cumulative_uniques" in failed
 
 
 def test_static_order_flag(monkeypatch):
@@ -79,7 +98,7 @@ def test_static_order_flag(monkeypatch):
     got = _order(
         monkeypatch,
         keys,
-        verified={"c": 1},
+        passed={"c": 1},
         costs={"a": 9.0},
         gens={},
         static=True,
@@ -94,9 +113,9 @@ def test_library_default_is_registration_order(monkeypatch):
 
     def _boom():
         calls.append(1)
-        return {}
+        return {}, set()
 
-    monkeypatch.setattr(catalog, "_last_verified_round", _boom)
+    monkeypatch.setattr(catalog, "_driver_check_history", _boom)
     keys_default = list(catalog.queries())
     assert not calls, "default ordering consulted verification artifacts"
     keys_static = list(catalog.queries(ordering="registration"))
