@@ -60,12 +60,17 @@ def _canon_cell(v: Any) -> Any:
 
 
 def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
-    """Columns sorted by name, every cell canonicalized, rows sorted."""
+    """Columns sorted by name, every cell canonicalized, rows sorted.
+
+    Cells are extracted COLUMN-WISE (``Series.tolist``), never via
+    ``iterrows``: iterrows materializes each row as a Series with one common
+    dtype, so a frame mixing int64 and float64 columns upcasts every int
+    cell to float — which silently masked int-vs-float column drift (the
+    external gate's r02 hash-red class) whenever any float column was
+    present. Column-wise extraction preserves each column's kind."""
     cols = sorted(pdf.columns)
-    rows = [
-        tuple(_canon_cell(row[c]) for c in cols)
-        for _, row in pdf[cols].iterrows()
-    ]
+    col_vals = [[_canon_cell(v) for v in pdf[c].tolist()] for c in cols]
+    rows = [tuple(vals[i] for vals in col_vals) for i in range(len(pdf))]
     return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
 
 

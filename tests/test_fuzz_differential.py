@@ -218,13 +218,141 @@ def test_random_shape_parity(spark, duck, sf_dir, seed):
     assert not problems, f"seed={seed} sql={to_sql(s)} problems={problems[:3]}"
 
 
-def test_seed_space_is_diverse():
-    """The generator must actually exercise joins, global aggs, and grouped
-    aggs across the pinned seed list — guard against a refactor collapsing
-    the space."""
+# ---------------------------------------------------------------------------
+# Window-function shapes — the family where the only external red ever
+# occurred (r02: DuckDB's windowed SUM over integers is HUGEINT → float64)
+# ---------------------------------------------------------------------------
+
+#: Deterministic total order inside every partition: (o_orderdate,
+#: o_orderkey) is unique, so ROWS frames and navigation offsets are
+#: engine-independent by construction.
+_WIN_ORDER_SQL = "o_orderdate, o_orderkey"
+_ROWS_CUM = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+
+@dataclass(frozen=True)
+class WinShape:
+    part: Key | None
+    fns: list[Agg]  # name + Spark Column over the window + SQL OVER() text
+    pred: Pred | None
+
+
+def gen_window_shape(seed: int) -> WinShape:
+    from pyspark.sql import Window
+
+    rng = random.Random(seed)
+    parts = [
+        Key("pri", F.col("o_orderpriority"), "o_orderpriority"),
+        Key("st", F.col("o_orderstatus"), "o_orderstatus"),
+        Key("yr", F.year("o_orderdate"), "year(o_orderdate)"),
+        None,  # single global partition — stresses the unpartitioned path
+    ]
+    part = rng.choice(parts)
+    w = (
+        Window.partitionBy(part.col)
+        if part is not None
+        else Window.partitionBy(F.lit(0))
+    ).orderBy("o_orderdate", "o_orderkey")
+    over = (
+        f"PARTITION BY {part.sql} ORDER BY {_WIN_ORDER_SQL}"
+        if part is not None
+        else f"ORDER BY {_WIN_ORDER_SQL}"
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    units = F.floor(F.col("o_totalprice") * 1_000_000.0 + 0.5)
+    sql_units = "CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT)"
+    pool = [
+        Agg("rn", F.row_number().over(w), f"ROW_NUMBER() OVER ({over})"),
+        # the r02 class: windowed SUM of integers MUST be cast on the
+        # oracle side or it reaches pandas as float64
+        Agg(
+            "cum_key",
+            F.sum("o_custkey").over(cum),
+            f"CAST(SUM(o_custkey) OVER ({over} {_ROWS_CUM}) AS BIGINT)",
+        ),
+        # fixed-point cumulative revenue, exposed as exact BIGINT units
+        Agg(
+            "cum_rev_units",
+            F.sum(units).over(cum),
+            f"CAST(SUM({sql_units}) OVER ({over} {_ROWS_CUM}) AS BIGINT)",
+        ),
+        Agg(
+            "prev_key",
+            F.lag("o_orderkey").over(w),
+            f"LAG(o_orderkey) OVER ({over})",
+        ),
+        Agg(
+            "next_status",
+            F.lead("o_orderstatus").over(w),
+            f"LEAD(o_orderstatus) OVER ({over})",
+        ),
+        Agg(
+            "run_max_price",
+            F.max("o_totalprice").over(cum),
+            f"MAX(o_totalprice) OVER ({over} {_ROWS_CUM})",
+        ),
+        Agg(
+            "cum_n",
+            F.count(F.lit(1)).over(cum),
+            f"CAST(COUNT(*) OVER ({over} {_ROWS_CUM}) AS BIGINT)",
+        ),
+    ]
+    fns = rng.sample(pool, rng.randint(1, 3))
+    pred = None
+    if rng.random() < 0.5:
+        pri = rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        pred = Pred(
+            F.col("o_orderpriority") <= F.lit(pri),
+            f"o_orderpriority <= '{pri}'",
+        )
+    return WinShape(part=part, fns=fns, pred=pred)
+
+
+def run_window_spark(spark, sf_dir: str, s: WinShape) -> DataFrame:
+    df = load_tables(spark, sf_dir)["orders"]
+    if s.pred is not None:
+        df = df.filter(s.pred.col)
+    return df.select(
+        "o_orderkey", *[f.col.alias(f.name) for f in s.fns]
+    )
+
+
+def window_sql(s: WinShape) -> str:
+    where = f" WHERE ({s.pred.sql})" if s.pred is not None else ""
+    select = ", ".join(
+        ["o_orderkey"] + [f"{f.sql} AS {f.name}" for f in s.fns]
+    )
+    return f"SELECT {select} FROM orders{where}"
+
+
+WIN_SEEDS = list(range(100, 115))
+
+
+@pytest.mark.parametrize("seed", WIN_SEEDS)
+def test_random_window_parity(spark, duck, sf_dir, seed):
+    s = gen_window_shape(seed)
+    got = run_window_spark(spark, sf_dir, s).toPandas()
+    want = duck.execute(window_sql(s)).fetchdf()
+    problems = compare_frames(got, want)
+    assert not problems, (
+        f"seed={seed} sql={window_sql(s)} problems={problems[:3]}"
+    )
+
+
+def test_seed_space_is_diverse(spark):  # Column construction needs a live JVM
+    """The generators must actually exercise joins, global aggs, grouped
+    aggs, unpartitioned windows, and the windowed-integer-SUM drift class
+    across the pinned seed lists — guard against a refactor collapsing the
+    space."""
     shapes = [gen_shape(s) for s in SEEDS]
     assert any(s.joined for s in shapes)
     assert any(not s.keys for s in shapes)
     assert any(len(s.keys) == 2 for s in shapes)
     assert any(not s.preds for s in shapes)
     assert any(len(s.preds) == 3 for s in shapes)
+    wins = [gen_window_shape(s) for s in WIN_SEEDS]
+    assert any(w.part is None for w in wins)
+    assert any(w.pred is not None for w in wins)
+    fn_names = {f.name for w in wins for f in w.fns}
+    assert "cum_key" in fn_names  # the r02 windowed HUGEINT class
+    assert "cum_rev_units" in fn_names

@@ -76,3 +76,20 @@ def test_array_cells_raise_like_the_driver_hasher(sweep):
     a = pd.DataFrame({"x": [np.array([1, 2]), np.array([3])]})
     with pytest.raises(Exception):
         sweep.canon(a)
+
+
+def test_testing_compare_frames_strict_on_mixed_dtype_frames():
+    """Regression: ``testing.compare_frames`` once extracted rows via
+    ``iterrows``, which upcasts every cell of a mixed int64/float64 frame to
+    float64 — masking int-vs-float column drift (the r02 gate-red class)
+    whenever ANY float column was present. Found by the differential
+    fuzzer's teeth-check (4 of 6 deliberately-broken oracles passed)."""
+    from etl_asana_spark.testing import compare_frames
+
+    a = pd.DataFrame({"k": [1, 2], "cum": pd.array([10, 20], dtype="int64"),
+                      "price": [1.5, 2.5]})
+    b = pd.DataFrame({"k": [1, 2], "cum": [10.0, 20.0],  # drifted column
+                      "price": [1.5, 2.5]})
+    assert compare_frames(a, b), "int-vs-float drift hidden by float sibling"
+    assert compare_frames(b, a)
+    assert compare_frames(a, a.copy()) == []
