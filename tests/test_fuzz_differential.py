@@ -339,6 +339,125 @@ def test_random_window_parity(spark, duck, sf_dir, seed):
     )
 
 
+# ---------------------------------------------------------------------------
+# Composed scalar-expression shapes — the catalog's q_fn_* keys pin each
+# function family alone; these compose random string/date/math chains over
+# documents. Only engine-exact functions are in the pool (IEEE sqrt/floor/
+# abs, string ops, day/month/year extraction): round(), log(), pow(), and
+# dayofweek() are excluded on purpose — their cross-engine contracts differ
+# (HALF_UP vs banker's, libm ulp drift, Sunday=1 vs Sunday=0).
+# ---------------------------------------------------------------------------
+
+
+def _scalar_pool(rng: random.Random) -> list[Agg]:
+    k = rng.randint(2, 12)
+    m = rng.randint(1, 5)
+    needle = rng.choice(["the", "and", "data", "of"])
+    pool = [
+        Agg(
+            "head",
+            F.upper(F.substring("text", 1, k)),
+            f"upper(substr(text, 1, {k}))",
+        ),
+        Agg(
+            "tag",
+            F.concat(F.col("source"), F.lit(":"), F.col("lang"),
+                     F.lit(":"), F.col("doc_id").cast("string")),
+            "source || ':' || lang || ':' || CAST(doc_id AS VARCHAR)",
+        ),
+        Agg(
+            "n_head_chars",
+            F.length(F.trim(F.substring("text", 1, 40))),
+            "CAST(length(trim(substr(text, 1, 40))) AS BIGINT)",
+        ),
+        Agg(
+            "replaced",
+            F.replace(F.substring("text", 1, 30), F.lit(needle), F.lit("_")),
+            f"replace(substr(text, 1, 30), '{needle}', '_')",
+        ),
+        Agg(
+            "rev_src",
+            F.reverse(F.lower(F.col("source"))),
+            "reverse(lower(source))",
+        ),
+        Agg(
+            "has_needle",
+            F.substring("text", 1, 200).contains(needle),
+            f"contains(substr(text, 1, 200), '{needle}')",
+        ),
+        Agg(
+            "root_chars",
+            F.sqrt(F.col("n_chars").cast("double") + F.lit(float(m))),
+            f"sqrt(CAST(n_chars AS DOUBLE) + {float(m)})",
+        ),
+        Agg(
+            "chars_bucket",
+            F.floor(F.col("n_chars") / F.lit(float(100 * m))).cast("long"),
+            f"CAST(floor(n_chars / {float(100 * m)}) AS BIGINT)",
+        ),
+        Agg(
+            "abs_delta",
+            F.abs(F.col("n_chars") - F.lit(500)),
+            "CAST(abs(n_chars - 500) AS BIGINT)",
+        ),
+        Agg(
+            "flagged",
+            F.when(F.col("n_chars") > 100 * m, F.lit("long"))
+            .when(F.col("lang") == "en", F.lit("short-en"))
+            .otherwise(F.lit("other")),
+            f"CASE WHEN n_chars > {100 * m} THEN 'long' "
+            "WHEN lang = 'en' THEN 'short-en' ELSE 'other' END",
+        ),
+    ]
+    return pool
+
+
+@dataclass(frozen=True)
+class ScalarShape:
+    exprs: list[Agg]
+    pred: Pred | None
+
+
+def gen_scalar_shape(seed: int) -> ScalarShape:
+    rng = random.Random(seed)
+    exprs = rng.sample(_scalar_pool(rng), rng.randint(2, 4))
+    pred = None
+    if rng.random() < 0.5:
+        langs = rng.sample(["en", "de", "fr", "es", "zh"], rng.randint(1, 3))
+        in_langs = ", ".join(f"'{x}'" for x in langs)
+        pred = Pred(F.col("lang").isin(langs), f"lang IN ({in_langs})")
+    return ScalarShape(exprs=exprs, pred=pred)
+
+
+def run_scalar_spark(spark, sf_dir: str, s: ScalarShape) -> DataFrame:
+    df = load_tables(spark, sf_dir)["documents"]
+    if s.pred is not None:
+        df = df.filter(s.pred.col)
+    return df.select("doc_id", *[e.col.alias(e.name) for e in s.exprs])
+
+
+def scalar_sql(s: ScalarShape) -> str:
+    where = f" WHERE ({s.pred.sql})" if s.pred is not None else ""
+    select = ", ".join(
+        ["doc_id"] + [f"{e.sql} AS {e.name}" for e in s.exprs]
+    )
+    return f"SELECT {select} FROM documents{where}"
+
+
+SCALAR_SEEDS = list(range(200, 215))
+
+
+@pytest.mark.parametrize("seed", SCALAR_SEEDS)
+def test_random_scalar_parity(spark, duck, sf_dir, seed):
+    s = gen_scalar_shape(seed)
+    got = run_scalar_spark(spark, sf_dir, s).toPandas()
+    want = duck.execute(scalar_sql(s)).fetchdf()
+    problems = compare_frames(got, want)
+    assert not problems, (
+        f"seed={seed} sql={scalar_sql(s)} problems={problems[:3]}"
+    )
+
+
 def test_seed_space_is_diverse(spark):  # Column construction needs a live JVM
     """The generators must actually exercise joins, global aggs, grouped
     aggs, unpartitioned windows, and the windowed-integer-SUM drift class
