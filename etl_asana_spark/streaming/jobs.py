@@ -90,20 +90,34 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_events(stream)
 
 
+#: Bounded drains restart ONCE on a transient failure. Restart-from-
+#: checkpoint is streaming's recovery model; these runs are bounded and
+#: deterministic with a fresh checkpoint + sink per attempt, so a clean
+#: rerun computes the identical answer (and a second failure propagates).
+_DRAIN_ATTEMPTS = 2
+
+
 def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     """Run a streaming plan to completion (AvailableNow) into a memory sink."""
-    name = f"sink_{uuid.uuid4().hex[:12]}"
-    with _stream_shuffle(df.sparkSession):
-        query = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .option("checkpointLocation", fresh_dir("ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    return df.sparkSession.table(name)
+    spark = df.sparkSession
+    for attempt in range(_DRAIN_ATTEMPTS):
+        name = f"sink_{uuid.uuid4().hex[:12]}"
+        try:
+            with _stream_shuffle(spark):
+                query = (
+                    df.writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode(mode)
+                    .option("checkpointLocation", fresh_dir("ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                query.awaitTermination()
+            return spark.table(name)
+        except Exception:
+            if attempt + 1 == _DRAIN_ATTEMPTS:
+                raise
+    raise AssertionError("unreachable")
 
 
 def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,14 +277,22 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         newest.write.mode("append").parquet(target)
 
     ev = _stream_events(spark, sf_dir)
-    with _stream_shuffle(spark):
-        query = (
-            ev.writeStream.foreachBatch(upsert)
-            .option("checkpointLocation", fresh_dir("ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
+    for attempt in range(_DRAIN_ATTEMPTS):
+        try:
+            with _stream_shuffle(spark):
+                query = (
+                    ev.writeStream.foreachBatch(upsert)
+                    .option("checkpointLocation", fresh_dir("ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                query.awaitTermination()
+            break
+        except Exception:
+            # A fresh-checkpoint replay re-appends batches; the read side's
+            # keep-rule collapses duplicates, so the retry stays idempotent.
+            if attempt + 1 == _DRAIN_ATTEMPTS:
+                raise
     merged = spark.read.parquet(target)
     return upsert_last_modified_wins(
         merged, key="user_id", modified_col="ts", tiebreak=["event_type"]
@@ -333,15 +355,23 @@ def sync_token_source_stream(spark: SparkSession) -> DataFrame:
     # AvailableNow issues a single poll against a simple stream reader; a
     # sync-token feed drains by polling until no new rows arrive — which is
     # exactly processAllAvailable() on a running query.
-    name = f"sink_{uuid.uuid4().hex[:12]}"
-    with _stream_shuffle(spark):
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", fresh_dir("ckpt"))
-            .start()
-        )
-        query.processAllAvailable()
-        query.stop()
-    return spark.table(name)
+    for attempt in range(_DRAIN_ATTEMPTS):
+        name = f"sink_{uuid.uuid4().hex[:12]}"
+        try:
+            with _stream_shuffle(spark):
+                query = (
+                    agg.writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode("complete")
+                    .option("checkpointLocation", fresh_dir("ckpt"))
+                    .start()
+                )
+                try:
+                    query.processAllAvailable()
+                finally:
+                    query.stop()
+            return spark.table(name)
+        except Exception:
+            if attempt + 1 == _DRAIN_ATTEMPTS:
+                raise
+    raise AssertionError("unreachable")
