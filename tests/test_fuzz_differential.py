@@ -458,6 +458,258 @@ def test_random_scalar_parity(spark, duck, sf_dir, seed):
     )
 
 
+# ---------------------------------------------------------------------------
+# Join-kind shapes — inner/left/semi/anti between customer and orders. The
+# semantics fuzzed here are the ones equi-join rewrites get wrong: a
+# right-side predicate must behave as an ON-clause condition under LEFT
+# (rows keep surviving with NULL order columns), COUNT(col) vs COUNT(*)
+# must disagree exactly on the unmatched rows, and a NULLIF'd group key
+# must put the NULL group through both engines' grouping identically.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class JoinShape:
+    kind: str  # inner | left | semi | anti
+    left_pred: Pred | None
+    right_pred: Pred | None
+    null_key_group: bool
+
+
+def gen_join_shape(seed: int) -> JoinShape:
+    rng = random.Random(seed)
+    kind = rng.choice(["inner", "left", "semi", "anti"])
+    left_pred = None
+    if rng.random() < 0.6:
+        if rng.random() < 0.5:
+            bal = rng.randint(-500, 5000)
+            left_pred = Pred(
+                F.col("c_acctbal") > float(bal), f"c_acctbal > {float(bal)}"
+            )
+        else:
+            segs = rng.sample(
+                ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD",
+                 "FURNITURE"],
+                rng.randint(1, 3),
+            )
+            in_segs = ", ".join(f"'{s}'" for s in segs)
+            left_pred = Pred(
+                F.col("c_mktsegment").isin(segs),
+                f"c_mktsegment IN ({in_segs})",
+            )
+    right_pred = None
+    if rng.random() < 0.6:
+        if rng.random() < 0.5:
+            st = rng.choice(["F", "O", "P"])
+            right_pred = Pred(
+                F.col("o_orderstatus") == st, f"o_orderstatus = '{st}'"
+            )
+        else:
+            p = rng.randint(50, 250) * 1000
+            right_pred = Pred(
+                F.col("o_totalprice") < float(p), f"o_totalprice < {float(p)}"
+            )
+    return JoinShape(
+        kind=kind,
+        left_pred=left_pred,
+        right_pred=right_pred,
+        null_key_group=rng.random() < 0.4,
+    )
+
+
+def _join_group_key(s: JoinShape) -> Key:
+    if s.null_key_group:
+        return Key(
+            "seg",
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+            "nullif(c_mktsegment, 'BUILDING')",
+        )
+    return Key("seg", F.col("c_mktsegment"), "c_mktsegment")
+
+
+def run_join_spark(spark: SparkSession, sf_dir: str, s: JoinShape) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"]
+    if s.left_pred is not None:
+        cust = cust.filter(s.left_pred.col)
+    orders = t["orders"]
+    if s.right_pred is not None:
+        # Pre-join filter on the preserved-NULL side ≡ the ON-clause
+        # predicate — the LEFT-join case where WHERE placement changes
+        # the answer.
+        orders = orders.filter(s.right_pred.col)
+    kind = {"inner": "inner", "left": "left",
+            "semi": "left_semi", "anti": "left_anti"}[s.kind]
+    joined = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], kind
+    )
+    key = _join_group_key(s)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        parity.dsum("c_acctbal").alias("sum_bal"),
+    ]
+    if s.kind in ("inner", "left"):
+        aggs += [
+            F.count("o_orderkey").alias("n_orders"),  # NULL-skipping count
+            F.max("o_orderdate").alias("last_odate"),
+        ]
+    return joined.groupBy(key.col.alias(key.name)).agg(*aggs)
+
+
+def join_sql(s: JoinShape) -> str:
+    key = _join_group_key(s)
+    lw = f"({s.left_pred.sql})" if s.left_pred is not None else "TRUE"
+    rp = f"({s.right_pred.sql})" if s.right_pred is not None else "TRUE"
+    aggs = [
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        f"{parity.sql_dsum('c_acctbal')} AS sum_bal",
+    ]
+    if s.kind in ("inner", "left"):
+        aggs += [
+            "CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders",
+            "MAX(o_orderdate) AS last_odate",
+        ]
+        joiner = "JOIN" if s.kind == "inner" else "LEFT JOIN"
+        src = (
+            f"customer {joiner} orders "
+            f"ON c_custkey = o_custkey AND {rp}"
+        )
+        where = f" WHERE {lw}"
+    else:
+        exists = (
+            "EXISTS (SELECT 1 FROM orders "
+            f"WHERE o_custkey = c_custkey AND {rp})"
+        )
+        if s.kind == "anti":
+            exists = "NOT " + exists
+        src = "customer"
+        where = f" WHERE {lw} AND {exists}"
+    return (
+        f"SELECT {key.sql} AS {key.name}, {', '.join(aggs)} "
+        f"FROM {src}{where} GROUP BY {key.sql}"
+    )
+
+
+JOIN_SEEDS = list(range(300, 318))
+
+
+@pytest.mark.parametrize("seed", JOIN_SEEDS)
+def test_random_join_parity(spark, duck, sf_dir, seed):
+    s = gen_join_shape(seed)
+    got = run_join_spark(spark, sf_dir, s).toPandas()
+    want = duck.execute(join_sql(s)).fetchdf()
+    problems = compare_frames(got, want)
+    assert not problems, (
+        f"seed={seed} sql={join_sql(s)} problems={problems[:3]}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set-operation shapes — two predicated projections of orders composed with
+# UNION ALL / UNION / INTERSECT [ALL] / EXCEPT [ALL]. The ALL-vs-DISTINCT
+# split is the hazard: DataFrame union() is UNION ALL (SQL UNION dedups),
+# intersect()/exceptAll() etc. each pin one side of it.
+# ---------------------------------------------------------------------------
+
+# Column construction needs a live JVM, so the Spark side is a thunk.
+_SETOP_PROJS = {
+    "status_pri": (
+        lambda: ["o_orderstatus", "o_orderpriority"],
+        "o_orderstatus, o_orderpriority",
+    ),
+    "pri_year": (
+        lambda: [F.col("o_orderpriority"), F.year("o_orderdate").alias("yr")],
+        "o_orderpriority, year(o_orderdate) AS yr",
+    ),
+}
+
+
+@dataclass(frozen=True)
+class SetShape:
+    proj: str
+    op: str  # union_all | union | intersect | intersect_all | except_ | except_all
+    pred_a: Pred
+    pred_b: Pred
+
+
+def _setop_pred(rng: random.Random) -> Pred:
+    choice = rng.random()
+    if choice < 0.4:
+        st = rng.choice(["F", "O", "P"])
+        return Pred(F.col("o_orderstatus") == st, f"o_orderstatus = '{st}'")
+    if choice < 0.7:
+        p = rng.randint(50, 250) * 1000
+        return Pred(F.col("o_totalprice") < float(p), f"o_totalprice < {float(p)}")
+    y = rng.randint(1993, 1997)
+    return Pred(
+        F.year("o_orderdate") >= y, f"year(o_orderdate) >= {y}"
+    )
+
+
+def gen_set_shape(seed: int) -> SetShape:
+    rng = random.Random(seed)
+    return SetShape(
+        proj=rng.choice(sorted(_SETOP_PROJS)),
+        op=rng.choice(
+            ["union_all", "union", "intersect", "intersect_all",
+             "except_", "except_all"]
+        ),
+        pred_a=_setop_pred(rng),
+        pred_b=_setop_pred(rng),
+    )
+
+
+def run_set_spark(spark: SparkSession, sf_dir: str, s: SetShape) -> DataFrame:
+    orders = load_tables(spark, sf_dir)["orders"]
+    cols = _SETOP_PROJS[s.proj][0]()
+    a = orders.filter(s.pred_a.col).select(*cols)
+    b = orders.filter(s.pred_b.col).select(*cols)
+    if s.op == "union_all":
+        return a.union(b)
+    if s.op == "union":
+        return a.union(b).distinct()
+    if s.op == "intersect":
+        return a.intersect(b)
+    if s.op == "intersect_all":
+        return a.intersectAll(b)
+    if s.op == "except_":
+        return a.subtract(b)  # EXCEPT DISTINCT (exceptAll().distinct() is
+        # NOT the same: a row present on both sides survives the multiset
+        # difference whenever the left multiplicity is higher)
+    return a.exceptAll(b)
+
+
+def set_sql(s: SetShape) -> str:
+    proj = _SETOP_PROJS[s.proj][1]
+    op = {
+        "union_all": "UNION ALL",
+        "union": "UNION",
+        "intersect": "INTERSECT",
+        "intersect_all": "INTERSECT ALL",
+        "except_": "EXCEPT",
+        "except_all": "EXCEPT ALL",
+    }[s.op]
+    return (
+        f"SELECT {proj} FROM orders WHERE ({s.pred_a.sql}) "
+        f"{op} "
+        f"SELECT {proj} FROM orders WHERE ({s.pred_b.sql})"
+    )
+
+
+SET_SEEDS = list(range(400, 414))
+
+
+@pytest.mark.parametrize("seed", SET_SEEDS)
+def test_random_setop_parity(spark, duck, sf_dir, seed):
+    s = gen_set_shape(seed)
+    got = run_set_spark(spark, sf_dir, s).toPandas()
+    want = duck.execute(set_sql(s)).fetchdf()
+    problems = compare_frames(got, want)
+    assert not problems, (
+        f"seed={seed} sql={set_sql(s)} problems={problems[:3]}"
+    )
+
+
 def test_seed_space_is_diverse(spark):  # Column construction needs a live JVM
     """The generators must actually exercise joins, global aggs, grouped
     aggs, unpartitioned windows, and the windowed-integer-SUM drift class
@@ -475,3 +727,11 @@ def test_seed_space_is_diverse(spark):  # Column construction needs a live JVM
     fn_names = {f.name for w in wins for f in w.fns}
     assert "cum_key" in fn_names  # the r02 windowed HUGEINT class
     assert "cum_rev_units" in fn_names
+    joins = [gen_join_shape(s) for s in JOIN_SEEDS]
+    assert {j.kind for j in joins} == {"inner", "left", "semi", "anti"}
+    assert any(j.kind == "left" and j.right_pred is not None for j in joins)
+    assert any(j.null_key_group for j in joins)
+    sets = [gen_set_shape(s) for s in SET_SEEDS]
+    assert len({t.op for t in sets}) >= 5
+    assert any(t.op in ("intersect", "except_", "union") for t in sets)
+    assert any(t.op.endswith("_all") or t.op == "union_all" for t in sets)
