@@ -710,6 +710,115 @@ def test_random_setop_parity(spark, duck, sf_dir, seed):
     )
 
 
+# ---------------------------------------------------------------------------
+# As-of join shapes — the engine's composed ASOF (equi-join + range filter +
+# argmax, operators/joins.py) against DuckDB's NATIVE ASOF JOIN, which is an
+# independent implementation of the same semantics: per probe row the nearest
+# build time at-or-before (backward) / at-or-after (forward), inner, per key.
+# Randomized over direction, probe/build slices, and payload attachment; the
+# cogroup merge_asof scale path is cross-checked on the backward shapes.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AsofShape:
+    direction: str  # backward | forward
+    probe_types: list[str]
+    build_types: list[str]
+    payload: bool
+
+
+_EVENT_TYPES = ["click", "view", "signup", "purchase", "error"]
+
+
+def gen_asof_shape(seed: int) -> AsofShape:
+    rng = random.Random(seed)
+    return AsofShape(
+        direction=rng.choice(["backward", "forward"]),
+        probe_types=sorted(rng.sample(_EVENT_TYPES, rng.randint(1, 2))),
+        build_types=sorted(rng.sample(_EVENT_TYPES, rng.randint(1, 3))),
+        payload=rng.random() < 0.5,
+    )
+
+
+def _asof_sides(spark, sf_dir: str, s: AsofShape):
+    ev = load_tables(spark, sf_dir)["events"]
+    probe = ev.filter(F.col("event_type").isin(s.probe_types)).select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    # Build side made unique per (key, time) so payload attachment is
+    # unambiguous in every implementation under test.
+    build = (
+        ev.filter(F.col("event_type").isin(s.build_types))
+        .groupBy("user_id", F.col("ts").alias("b_ts"))
+        .agg(F.max("value").alias("val"))
+    )
+    return probe, build
+
+
+def run_asof_spark(spark, sf_dir: str, s: AsofShape) -> DataFrame:
+    from etl_asana_spark.operators.joins import asof_join
+
+    probe, build = _asof_sides(spark, sf_dir, s)
+    return asof_join(
+        probe,
+        build,
+        on="user_id",
+        probe_time="p_ts",
+        build_time="b_ts",
+        direction=s.direction,
+        payload_cols=("val",) if s.payload else (),
+    )
+
+
+def asof_sql(s: AsofShape) -> str:
+    in_p = ", ".join(f"'{x}'" for x in s.probe_types)
+    in_b = ", ".join(f"'{x}'" for x in s.build_types)
+    op = ">=" if s.direction == "backward" else "<="
+    val = ", b.val" if s.payload else ""
+    return f"""
+    WITH probe AS (
+        SELECT event_id, user_id, ts AS p_ts FROM events
+        WHERE event_type IN ({in_p})
+    ),
+    build AS (
+        SELECT user_id, ts AS b_ts, MAX(value) AS val FROM events
+        WHERE event_type IN ({in_b}) GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.p_ts, b.b_ts{val}
+    FROM probe p ASOF JOIN build b
+      ON p.user_id = b.user_id AND p.p_ts {op} b.b_ts
+    """
+
+
+ASOF_SEEDS = list(range(500, 514))
+
+
+@pytest.mark.parametrize("seed", ASOF_SEEDS)
+def test_random_asof_parity(spark, duck, sf_dir, seed):
+    s = gen_asof_shape(seed)
+    got = run_asof_spark(spark, sf_dir, s).toPandas()
+    want = duck.execute(asof_sql(s)).fetchdf()
+    problems = compare_frames(got, want)
+    assert not problems, (
+        f"seed={seed} shape={s} problems={problems[:3]}"
+    )
+    if s.direction == "backward" and not s.payload:
+        # The cogroup merge_asof scale path must agree with the native
+        # ASOF on the same sides.
+        from etl_asana_spark.operators.joins import asof_join_pandas
+
+        probe, build = _asof_sides(spark, sf_dir, s)
+        alt = asof_join_pandas(
+            probe, build.select("user_id", "b_ts"),
+            on="user_id", probe_time="p_ts", build_time="b_ts",
+        ).toPandas()
+        problems = compare_frames(alt, want)
+        assert not problems, (
+            f"seed={seed} pandas-path shape={s} problems={problems[:3]}"
+        )
+
+
 def test_seed_space_is_diverse(spark):  # Column construction needs a live JVM
     """The generators must actually exercise joins, global aggs, grouped
     aggs, unpartitioned windows, and the windowed-integer-SUM drift class
@@ -735,3 +844,9 @@ def test_seed_space_is_diverse(spark):  # Column construction needs a live JVM
     assert len({t.op for t in sets}) >= 5
     assert any(t.op in ("intersect", "except_", "union") for t in sets)
     assert any(t.op.endswith("_all") or t.op == "union_all" for t in sets)
+    asofs = [gen_asof_shape(s) for s in ASOF_SEEDS]
+    assert {a.direction for a in asofs} == {"backward", "forward"}
+    assert any(a.payload for a in asofs)
+    assert any(
+        a.direction == "backward" and not a.payload for a in asofs
+    )  # the merge_asof cross-check must actually fire
