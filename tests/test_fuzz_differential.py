@@ -711,6 +711,120 @@ def test_random_setop_parity(spark, duck, sf_dir, seed):
 
 
 # ---------------------------------------------------------------------------
+# Multi-dimensional aggregation shapes — ROLLUP / CUBE / GROUPING SETS over
+# random key subsets and aggregate bundles, always carrying GROUPING_ID. The
+# fuzzed hazards: subtotal NULL markers coexisting with DATA NULLs in a key
+# (a NULLIF'd key is in the pool — gid is what keeps the rows apart), the
+# gid bit-order contract (leftmost key = MSB in both engines, probed and
+# pinned here), and integer SUMs inside Expand (the HUGEINT cast class again
+# via the shared aggregate pool).
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MultiDimShape:
+    op: str  # rollup | cube | gsets
+    keys: list[Key]
+    sets: list[tuple[int, ...]] | None  # index subsets for gsets
+    aggs: list[Agg]
+
+
+def _mdim_keys(rng: random.Random) -> list[Key]:
+    pool = [
+        Key("rf", F.col("l_returnflag"), "l_returnflag"),
+        Key("ls", F.col("l_linestatus"), "l_linestatus"),
+        Key("ln", F.col("l_linenumber"), "l_linenumber"),
+        # Data NULLs in a grouping key: subtotal rows and the NULL-value
+        # group must stay distinct (by gid), identically in both engines.
+        Key(
+            "nrf",
+            F.nullif(F.col("l_returnflag"), F.lit("A")),
+            "nullif(l_returnflag, 'A')",
+        ),
+    ]
+    return rng.sample(pool, rng.randint(2, 3))
+
+
+def gen_mdim_shape(seed: int) -> MultiDimShape:
+    rng = random.Random(seed)
+    op = rng.choice(["rollup", "cube", "gsets"])
+    keys = _mdim_keys(rng)
+    sets = None
+    if op == "gsets":
+        universe: list[tuple[int, ...]] = [()]
+        for i in range(len(keys)):
+            universe.append((i,))
+        universe.append(tuple(range(len(keys))))
+        sets = rng.sample(universe, rng.randint(2, 3))
+        # Every key must belong to at least one set — GROUPING() over a
+        # never-grouped column is a binder error (DuckDB enforces it).
+        covered = sorted({i for t in sets for i in t})
+        if not covered:
+            covered = [0]
+            sets = [(0,), ()]
+        remap = {old: new for new, old in enumerate(covered)}
+        keys = [keys[i] for i in covered]
+        sets = [tuple(remap[i] for i in t if i in remap) for t in sets]
+    return MultiDimShape(op=op, keys=keys, sets=sets, aggs=_aggs(rng))
+
+
+def run_mdim_spark(spark: SparkSession, sf_dir: str, s: MultiDimShape) -> DataFrame:
+    df = load_tables(spark, sf_dir)["lineitem"]
+    # Pre-project the key expressions into named columns and group by the
+    # plain names: groupingSets() matches set members to grouping columns
+    # by expression, and a re-used aliased Column object silently becomes a
+    # SEPARATE grouping expression (observed: gid over 2 keys reached 13).
+    for k in s.keys:
+        df = df.withColumn(k.name, k.col)
+    names = [k.name for k in s.keys]
+    if s.op == "rollup":
+        grouped = df.rollup(*names)
+    elif s.op == "cube":
+        grouped = df.cube(*names)
+    else:
+        grouped = df.groupingSets(
+            [[names[i] for i in idxs] for idxs in s.sets], *names
+        )
+    return grouped.agg(
+        F.grouping_id().alias("gid"), *[a.col.alias(a.name) for a in s.aggs]
+    )
+
+
+def mdim_sql(s: MultiDimShape) -> str:
+    keys_sql = ", ".join(k.sql for k in s.keys)
+    if s.op == "rollup":
+        group = f"ROLLUP({keys_sql})"
+    elif s.op == "cube":
+        group = f"CUBE({keys_sql})"
+    else:
+        rendered = [
+            "(" + ", ".join(s.keys[i].sql for i in idxs) + ")"
+            for idxs in s.sets
+        ]
+        group = f"GROUPING SETS ({', '.join(rendered)})"
+    select = ", ".join(
+        [f"{k.sql} AS {k.name}" for k in s.keys]
+        + [f"CAST(GROUPING({keys_sql}) AS BIGINT) AS gid"]
+        + [f"{a.sql} AS {a.name}" for a in s.aggs]
+    )
+    return f"SELECT {select} FROM lineitem GROUP BY {group}"
+
+
+MDIM_SEEDS = list(range(600, 614))
+
+
+@pytest.mark.parametrize("seed", MDIM_SEEDS)
+def test_random_mdim_parity(spark, duck, sf_dir, seed):
+    s = gen_mdim_shape(seed)
+    got = run_mdim_spark(spark, sf_dir, s).toPandas()
+    want = duck.execute(mdim_sql(s)).fetchdf()
+    problems = compare_frames(got, want)
+    assert not problems, (
+        f"seed={seed} sql={mdim_sql(s)} problems={problems[:3]}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # As-of join shapes — the engine's composed ASOF (equi-join + range filter +
 # argmax, operators/joins.py) against DuckDB's NATIVE ASOF JOIN, which is an
 # independent implementation of the same semantics: per probe row the nearest
@@ -850,3 +964,9 @@ def test_seed_space_is_diverse(spark):  # Column construction needs a live JVM
     assert any(
         a.direction == "backward" and not a.payload for a in asofs
     )  # the merge_asof cross-check must actually fire
+    mdims = [gen_mdim_shape(s) for s in MDIM_SEEDS]
+    assert {m.op for m in mdims} == {"rollup", "cube", "gsets"}
+    assert any(
+        any(k.name == "nrf" for k in m.keys) for m in mdims
+    )  # marker-vs-data-NULL coexistence must be exercised
+    assert any(m.op == "gsets" and () in m.sets for m in mdims)
