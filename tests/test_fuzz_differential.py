@@ -933,6 +933,119 @@ def test_random_asof_parity(spark, duck, sf_dir, seed):
         )
 
 
+# ---------------------------------------------------------------------------
+# Array higher-order-function shapes — random transform/filter/aggregate
+# chains over the 64-d embedding vectors, DataFrame HOFs vs DuckDB list_*.
+# The HOF path is what keeps 100 TB embedding math JVM-side (no UDF), so its
+# cross-engine contract gets fuzzed like the scalar one: float32 elements are
+# cast to DOUBLE on both sides, folds run left-to-right in array order on
+# both sides, and every float-valued output goes through the fixed-point
+# floor(x·1e6+0.5) BIGINT boundary the parity discipline uses everywhere.
+# ---------------------------------------------------------------------------
+
+
+def _vec_pool(rng: random.Random) -> list[Agg]:
+    k = rng.randint(2, 16)
+    thr = rng.randint(-20, 20) / 100.0
+    fp = "CAST(floor({} * 1000000.0 + 0.5) AS BIGINT)"
+    x2d = "CAST(x AS DOUBLE)"
+
+    def units(col: Column) -> Column:
+        return F.floor(col * 1_000_000.0 + F.lit(0.5)).cast("long")
+
+    e_dbl = F.transform("embedding", lambda x: x.cast("double"))
+    pool = [
+        Agg("dim", F.size("embedding").cast("long"), "CAST(len(embedding) AS BIGINT)"),
+        Agg(
+            "sumsq_units",
+            units(
+                F.aggregate(
+                    e_dbl, F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+            fp.format(
+                f"list_sum(list_transform(embedding, x -> {x2d} * {x2d}))"
+            ),
+        ),
+        Agg(
+            "max_units",
+            units(F.array_max(e_dbl)),
+            fp.format(f"list_max(list_transform(embedding, x -> {x2d}))"),
+        ),
+        Agg(
+            "min_units",
+            units(F.array_min(e_dbl)),
+            fp.format(f"list_min(list_transform(embedding, x -> {x2d}))"),
+        ),
+        Agg(
+            "n_above",
+            F.size(F.filter(e_dbl, lambda x: x > thr)).cast("long"),
+            f"CAST(len(list_filter(embedding, x -> {x2d} > {thr})) AS BIGINT)",
+        ),
+        Agg(
+            "head_sum_units",
+            units(
+                F.aggregate(
+                    F.slice(e_dbl, 1, k), F.lit(0.0), lambda acc, x: acc + x
+                )
+            ),
+            fp.format(
+                "list_sum(list_transform("
+                f"list_slice(embedding, 1, {k}), x -> {x2d}))"
+            ),
+        ),
+        Agg(
+            "last_unit",
+            units(F.element_at(e_dbl, -1)),
+            fp.format("CAST(embedding[-1] AS DOUBLE)"),
+        ),
+    ]
+    return pool
+
+
+@dataclass(frozen=True)
+class VecShape:
+    exprs: list[Agg]
+    mod: int  # vec_id % mod = 0 predicate keeps the row set seed-dependent
+
+
+def gen_vec_shape(seed: int) -> VecShape:
+    rng = random.Random(seed)
+    return VecShape(
+        exprs=rng.sample(_vec_pool(rng), rng.randint(2, 4)),
+        mod=rng.choice([1, 2, 3, 5]),
+    )
+
+
+def run_vec_spark(spark, sf_dir: str, s: VecShape) -> DataFrame:
+    df = load_tables(spark, sf_dir)["embeddings"]
+    if s.mod > 1:
+        df = df.filter(F.col("vec_id") % s.mod == 0)
+    return df.select("vec_id", *[e.col.alias(e.name) for e in s.exprs])
+
+
+def vec_sql(s: VecShape) -> str:
+    where = f" WHERE vec_id % {s.mod} = 0" if s.mod > 1 else ""
+    select = ", ".join(
+        ["vec_id"] + [f"{e.sql} AS {e.name}" for e in s.exprs]
+    )
+    return f"SELECT {select} FROM embeddings{where}"
+
+
+VEC_SEEDS = list(range(700, 712))
+
+
+@pytest.mark.parametrize("seed", VEC_SEEDS)
+def test_random_vector_parity(spark, duck, sf_dir, seed):
+    s = gen_vec_shape(seed)
+    got = run_vec_spark(spark, sf_dir, s).toPandas()
+    want = duck.execute(vec_sql(s)).fetchdf()
+    problems = compare_frames(got, want)
+    assert not problems, (
+        f"seed={seed} sql={vec_sql(s)} problems={problems[:3]}"
+    )
+
+
 def test_seed_space_is_diverse(spark):  # Column construction needs a live JVM
     """The generators must actually exercise joins, global aggs, grouped
     aggs, unpartitioned windows, and the windowed-integer-SUM drift class
@@ -970,3 +1083,7 @@ def test_seed_space_is_diverse(spark):  # Column construction needs a live JVM
         any(k.name == "nrf" for k in m.keys) for m in mdims
     )  # marker-vs-data-NULL coexistence must be exercised
     assert any(m.op == "gsets" and () in m.sets for m in mdims)
+    vecs = [gen_vec_shape(s) for s in VEC_SEEDS]
+    expr_names = {e.name for v in vecs for e in v.exprs}
+    assert "sumsq_units" in expr_names  # the ordered float fold
+    assert any(v.mod > 1 for v in vecs) and any(v.mod == 1 for v in vecs)
