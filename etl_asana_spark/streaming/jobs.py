@@ -120,16 +120,23 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     raise AssertionError("unreachable")
 
 
-def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tumbling_counts_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
     """#56–#58 Source + watermark + stateful windowed aggregation.
 
-    Same plan as q_win_tumbling, incremental: late rows beyond the 10-minute
-    watermark are dropped, window state is evicted once the watermark passes
-    window end.
+    Same plan as q_win_tumbling, incremental: late rows beyond the
+    ``watermark`` delay are dropped, window state is evicted once the
+    watermark passes window end. ``window``/``watermark`` are exposed so the
+    batch-twin property can be checked across configurations, not just the
+    catalog key's defaults.
     """
-    ev = _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", watermark)
     agg = (
-        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        ev.groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
         .select(F.col("win.start").alias("bucket"), "event_type", "n_events", "total_value")
     )

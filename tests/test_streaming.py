@@ -29,6 +29,42 @@ def test_stream_tumbling_equals_batch(spark, sf_dir):
     assert canonical_rows(stream_out) == canonical_rows(batch)
 
 
+import random as _random
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [800, 801, 802, 803])
+def test_stream_tumbling_batch_twin_fuzz(spark, sf_dir, seed):
+    """The batch-twin identity must hold for ANY (window, watermark)
+    config, not just the catalog key's defaults: append mode emits exactly
+    the windows whose end the final watermark passed."""
+    from etl_asana_spark.streaming import jobs
+
+    rng = _random.Random(seed)
+    window = rng.choice(["30 minutes", "2 hours", "3 hours", "45 minutes"])
+    wm = rng.choice(["5 minutes", "30 minutes", "1 hour", "2 hours"])
+    stream_out = jobs.tumbling_counts_stream(
+        spark, sf_dir, window=window, watermark=wm
+    ).toPandas()
+    ev = load_tables(spark, sf_dir)["events"]
+    watermark = ev.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {wm}")).alias("wm")
+    ).collect()[0]["wm"]
+    batch = (
+        ev.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .filter(F.col("win.end") <= F.lit(watermark))
+        .select(F.col("win.start").alias("bucket"), "event_type",
+                "n_events", "total_value")
+        .toPandas()
+    )
+    assert len(stream_out) > 0, f"window={window} wm={wm}"
+    assert canonical_rows(stream_out) == canonical_rows(batch), (
+        f"window={window} wm={wm}"
+    )
+
+
 def test_stream_sliding_equals_batch(spark, sf_dir):
     """Sliding windows: every closed 2 h/30 min hop must match the batch
     twin (4 overlapping windows per event — the state-size multiplier)."""
