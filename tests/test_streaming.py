@@ -65,6 +65,34 @@ def test_stream_tumbling_batch_twin_fuzz(spark, sf_dir, seed):
     )
 
 
+def test_bounded_drain_retries_once_then_propagates(spark, sf_dir, monkeypatch):
+    """The transient-failure retry in the bounded drains: a first-attempt
+    failure (unwritable checkpoint) must be retried once with a fresh
+    checkpoint and produce the normal answer; a persistent failure must
+    still propagate after the second attempt."""
+    from etl_asana_spark.streaming import jobs
+
+    real = jobs.fresh_dir
+    calls = {"n": 0}
+
+    def flaky(purpose):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return "/proc/not/a/writable/checkpoint"
+        return real(purpose)
+
+    monkeypatch.setattr(jobs, "fresh_dir", flaky)
+    out = jobs.tumbling_counts_stream(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert calls["n"] >= 2  # first attempt failed, second ran
+
+    monkeypatch.setattr(
+        jobs, "fresh_dir", lambda purpose: "/proc/not/a/writable/checkpoint"
+    )
+    with pytest.raises(Exception):
+        jobs.tumbling_counts_stream(spark, sf_dir)
+
+
 def test_stream_sliding_equals_batch(spark, sf_dir):
     """Sliding windows: every closed 2 h/30 min hop must match the batch
     twin (4 overlapping windows per event — the state-size multiplier)."""
