@@ -115,7 +115,7 @@ class CurationResult:
 def curate_corpus(
     docs: DataFrame,
     *,
-    jaccard_threshold: float = 0.015,
+    jaccard_threshold: float = 0.5,
     bench_docs: DataFrame | None = None,
     contamination_min_shared: int = 5,
     splits: dict[str, float] | None = None,
@@ -131,7 +131,12 @@ def curate_corpus(
     2. **exact dedup** — one survivor (smallest doc_id) per identical text
        (xxhash64 grouping; hash-collision risk ~n²/2^64, negligible);
     3. **fuzzy dedup** — n-gram Jaccard pairs (shared-shingle blocking) →
-       connected components → canonical survivor per near-dup cluster;
+       connected components → canonical survivor per near-dup cluster.
+       Default threshold 0.5 (trigram Jaccard ≥ half = near-dup): on this
+       corpus it removes the planted ~4% near-dup tail. The 0.015 used by
+       the standalone q_dedup_ngram demo key is a PAIR-FINDING threshold,
+       destructive as a curation default — at 0.015 the shared-vocabulary
+       pair graph is one giant component and 2 docs survive from 2413;
     4. **contamination scrub** — drop docs sharing ≥``min_shared`` distinct
        word trigrams with any ``bench_docs`` row (broadcast bench side);
     5. **PII scrub** — JVM-side regexp redaction of emails/phones;
