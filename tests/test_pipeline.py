@@ -78,6 +78,10 @@ def test_curation_funnel_monotone_and_splits_partition(spark, sf_dir):
     assert f["raw"] >= f["quality"] >= f["exact_dedup"] >= f["fuzzy_dedup"]
     assert f["fuzzy_dedup"] >= f["decontaminated"] == f["curated"]
     assert f["curated"] > 0
+    # Near-dedup trims a tail, it must not collapse the corpus: the old
+    # 0.015 pair-finding default connected everything through shared
+    # vocabulary and left 2 survivors from 2413 at sf0.1.
+    assert f["fuzzy_dedup"] >= 0.5 * f["exact_dedup"]
     # split column partitions the survivors (fractions sum to 1 here)
     by_split = {
         row["split"]: row["count"]
