@@ -72,21 +72,35 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     num_hash_tables: int = 5,
     num_features: int = 1 << 18,
+    shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-duplicate pairs by MinHash LSH over hashed token sets.
+    """Near-duplicate pairs by MinHash LSH over hashed SHINGLE sets —
+    shingle → minhash → band, the canonical web-scale text-dedup shape.
 
     Returns (id_a, id_b, jaccard_dist) with id_a < id_b and
     jaccard_dist <= 1 - threshold. Banding keeps the join linear in
-    colliding candidates — the canonical web-scale text-dedup shape.
+    colliding candidates, and shingling is what keeps the collision rate
+    honest: Jaccard over word-VOCABULARY sets (the naive featurization)
+    degenerates on a shared-vocabulary corpus — measured here, 8.5M
+    candidate pairs from 5 000 docs (68% of all pairs) at sf0.1, i.e. a
+    quadratic blowup smuggled through a linear-shaped operator. Jaccard
+    over ``shingle_n``-word shingle sets keeps only true near-dup text.
+    Docs too short to shingle (< ``shingle_n`` words) have no feature set
+    and cannot pair.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
 
     tok = Tokenizer(inputCol=text_col, outputCol="__toks")
+    ng = NGram(n=shingle_n, inputCol="__toks", outputCol="__shingles")
     tf = HashingTF(
-        inputCol="__toks", outputCol="__features", numFeatures=num_features, binary=True
+        inputCol="__shingles", outputCol="__features",
+        numFeatures=num_features, binary=True,
     )
-    featurized = tf.transform(tok.transform(docs.select(id_col, text_col)))
+    shingled = ng.transform(tok.transform(docs.select(id_col, text_col)))
+    featurized = tf.transform(
+        shingled.filter(F.size("__shingles") > 0)  # MinHash needs ≥1 feature
+    )
     lsh = MinHashLSH(
         inputCol="__features", outputCol="__hashes", numHashTables=num_hash_tables, seed=seed
     )

@@ -47,8 +47,9 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_dedup_minhash")
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#69 MinHash LSH near-dup pairs (Jaccard ≥ 0.5, seed=42). Approximate →
-    rows-only; precision property-checked vs exact n-gram Jaccard in tests."""
+    """#69 MinHash LSH near-dup pairs (3-word shingles, Jaccard ≥ 0.5,
+    seed=42). Approximate → rows-only; precision property-checked vs exact
+    shingle Jaccard in tests."""
     t = load_tables(spark, sf_dir)
     return dedup.minhash_lsh_pairs(t["documents"], jaccard_threshold=0.5)
 

@@ -39,17 +39,26 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
 def test_minhash_pairs_are_true_near_dups(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(t["documents"], jaccard_threshold=0.5).collect()
+
+    def shingle_set(text):
+        toks = text.lower().split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
     docs = {
-        r["doc_id"]: set(r["text"].split())
+        r["doc_id"]: shingle_set(r["text"])
         for r in t["documents"].select("doc_id", "text").collect()
     }
     for row in pairs:
         a, b = docs[row["id_a"]], docs[row["id_b"]]
         true_j = len(a & b) / len(a | b)
-        # LSH distance is computed on hashed token sets; allow hash-collision
-        # slack around the 0.5 similarity threshold.
+        # LSH distance is computed on hashed shingle sets; allow
+        # hash-collision slack around the 0.5 similarity threshold.
         assert true_j >= 0.4, (row, true_j)
         assert row["id_a"] < row["id_b"]
+    # And the pair set must be a near-dup TAIL, not a vocabulary clique:
+    # the pre-shingling featurization returned 68% of all doc pairs here.
+    n_docs = t["documents"].count()
+    assert len(pairs) < 0.02 * n_docs * (n_docs - 1) / 2
 
 
 def test_simhash_deterministic_and_metric(spark, sf_dir):
