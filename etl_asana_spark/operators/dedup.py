@@ -122,28 +122,47 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash per document, entirely in Catalyst expressions.
+    """64-bit SimHash over 3-token SHINGLE hashes, entirely in Catalyst
+    expressions.
 
-    bit_i(sig) = 1 iff Σ_tokens (bit_i(xxhash64(token)) ? +1 : −1) ≥ 0.
-    Duplicate tokens weight naturally by frequency.
+    bit_i(sig) = 1 iff Σ_shingles (bit_i(h) ? +1 : −1) ≥ 0, where h is the
+    rolling combine xxhash64(h_j, h_{j+1}, h_{j+2}) of three consecutive
+    token hashes (aligned zip_withs — no per-element array indexing, which
+    interpreted HOF eval would re-evaluate quadratically). Duplicate
+    shingles weight naturally by frequency. Shingles, not tokens: summing
+    per-TOKEN hash bits converges on any shared-vocabulary corpus (measured
+    here: 32 k Hamming≤8 pairs from 5 000 docs vs the true ~200-pair
+    near-dup tail). Docs with fewer than 3 tokens have no shingles and get
+    a NULL signature — they cannot pair (same contract as MinHash).
 
-    Written as one SQL expression: the PySpark shiftleft/shiftright wrappers
-    only take literal shift amounts, but the SQL functions accept the
-    lambda-bound bit index — and the whole signature stays in codegen.
+    Written as ONE aggregate carrying all 64 bit-counters with a finish
+    lambda packing the sign bits: interpreted higher-order-function eval
+    re-evaluates a referenced sub-expression per reference, so the
+    64-separate-aggregates formulation costs 64 shingle-array builds per
+    row; this one costs one.
+    """
+    th = f"transform(split({text_col}, '\\\\s+'), t -> xxhash64(t))"
+    shingle_hashes = f"""
+        slice(
+          zip_with(
+            zip_with({th}, slice({th}, 2, size({th})), (a, b) -> xxhash64(a, b)),
+            slice({th}, 3, size({th})),
+            (ab, c) -> xxhash64(ab, c)),
+          1, size({th}) - 2)
     """
     sig = F.expr(
         f"""
-        aggregate(
-          zip_with(
-            transform(sequence(0, 63), i ->
-              aggregate(
-                transform(split({text_col}, '\\\\s+'), t -> xxhash64(t)),
-                0,
-                (acc, h) -> acc + IF((shiftright(h, i) & 1L) = 1L, 1, -1))),
-            sequence(0, 63),
-            (v, i) -> IF(v >= 0, shiftleft(1L, i), 0L)),
-          0L,
-          (acc, b) -> acc | b)
+        CASE WHEN size({th}) >= 3 THEN
+          aggregate(
+            CAST(({shingle_hashes}) AS ARRAY<BIGINT>),
+            array_repeat(0, 64),
+            (acc, h) -> zip_with(acc, sequence(0, 63),
+                        (c, i) -> c + IF((shiftright(h, i) & 1L) = 1L, 1, -1)),
+            acc -> aggregate(
+                     zip_with(acc, sequence(0, 63),
+                              (v, i) -> IF(v >= 0, shiftleft(1L, i), 0L)),
+                     0L, (a, b) -> a | b))
+        ELSE CAST(NULL AS BIGINT) END
         """
     )
     return docs.select(id_col, sig.alias("simhash"))
@@ -161,7 +180,9 @@ def simhash_pairs(
     probabilistic for 4..max_hamming (raise the band count for tighter
     guarantees). Candidate generation is a shuffle on band values — linear.
     """
-    sigs = simhash_signatures(docs, id_col, text_col)
+    sigs = simhash_signatures(docs, id_col, text_col).filter(
+        F.col("simhash").isNotNull()  # unshingleable docs cannot pair
+    )
     bands = sigs.select(
         id_col,
         "simhash",

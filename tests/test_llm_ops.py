@@ -70,9 +70,21 @@ def test_simhash_deterministic_and_metric(spark, sf_dir):
     dup = t["documents"].select("doc_id", F.lit("alpha beta gamma").alias("text"))
     sigs = {r["simhash"] for r in dedup.simhash_signatures(dup).collect()}
     assert len(sigs) == 1
+    # a doc too short to shingle has no signature and can never pair
+    short = spark.createDataFrame(
+        [(1, "hello"), (2, "two words"), (3, "three whole tokens")],
+        "doc_id bigint, text string",
+    )
+    by_id = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(short).collect()}
+    assert by_id[1] is None and by_id[2] is None and by_id[3] is not None
+    assert dedup.simhash_pairs(short).collect() == []
     pairs = dedup.simhash_pairs(t["documents"], max_hamming=8).collect()
     for row in pairs:
         assert 0 <= row["hamming"] <= 8
+    # near-dup TAIL, not a vocabulary clique (the per-token featurization
+    # returned 13 pairs/doc on this corpus)
+    n_docs = t["documents"].count()
+    assert len(pairs) < 0.02 * n_docs * (n_docs - 1) / 2
 
 
 def test_fingerprint_deterministic(spark, sf_dir):
