@@ -41,8 +41,19 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 
 
 def l2_normalize(a: Column | str) -> Column:
-    """aᵢ / ‖a‖ as array<double>; zero vectors pass through unscaled."""
+    """aᵢ / ‖a‖ as array<double>; zero vectors pass through unscaled.
+
+    The norm is bound once per row via ``array_repeat`` and consumed by
+    ``zip_with`` — referencing it inside a per-element ``transform`` lambda
+    would make interpreted higher-order-function eval recompute the O(d)
+    aggregate per element (O(d²)/row: invisible at d=64, a real cost at
+    embedding dims in the thousands)."""
     n = l2_norm(a)
+    scaled = F.zip_with(
+        _c(a),
+        F.array_repeat(n, F.size(_c(a))),
+        lambda x, nn: x.cast("double") / nn,
+    )
     return F.when(n == 0.0, F.transform(_c(a), lambda x: x.cast("double"))).otherwise(
-        F.transform(_c(a), lambda x: x.cast("double") / n)
+        scaled
     )

@@ -908,7 +908,14 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = F.greatest(
         F.array_max(F.transform(e, lambda x: F.abs(x))), F.lit(1e-12)
     )
-    q = F.transform(e, lambda x: F.round(x / F.col("scale") * 127.0).cast("long"))
+    # Bind the per-row scale once via array_repeat (see functions/vector.py:
+    # referencing a projected O(d) expression inside a per-element lambda
+    # makes interpreted HOF eval recompute it per element).
+    q = F.zip_with(
+        e,
+        F.array_repeat(F.col("scale"), F.size(e)),
+        lambda x, s: F.round(x / s * 127.0).cast("long"),
+    )
     return (
         t["embeddings"]
         .withColumn("scale", scale)
