@@ -1046,6 +1046,112 @@ def test_random_vector_parity(spark, duck, sf_dir, seed):
     )
 
 
+# ---------------------------------------------------------------------------
+# Date/interval arithmetic shapes — random chains over o_orderdate from the
+# engine-exact subset both engines define identically: date_trunc on
+# day/week/month/quarter/year (both ISO-Monday weeks), day offsets,
+# whole-day datediff, last_day, calendar extraction. Deliberately excluded:
+# months_between (fractional-month contract differs), dayofweek numbering,
+# and sub-second truncation of the nanos events feed.
+# ---------------------------------------------------------------------------
+
+
+def _date_pool(rng: random.Random) -> list[Agg]:
+    unit = rng.choice(["month", "quarter", "year", "week", "day"])
+    k = rng.randint(1, 400)
+    anchor = f"199{rng.randint(2, 8)}-0{rng.randint(1, 9)}-01"
+    pool = [
+        Agg(
+            "bucket",
+            F.date_trunc(unit, F.col("o_orderdate")),
+            f"date_trunc('{unit}', o_orderdate)",
+        ),
+        # DATE-typed outputs cross the comparison boundary as strings
+        # (catalog convention): Spark DATE → pandas date objects, DuckDB
+        # DATE → pandas Timestamps — same value, different kind.
+        Agg(
+            "plus_k",
+            F.date_add(F.col("o_orderdate").cast("date"), k).cast("string"),
+            f"CAST(CAST(o_orderdate AS DATE) + {k} AS VARCHAR)",
+        ),
+        Agg(
+            "days_since",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit(anchor).cast("date"),
+            ).cast("long"),
+            f"CAST(datediff('day', DATE '{anchor}', "
+            "CAST(o_orderdate AS DATE)) AS BIGINT)",
+        ),
+        Agg(
+            "eom",
+            F.last_day(F.col("o_orderdate").cast("date")).cast("string"),
+            "CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR)",
+        ),
+        Agg(
+            "ym",
+            F.year("o_orderdate") * 100 + F.month("o_orderdate"),
+            "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)",
+        ),
+        Agg(
+            "dom",
+            F.dayofmonth("o_orderdate").cast("long"),
+            "CAST(day(o_orderdate) AS BIGINT)",
+        ),
+        Agg(
+            "q",
+            F.quarter("o_orderdate").cast("long"),
+            "CAST(quarter(o_orderdate) AS BIGINT)",
+        ),
+    ]
+    return pool
+
+
+@dataclass(frozen=True)
+class DateShape:
+    exprs: list[Agg]
+    pred: Pred | None
+
+
+def gen_date_shape(seed: int) -> DateShape:
+    rng = random.Random(seed)
+    exprs = rng.sample(_date_pool(rng), rng.randint(2, 4))
+    pred = None
+    if rng.random() < 0.5:
+        y = rng.randint(1993, 1997)
+        pred = Pred(F.year("o_orderdate") <= y, f"year(o_orderdate) <= {y}")
+    return DateShape(exprs=exprs, pred=pred)
+
+
+def run_date_spark(spark, sf_dir: str, s: DateShape) -> DataFrame:
+    df = load_tables(spark, sf_dir)["orders"]
+    if s.pred is not None:
+        df = df.filter(s.pred.col)
+    return df.select("o_orderkey", *[e.col.alias(e.name) for e in s.exprs])
+
+
+def date_sql(s: DateShape) -> str:
+    where = f" WHERE ({s.pred.sql})" if s.pred is not None else ""
+    select = ", ".join(
+        ["o_orderkey"] + [f"{e.sql} AS {e.name}" for e in s.exprs]
+    )
+    return f"SELECT {select} FROM orders{where}"
+
+
+DATE_SEEDS = list(range(900, 912))
+
+
+@pytest.mark.parametrize("seed", DATE_SEEDS)
+def test_random_date_parity(spark, duck, sf_dir, seed):
+    s = gen_date_shape(seed)
+    got = run_date_spark(spark, sf_dir, s).toPandas()
+    want = duck.execute(date_sql(s)).fetchdf()
+    problems = compare_frames(got, want)
+    assert not problems, (
+        f"seed={seed} sql={date_sql(s)} problems={problems[:3]}"
+    )
+
+
 def test_seed_space_is_diverse(spark):  # Column construction needs a live JVM
     """The generators must actually exercise joins, global aggs, grouped
     aggs, unpartitioned windows, and the windowed-integer-SUM drift class
@@ -1087,3 +1193,6 @@ def test_seed_space_is_diverse(spark):  # Column construction needs a live JVM
     expr_names = {e.name for v in vecs for e in v.exprs}
     assert "sumsq_units" in expr_names  # the ordered float fold
     assert any(v.mod > 1 for v in vecs) and any(v.mod == 1 for v in vecs)
+    dates = [gen_date_shape(s) for s in DATE_SEEDS]
+    date_names = {e.name for d in dates for e in d.exprs}
+    assert "bucket" in date_names and "days_since" in date_names
