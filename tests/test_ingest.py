@@ -165,3 +165,37 @@ def test_store_sink_replay_idempotent(spark, sf_dir):
     ).json(store)
     assert stored.count() == df.count()
     assert stored.exceptAll(df).isEmpty() and df.exceptAll(stored).isEmpty()
+
+
+def test_store_sink_abort_leaves_store_untouched():
+    """The transactional contract: a half-failed load (some tasks staged,
+    then abort) must neither change the committed store nor leak staging
+    files — abort deletes staged parts, the store file is never opened."""
+    import os
+    import tempfile
+    from types import SimpleNamespace
+
+    from etl_asana_spark.sources.datasource import AsanaStoreWriter
+
+    store = tempfile.mkdtemp(prefix="asana_store_") + "/tasks.ndjson"
+    with open(store, "w") as fh:
+        fh.write('{"gid": "g1", "name": "keep", "modified_at": "2024-01-01", "completed": false}\n')
+    before = open(store).read()
+
+    writer = AsanaStoreWriter({"path": store})
+    rows = [
+        SimpleNamespace(asDict=lambda: {"gid": "g2", "name": "new",
+                                        "modified_at": "2024-02-02",
+                                        "completed": True}),
+    ]
+    staged = writer.write(iter(rows))  # one task staged its partition
+    assert os.path.exists(staged.path)
+    writer.abort([staged])  # another task failed → driver aborts
+    assert not os.path.exists(staged.path)  # staging cleaned
+    assert open(store).read() == before  # committed store byte-identical
+
+    # and a later successful commit still works against the same store
+    staged2 = writer.write(iter(rows))
+    writer.commit([staged2])
+    after = open(store).read()
+    assert '"g2"' in after and '"g1"' in after
