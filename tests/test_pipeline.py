@@ -126,6 +126,27 @@ def test_curation_rejects_overcommitted_splits(spark, sf_dir):
         )
 
 
+def test_curation_collapses_planted_near_dups(spark):
+    """Two docs differing by one word (trigram Jaccard far above 0.5) must
+    collapse to the canonical survivor (smallest doc_id); an unrelated doc
+    must survive alongside it."""
+    def base(tag):
+        return " ".join(f"the {tag}{i} and item{tag}{i} of" for i in range(15))
+
+    near_a = base("alpha") + " final shared closing words here"
+    near_b = base("alpha") + " final shared closing words there"
+    rows = [
+        (10, "web", "en", near_a),
+        (20, "web", "en", near_b),
+        (30, "web", "en", base("gamma") + " a different document entirely"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, lang string, text string"
+    )
+    kept = {r["doc_id"] for r in pipelines.curate_corpus(docs).curated.collect()}
+    assert kept == {10, 30}
+
+
 def test_curation_scrubs_planted_pii(spark):
     # 60+ words with stopwords (English quality gate), and per-doc DISTINCT
     # bases so the fuzzy-dedup stage does not collapse the three docs
