@@ -180,8 +180,11 @@ def main() -> int:
     print("slowest:")
     for key, dt in sorted(timings, key=lambda kv: -kv[1])[:15]:
         print(f"  {key:32s} {dt:6.2f}s")
-    if not only:
-        # Full sweep: record measured per-key cost. The catalog orders
+    if not only and sf_dir.rstrip("/").endswith("sf0.01"):
+        # Full sweep AT THE GATE SCALE: record measured per-key cost —
+        # sweeps at other scales must not contaminate the snapshot (an
+        # sf0.001 minimum would distort the sf0.01 gate-cost ordering).
+        # The catalog orders
         # never-verified keys cheapest-first from this file so a time-budgeted
         # external prefix check verifies as many keys as possible per round.
         # Best-observed (min-merge with the previous snapshot): a sweep that
