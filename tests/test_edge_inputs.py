@@ -62,9 +62,12 @@ def test_dedup_exact_empty_and_singleton(spark):
 
 
 def test_fuzzy_pair_generators_on_empty_corpus(spark):
+    from etl_asana_spark.operators.dedup import simhash_pairs
+
     docs = _empty_docs(spark)
     assert ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect() == []
     assert minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect() == []
+    assert simhash_pairs(docs).collect() == []
 
 
 def test_connected_components_empty_edges(spark):
