@@ -97,27 +97,35 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRAIN_ATTEMPTS = 2
 
 
-def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
-    """Run a streaming plan to completion (AvailableNow) into a memory sink."""
-    spark = df.sparkSession
+def _retry_drain(run_once):
+    """Run a bounded drain, retrying once on any failure (see above)."""
     for attempt in range(_DRAIN_ATTEMPTS):
-        name = f"sink_{uuid.uuid4().hex[:12]}"
         try:
-            with _stream_shuffle(spark):
-                query = (
-                    df.writeStream.format("memory")
-                    .queryName(name)
-                    .outputMode(mode)
-                    .option("checkpointLocation", fresh_dir("ckpt"))
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                query.awaitTermination()
-            return spark.table(name)
+            return run_once()
         except Exception:
             if attempt + 1 == _DRAIN_ATTEMPTS:
                 raise
-    raise AssertionError("unreachable")
+
+
+def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming plan to completion (AvailableNow) into a memory sink."""
+    spark = df.sparkSession
+
+    def drain() -> DataFrame:
+        name = f"sink_{uuid.uuid4().hex[:12]}"
+        with _stream_shuffle(spark):
+            query = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .option("checkpointLocation", fresh_dir("ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+        return spark.table(name)
+
+    return _retry_drain(drain)
 
 
 def tumbling_counts_stream(
@@ -284,22 +292,20 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         newest.write.mode("append").parquet(target)
 
     ev = _stream_events(spark, sf_dir)
-    for attempt in range(_DRAIN_ATTEMPTS):
-        try:
-            with _stream_shuffle(spark):
-                query = (
-                    ev.writeStream.foreachBatch(upsert)
-                    .option("checkpointLocation", fresh_dir("ckpt"))
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                query.awaitTermination()
-            break
-        except Exception:
-            # A fresh-checkpoint replay re-appends batches; the read side's
-            # keep-rule collapses duplicates, so the retry stays idempotent.
-            if attempt + 1 == _DRAIN_ATTEMPTS:
-                raise
+
+    def drain() -> None:
+        # A fresh-checkpoint replay re-appends batches; the read side's
+        # keep-rule collapses duplicates, so the retry stays idempotent.
+        with _stream_shuffle(spark):
+            query = (
+                ev.writeStream.foreachBatch(upsert)
+                .option("checkpointLocation", fresh_dir("ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+
+    _retry_drain(drain)
     merged = spark.read.parquet(target)
     return upsert_last_modified_wins(
         merged, key="user_id", modified_col="ts", tiebreak=["event_type"]
@@ -362,23 +368,20 @@ def sync_token_source_stream(spark: SparkSession) -> DataFrame:
     # AvailableNow issues a single poll against a simple stream reader; a
     # sync-token feed drains by polling until no new rows arrive — which is
     # exactly processAllAvailable() on a running query.
-    for attempt in range(_DRAIN_ATTEMPTS):
+    def drain() -> DataFrame:
         name = f"sink_{uuid.uuid4().hex[:12]}"
-        try:
-            with _stream_shuffle(spark):
-                query = (
-                    agg.writeStream.format("memory")
-                    .queryName(name)
-                    .outputMode("complete")
-                    .option("checkpointLocation", fresh_dir("ckpt"))
-                    .start()
-                )
-                try:
-                    query.processAllAvailable()
-                finally:
-                    query.stop()
-            return spark.table(name)
-        except Exception:
-            if attempt + 1 == _DRAIN_ATTEMPTS:
-                raise
-    raise AssertionError("unreachable")
+        with _stream_shuffle(spark):
+            query = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", fresh_dir("ckpt"))
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
+        return spark.table(name)
+
+    return _retry_drain(drain)
