@@ -1152,6 +1152,113 @@ def test_random_date_parity(spark, duck, sf_dir, seed):
     )
 
 
+# ---------------------------------------------------------------------------
+# NULL-semantics shapes — chains over a NULLIF-injected column: NULL-skipping
+# greatest/least (both engines skip, probed), coalesce fallbacks, null-safe
+# equality (eqNullSafe ↔ IS NOT DISTINCT FROM), NULL propagation through
+# arithmetic, and three-valued-logic predicates. The NULLs are data-dependent
+# (nullif on a value the column actually takes), so every seed exercises the
+# NULL and non-NULL paths side by side in the same frame.
+# ---------------------------------------------------------------------------
+
+
+def _null_pool(rng: random.Random) -> list[Agg]:
+    k = rng.randint(1, 50)
+    m = rng.randint(2, 9)
+    nq = F.nullif(F.col("l_quantity"), F.lit(float(k)))
+    nq_sql = f"nullif(l_quantity, {float(k)})"
+    pool = [
+        Agg(
+            "best",
+            F.greatest(nq, F.col("l_discount") * 100.0, F.lit(float(m))),
+            f"greatest({nq_sql}, l_discount * 100.0, {float(m)})",
+        ),
+        Agg(
+            "worst",
+            F.least(nq, F.col("l_tax") * 100.0),
+            f"least({nq_sql}, l_tax * 100.0)",
+        ),
+        Agg(
+            "filled",
+            F.coalesce(nq, F.col("l_linenumber").cast("double")),
+            f"coalesce({nq_sql}, CAST(l_linenumber AS DOUBLE))",
+        ),
+        Agg(
+            "same_qty",
+            nq.eqNullSafe(F.col("l_quantity")),
+            f"{nq_sql} IS NOT DISTINCT FROM l_quantity",
+        ),
+        Agg(
+            "poisoned",
+            (nq + F.lit(1.0)) * F.lit(float(m)),
+            f"({nq_sql} + 1.0) * {float(m)}",
+        ),
+        Agg(
+            "was_null",
+            nq.isNull(),
+            f"{nq_sql} IS NULL",
+        ),
+        Agg(
+            "threeval",
+            F.when(nq > 25.0, F.lit("hi"))
+            .when(nq <= 25.0, F.lit("lo"))
+            .otherwise(F.lit("unknown")),  # NULL comparisons hit neither branch
+            f"CASE WHEN {nq_sql} > 25.0 THEN 'hi' "
+            f"WHEN {nq_sql} <= 25.0 THEN 'lo' ELSE 'unknown' END",
+        ),
+    ]
+    return pool
+
+
+@dataclass(frozen=True)
+class NullShape:
+    exprs: list[Agg]
+    pred: Pred | None
+
+
+def gen_null_shape(seed: int) -> NullShape:
+    rng = random.Random(seed)
+    exprs = rng.sample(_null_pool(rng), rng.randint(2, 4))
+    pred = None
+    if rng.random() < 0.4:
+        ln = rng.randint(1, 4)
+        pred = Pred(F.col("l_linenumber") <= ln, f"l_linenumber <= {ln}")
+    return NullShape(exprs=exprs, pred=pred)
+
+
+def run_null_spark(spark, sf_dir: str, s: NullShape) -> DataFrame:
+    df = load_tables(spark, sf_dir)["lineitem"]
+    if s.pred is not None:
+        df = df.filter(s.pred.col)
+    return df.select(
+        "l_orderkey", "l_linenumber",
+        *[e.col.alias(e.name) for e in s.exprs],
+    )
+
+
+def null_sql(s: NullShape) -> str:
+    where = f" WHERE ({s.pred.sql})" if s.pred is not None else ""
+    select = ", ".join(
+        ["l_orderkey", "l_linenumber"]
+        + [f"{e.sql} AS {e.name}" for e in s.exprs]
+    )
+    return f"SELECT {select} FROM lineitem{where}"
+
+
+NULL_SEEDS = list(range(1000, 1012))
+
+
+@pytest.mark.parametrize("seed", NULL_SEEDS)
+def test_random_null_semantics_parity(spark, duck, sf_dir, seed):
+    s = gen_null_shape(seed)
+    got = run_null_spark(spark, sf_dir, s).toPandas()
+    want = duck.execute(null_sql(s)).fetchdf()
+    problems = compare_frames(got, want)
+    assert not problems, (
+        f"seed={seed} sql={null_sql(s)} problems={problems[:3]}"
+    )
+
+
 def test_seed_space_is_diverse(spark):  # Column construction needs a live JVM
     """The generators must actually exercise joins, global aggs, grouped
     aggs, unpartitioned windows, and the windowed-integer-SUM drift class
@@ -1196,3 +1303,8 @@ def test_seed_space_is_diverse(spark):  # Column construction needs a live JVM
     dates = [gen_date_shape(s) for s in DATE_SEEDS]
     date_names = {e.name for d in dates for e in d.exprs}
     assert "bucket" in date_names and "days_since" in date_names
+    nulls = [gen_null_shape(s) for s in NULL_SEEDS]
+    null_names = {e.name for n in nulls for e in n.exprs}
+    assert "best" in null_names or "worst" in null_names  # NULL-skipping path
+    assert "same_qty" in null_names  # null-safe equality
+    assert "threeval" in null_names  # three-valued logic
