@@ -1259,6 +1259,103 @@ def test_random_null_semantics_parity(spark, duck, sf_dir, seed):
     )
 
 
+# ---------------------------------------------------------------------------
+# Regex shapes — extract/match/replace/count chains over documents.text from
+# a CURATED dialect-safe pattern pool (char classes, quantifiers, anchors,
+# word boundaries, alternation groups behave identically in Java regex and
+# DuckDB's RE2; lookaround/backrefs/possessive quantifiers are excluded —
+# RE2 rejects them outright). Spark regexp_replace is global by default ↔
+# DuckDB's 'g' flag; no-match regexp_extract is '' on both (probed).
+# ---------------------------------------------------------------------------
+
+_SAFE_PATTERNS = [
+    "[0-9]+",
+    "[aeiou]{2,}",
+    "\\b[A-Za-z]{6,}\\b",
+    "(the|and|of)",
+    "[A-Z][a-z]+",
+]
+
+
+def _regex_pool(rng: random.Random) -> list[Agg]:
+    p = rng.choice(_SAFE_PATTERNS)
+    w = rng.randint(40, 120)
+    pool = [
+        Agg(
+            "first_hit",
+            F.regexp_extract("text", p, 0),
+            f"regexp_extract(text, '{p}')",
+        ),
+        Agg(
+            "hits",
+            F.regexp_count(F.substring("text", 1, w), F.lit(p)).cast("long"),
+            f"CAST(len(regexp_extract_all(substr(text, 1, {w}), '{p}')) AS BIGINT)",
+        ),
+        Agg(
+            "gutted",
+            F.regexp_replace(F.substring("text", 1, w), p, "_"),
+            f"regexp_replace(substr(text, 1, {w}), '{p}', '_', 'g')",
+        ),
+        Agg(
+            "matches",
+            F.col("text").rlike(p),
+            f"regexp_matches(text, '{p}')",
+        ),
+        Agg(
+            "first_word",
+            F.regexp_extract("text", "^([A-Za-z]+)", 1),
+            "regexp_extract(text, '^([A-Za-z]+)', 1)",
+        ),
+    ]
+    return pool
+
+
+@dataclass(frozen=True)
+class RegexShape:
+    exprs: list[Agg]
+    pred: Pred | None
+
+
+def gen_regex_shape(seed: int) -> RegexShape:
+    rng = random.Random(seed)
+    exprs = rng.sample(_regex_pool(rng), rng.randint(2, 4))
+    pred = None
+    if rng.random() < 0.4:
+        langs = rng.sample(["en", "de", "fr", "es", "zh"], rng.randint(1, 2))
+        in_langs = ", ".join(f"'{x}'" for x in langs)
+        pred = Pred(F.col("lang").isin(langs), f"lang IN ({in_langs})")
+    return RegexShape(exprs=exprs, pred=pred)
+
+
+def run_regex_spark(spark, sf_dir: str, s: RegexShape) -> DataFrame:
+    df = load_tables(spark, sf_dir)["documents"]
+    if s.pred is not None:
+        df = df.filter(s.pred.col)
+    return df.select("doc_id", *[e.col.alias(e.name) for e in s.exprs])
+
+
+def regex_sql(s: RegexShape) -> str:
+    where = f" WHERE ({s.pred.sql})" if s.pred is not None else ""
+    select = ", ".join(
+        ["doc_id"] + [f"{e.sql} AS {e.name}" for e in s.exprs]
+    )
+    return f"SELECT {select} FROM documents{where}"
+
+
+REGEX_SEEDS = list(range(1100, 1112))
+
+
+@pytest.mark.parametrize("seed", REGEX_SEEDS)
+def test_random_regex_parity(spark, duck, sf_dir, seed):
+    s = gen_regex_shape(seed)
+    got = run_regex_spark(spark, sf_dir, s).toPandas()
+    want = duck.execute(regex_sql(s)).fetchdf()
+    problems = compare_frames(got, want)
+    assert not problems, (
+        f"seed={seed} sql={regex_sql(s)} problems={problems[:3]}"
+    )
+
+
 def test_seed_space_is_diverse(spark):  # Column construction needs a live JVM
     """The generators must actually exercise joins, global aggs, grouped
     aggs, unpartitioned windows, and the windowed-integer-SUM drift class
@@ -1308,3 +1405,6 @@ def test_seed_space_is_diverse(spark):  # Column construction needs a live JVM
     assert "best" in null_names or "worst" in null_names  # NULL-skipping path
     assert "same_qty" in null_names  # null-safe equality
     assert "threeval" in null_names  # three-valued logic
+    regexes = [gen_regex_shape(s) for s in REGEX_SEEDS]
+    rx_names = {e.name for r in regexes for e in r.exprs}
+    assert {"first_hit", "gutted", "matches"} <= rx_names
