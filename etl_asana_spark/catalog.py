@@ -76,7 +76,7 @@ def load_all() -> None:
             raise
 
 
-def _driver_check_history() -> tuple[dict[str, int], set[str]]:
+def _driver_check_history(root: str | None = None) -> tuple[dict[str, int], set[str]]:
     """Per key: latest driver round that PASSED it, plus the keys whose most
     recent driver check FAILED.
 
@@ -95,7 +95,9 @@ def _driver_check_history() -> tuple[dict[str, int], set[str]]:
     passed: dict[str, int] = {}
     checked: dict[str, int] = {}  # latest round each key was checked at all
     latest_ok: dict[str, bool] = {}
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # ``root`` lets tests pin synthetic CORRECTNESS fixtures instead of the
+    # live repo-root artifacts (which the driver mutates every round).
+    repo_root = root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
         m = re.search(r"_r0*(\d+)\.json$", path)
         if not m:

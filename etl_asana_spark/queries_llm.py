@@ -200,9 +200,25 @@ def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA reduction of the 64-dim embeddings to 8 dims (rows-only: the
     eigenbasis sign/float path is engine-specific). The pre-indexing
     compression step for ANN at scale; variance ordering and neighborhood
-    preservation are property-tested in tests/test_llm_ops.py."""
+    preservation are property-tested in tests/test_llm_ops.py.
+
+    ``reduced`` is serialized to a fixed-point '|'-joined string at the
+    query boundary (driver's canonicalizer can't sort ndarray cells — the
+    q_multimodal r03 failure class, caught here by the strengthened local
+    sweep before the gate reached this key). ``pca_reduce`` itself keeps
+    the typed array contract."""
     t = load_tables(spark, sf_dir)
-    return similarity.pca_reduce(t["embeddings"], k=8)
+    reduced = similarity.pca_reduce(t["embeddings"], k=8)
+    return reduced.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                "reduced",
+                lambda x: F.floor(x * 1000000 + 0.5).cast("long").cast("string"),
+            ),
+            "|",
+        ).alias("reduced"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -447,10 +463,33 @@ def q_emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#75 Multimodal plumbing: binary payload + metadata struct →
     Arrow-batched decode/feature-extract via mapInPandas (decode kernel
-    stubbed deterministically; see operators.multimodal)."""
+    stubbed deterministically; see operators.multimodal).
+
+    The ``feat array<float>`` column is serialized to a fixed-point
+    ``'|'``-joined string AT THE QUERY BOUNDARY (same pattern as
+    q_emb_norm's unit_vec): the driver's canonicalizer sorts the whole
+    result frame with pandas ``sort_values`` and ndarray cells crash it —
+    the r03 gate red. Library users call ``extract_features`` directly and
+    keep the typed array contract; only the registered comparison surface
+    flattens it."""
     t = load_tables(spark, sf_dir)
     media = multimodal.attach_binary_payload(t["documents"])
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "checksum",
+        "width",
+        "height",
+        F.array_join(
+            F.transform(
+                "feat",
+                lambda x: F.floor(x * 1000000 + 0.5).cast("long").cast("string"),
+            ),
+            "|",
+        ).alias("feat"),
+    )
 
 
 @register("q_multimodal_resize")
@@ -691,14 +730,26 @@ def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: greedy first-fit of docs into ≤512-token training
     rows, per range partition with deterministic order (rows-only; exact
-    packing is order-dependent, invariants tested in tests/test_llm_ops.py)."""
+    packing is order-dependent, invariants tested in tests/test_llm_ops.py).
+
+    ``doc_ids`` is serialized to a '|'-joined string at the query boundary
+    (driver's canonicalizer can't sort list cells — the q_multimodal r03
+    failure class, caught by the strengthened local sweep). Library users
+    call ``pack_sequences`` directly for the typed array."""
     from .operators.curation import pack_sequences
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"].select(
         "doc_id", F.size(text.ws_tokens("text")).cast("long").alias("n_tokens")
     )
-    return pack_sequences(docs, max_tokens=512, parts=8)
+    packed = pack_sequences(docs, max_tokens=512, parts=8)
+    return packed.select(
+        "seq_id",
+        F.array_join(F.transform("doc_ids", lambda x: x.cast("string")), "|")
+        .alias("doc_ids"),
+        "n_docs",
+        "total_tokens",
+    )
 
 
 @register(

@@ -147,6 +147,15 @@ def check_query(spark, con, key: str, sf_dir: str) -> list[str]:
 
     df = catalog.queries()[key](spark, sf_dir)
     pdf = df.toPandas()
+    # The driver canonicalizes EVERY key's frame (pandas ``sort_values`` over
+    # all columns) before hashing — rows-only keys included. An output column
+    # holding ndarray/list cells crashes that sort (the r03 ``q_multimodal``
+    # gate red); reproduce the crash here so no registered key can ship an
+    # unhashable output schema again.
+    try:
+        pdf[sorted(pdf.columns)].sort_values(by=sorted(pdf.columns))
+    except Exception as exc:  # noqa: BLE001
+        return [f"driver-canonicalization would crash: {type(exc).__name__}: {exc}"]
     sql = catalog.oracle_sql().get(key)
     if sql is None:
         return [] if len(pdf) >= 0 else ["unreachable"]

@@ -26,6 +26,10 @@ sys.path.insert(0, ".")
 from etl_asana_spark import catalog  # noqa: E402
 from etl_asana_spark.testing import duckdb_connect  # noqa: E402
 
+#: The gate-scale directory NAME (exact basename match — an endswith check
+#: would match ``.../mysf0.01`` and contaminate the cost snapshot).
+GATE_SCALE_DIRNAME = "sf0.01"
+
 
 def canon(pdf: pd.DataFrame) -> pd.DataFrame:
     """The driver-shaped canonicalization: sorted cols, sort_values rows."""
@@ -161,6 +165,12 @@ def main() -> int:
                 # the frame at least converts (it did above) and is non-empty.
                 if len(pdf) == 0 and key != "q_join_anti":
                     problem = "0 rows from a rows-only key"
+                # The driver canonicalizes EVERY key's frame (sort_values
+                # over all columns) before hashing — rows-only included.
+                # Skipping canon here is exactly the leniency that let the
+                # r03 q_multimodal ndarray column through the local mirror
+                # while crashing the external gate. Reproduce that crash.
+                canon(pdf)
             else:
                 expected = con.execute(sql).fetchdf()
                 problem = frames_match(pdf, expected)
@@ -180,7 +190,8 @@ def main() -> int:
     print("slowest:")
     for key, dt in sorted(timings, key=lambda kv: -kv[1])[:15]:
         print(f"  {key:32s} {dt:6.2f}s")
-    if not only and sf_dir.rstrip("/").endswith("sf0.01"):
+    gate_scale = os.path.basename(sf_dir.rstrip("/")) == GATE_SCALE_DIRNAME
+    if not only and gate_scale:
         # Full sweep AT THE GATE SCALE: record measured per-key cost —
         # sweeps at other scales must not contaminate the snapshot (an
         # sf0.001 minimum would distort the sf0.01 gate-cost ordering).

@@ -106,20 +106,41 @@ def test_langid_predictions_in_vocab_langs(spark, sf_dir):
 
 
 def test_multimodal_features_shape_and_determinism(spark, sf_dir):
+    # The registered key serializes feat to a '|'-joined fixed-point string
+    # at the comparison boundary (the r03 gate red was an ndarray column
+    # crashing the driver's canonicalizer); decode it back for the property
+    # checks. The typed-array library contract is tested separately below.
     fn = catalog.queries()["q_multimodal"]
     out = fn(spark, sf_dir)
     assert out.columns == [
         "doc_id", "media_type", "n_bytes", "checksum", "width", "height", "feat"
     ]
+    assert dict(out.dtypes)["feat"] == "string"
     rows = out.collect()
     docs = load_tables(spark, sf_dir)["documents"]
     assert len(rows) == docs.count()
     n_chars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
     for r in rows:
         assert r["n_bytes"] == n_chars[r["doc_id"]]  # ASCII text: bytes == chars
+        feat = [int(v) / 1e6 for v in r["feat"].split("|")]
+        assert len(feat) == 8
+        assert all(-1e-6 <= x <= 1.0 + 1e-6 for x in feat)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, fn(spark, sf_dir).collect()))
+
+
+def test_multimodal_library_path_keeps_typed_array(spark, sf_dir):
+    # Library users get the real array<float> contract from extract_features;
+    # only the registered gate-facing key flattens it.
+    from etl_asana_spark.operators import multimodal
+
+    media = multimodal.attach_binary_payload(
+        load_tables(spark, sf_dir)["documents"].limit(20)
+    )
+    out = multimodal.extract_features(media)
+    assert dict(out.dtypes)["feat"] == "array<float>"
+    for r in out.collect():
         assert len(r["feat"]) == 8
         assert all(0.0 <= x <= 1.0 for x in r["feat"])
-    assert sorted(map(tuple, rows)) == sorted(map(tuple, fn(spark, sf_dir).collect()))
 
 
 def test_unit_vectors_have_unit_norm(spark, sf_dir):
@@ -356,14 +377,19 @@ def test_hll_rollup_accuracy(spark, sf_dir):
 def test_pca_reduce_shape_and_variance_order(spark, sf_dir):
     """k output dims per row; the projected components carry decreasing
     variance (the defining PCA property)."""
+    # the registered key serializes reduced to a fixed-point '|'-string at
+    # the comparison boundary; decode it back for the variance property.
     out = catalog.queries()["q_emb_pca"](spark, sf_dir)
+    assert dict(out.dtypes)["reduced"] == "string"
     n_in = load_tables(spark, sf_dir)["embeddings"].count()
-    rows = out.collect()
+    rows = [
+        [int(v) / 1e6 for v in r["reduced"].split("|")] for r in out.collect()
+    ]
     assert len(rows) == n_in
-    assert all(len(r["reduced"]) == 8 for r in rows)
+    assert all(len(r) == 8 for r in rows)
     import numpy as np
 
-    mat = np.array([r["reduced"] for r in rows])
+    mat = np.array(rows)
     variances = mat.var(axis=0)
     assert all(variances[i] >= variances[i + 1] - 1e-9 for i in range(7))
     assert variances[0] > 0
