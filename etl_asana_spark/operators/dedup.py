@@ -65,6 +65,20 @@ def upsert_last_modified_wins(
 # ---------------------------------------------------------------------------
 
 
+def unshingleable_count(
+    docs: DataFrame, shingle_n: int = 3, text_col: str = "text"
+) -> int:
+    """Count docs too short to shingle (< ``shingle_n`` whitespace tokens).
+
+    ``minhash_lsh_pairs`` / ``simhash_signatures`` silently EXCLUDE such
+    docs from pairing (no feature set → cannot collide); call this to
+    detect a corpus dominated by unshingleable docs, where the fuzzy-dedup
+    families would quietly return near-empty pair sets."""
+    return docs.filter(
+        F.size(F.split(F.col(text_col), r"\s+")) < shingle_n
+    ).count()
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -87,7 +101,8 @@ def minhash_lsh_pairs(
     quadratic blowup smuggled through a linear-shaped operator. Jaccard
     over ``shingle_n``-word shingle sets keeps only true near-dup text.
     Docs too short to shingle (< ``shingle_n`` words) have no feature set
-    and cannot pair.
+    and cannot pair — use :func:`unshingleable_count` to measure how many
+    docs a given corpus silently excludes.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
 
@@ -133,7 +148,8 @@ def simhash_signatures(
     per-TOKEN hash bits converges on any shared-vocabulary corpus (measured
     here: 32 k Hamming≤8 pairs from 5 000 docs vs the true ~200-pair
     near-dup tail). Docs with fewer than 3 tokens have no shingles and get
-    a NULL signature — they cannot pair (same contract as MinHash).
+    a NULL signature — they cannot pair (same contract as MinHash; measure
+    the exclusion with :func:`unshingleable_count`).
 
     Written as ONE aggregate carrying all 64 bit-counters with a finish
     lambda packing the sign bits: interpreted higher-order-function eval

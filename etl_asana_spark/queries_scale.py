@@ -862,13 +862,23 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     base = scratch_dir("bucketed_q", sf_dir)
+    # Only the columns the query touches go into the bucketed layout — the
+    # join-plan shape (co-located buckets, no Exchange on the key) is
+    # identical, and the write-time cost (the bulk of this key's gate
+    # budget) drops with the column count. A production warehouse would
+    # bucket the full table once and amortize; here the write is paid per
+    # invocation, so it is sized to the query.
+    proj = {
+        "lineitem": ["l_orderkey", "l_extendedprice", "l_discount"],
+        "orders": ["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    }
     # Table names carry the per-process tag: repeated calls in one process
     # reuse the same catalog entries, concurrent processes stay disjoint
     # instead of dropping each other's tables mid-query.
     for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         drop_table(spark, f"bq_{name}_{PROCESS_TAG}")
         write_bucketed(
-            t[name],
+            t[name].select(*proj[name]),
             f"bq_{name}_{PROCESS_TAG}",
             f"{base}/{name}",
             bucket_by=[key],

@@ -242,14 +242,31 @@ def read_stories(spark: SparkSession, path: str | Path) -> DataFrame:
     return spark.read.schema(STORY_SCHEMA).json(str(path))
 
 
+class RateLimitError(Exception):
+    """An HTTP 429 from the API, optionally carrying the server's
+    ``Retry-After`` seconds.
+
+    A live transport raises this when the server rejects a request for
+    quota breach; :class:`RateLimitedFetcher` honors the server's number
+    EXACTLY when present (Asana returns Retry-After on every 429 — guessing
+    with exponential backoff against an authoritative header just burns
+    quota) and falls back to exponential backoff when absent."""
+
+    def __init__(self, retry_after: float | None = None) -> None:
+        super().__init__(f"rate limited (retry_after={retry_after})")
+        self.retry_after = retry_after
+
+
 class RateLimitedFetcher:
     """Token-bucket pacing + bounded retry for the page fetcher (#6).
 
     Wraps any ``fetcher(path, offset, limit) -> list[json_line]`` with the
     client-side behavior a REST extract needs (Asana: 150 req/min per token,
     429 + Retry-After on breach): steady-state pacing at ``rate_per_sec``
-    with bursts up to ``burst``, and exponential backoff on a retryable
-    exception. One instance lives per executor worker process (it rides
+    with bursts up to ``burst``; on :class:`RateLimitError` (HTTP 429) the
+    server's Retry-After is honored exactly and the local bucket drains;
+    on a transport error (timeout/5xx) exponential backoff applies. One
+    instance lives per executor worker process (it rides
     along in the mapInPandas closure), so cluster-wide pressure =
     rate_per_sec × fetch tasks — size accordingly, or front with a shared
     quota service; the per-worker bucket is the correct primitive either way.
@@ -296,8 +313,23 @@ class RateLimitedFetcher:
             self._take_token()
             try:
                 return self._fetch(path, offset, limit)
+            except RateLimitError as exc:
+                # Explicit 429: the shared quota is exhausted regardless of
+                # local pacing. Honor the server's Retry-After exactly when
+                # present (exponential otherwise), and DRAIN the local
+                # bucket so the next call re-paces from empty instead of
+                # burst-firing straight back into the quota wall.
+                if attempt == self._max_retries:
+                    raise
+                if exc.retry_after is not None:
+                    time.sleep(exc.retry_after)
+                else:
+                    time.sleep(delay)
+                    delay *= 2
+                self._tokens = 0.0
+                self._last = time.monotonic()
             except (OSError, IOError):
-                # transport error (the offline analog of 429/5xx): back off
+                # transport error (timeout/5xx): plain exponential backoff
                 if attempt == self._max_retries:
                     raise
                 time.sleep(delay)

@@ -98,13 +98,25 @@ _DRAIN_ATTEMPTS = 2
 
 
 def _retry_drain(run_once):
-    """Run a bounded drain, retrying once on any failure (see above)."""
+    """Run a bounded drain, retrying once on any failure (see above).
+
+    The swallowed first-attempt exception is logged before the retry: a
+    deterministic failure (e.g. AnalysisException) re-raises identically on
+    attempt 2 anyway, and a transient one would otherwise vanish without a
+    diagnostic trace — flaky-infra events must stay observable."""
+    import logging
+
     for attempt in range(_DRAIN_ATTEMPTS):
         try:
             return run_once()
-        except Exception:
+        except Exception as exc:
             if attempt + 1 == _DRAIN_ATTEMPTS:
                 raise
+            logging.getLogger(__name__).warning(
+                "bounded drain attempt %d/%d failed (%s: %s); retrying with "
+                "fresh checkpoint/sink",
+                attempt + 1, _DRAIN_ATTEMPTS, type(exc).__name__, exc,
+            )
 
 
 def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
@@ -278,24 +290,27 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming twin of the reference's R3 upsert)."""
     from ..operators.dedup import upsert_last_modified_wins
 
-    target = fresh_dir("upsert_target")
-
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        newest = upsert_last_modified_wins(
-            batch_df.select("user_id", "ts", "event_type", "value"),
-            key="user_id",
-            modified_col="ts",
-            tiebreak=["event_type"],
-        )
-        # Idempotent-per-batch append; the read side re-applies the keep-rule,
-        # so replays of a batch cannot change the final answer.
-        newest.write.mode("append").parquet(target)
-
     ev = _stream_events(spark, sf_dir)
 
-    def drain() -> None:
-        # A fresh-checkpoint replay re-appends batches; the read side's
-        # keep-rule collapses duplicates, so the retry stays idempotent.
+    def drain() -> str:
+        # Each attempt writes to a FRESH target dir (like the fresh
+        # checkpoint/sink): a retried run must equal a clean run even on
+        # rows that tie on (ts, event_type) with differing value, where the
+        # keep-rule's survivor is otherwise arbitrary among the duplicates a
+        # same-dir re-append would accumulate.
+        target = fresh_dir("upsert_target")
+
+        def upsert(batch_df: DataFrame, batch_id: int) -> None:
+            newest = upsert_last_modified_wins(
+                batch_df.select("user_id", "ts", "event_type", "value"),
+                key="user_id",
+                modified_col="ts",
+                tiebreak=["event_type"],
+            )
+            # Idempotent-per-batch append; the read side re-applies the
+            # keep-rule, so replays of a batch cannot change the answer.
+            newest.write.mode("append").parquet(target)
+
         with _stream_shuffle(spark):
             query = (
                 ev.writeStream.foreachBatch(upsert)
@@ -304,9 +319,9 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             query.awaitTermination()
+        return target
 
-    _retry_drain(drain)
-    merged = spark.read.parquet(target)
+    merged = spark.read.parquet(_retry_drain(drain))
     return upsert_last_modified_wins(
         merged, key="user_id", modified_col="ts", tiebreak=["event_type"]
     )

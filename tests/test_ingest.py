@@ -94,6 +94,68 @@ def test_rate_limited_fetcher_retries_transient_errors():
     assert len(out) == 5 and calls["n"] == 3
 
 
+def test_rate_limited_fetcher_honors_retry_after():
+    """HTTP 429 with Retry-After: the fetcher sleeps the SERVER's number
+    (not the exponential schedule), drains the local token bucket so the
+    retry re-paces from empty, and still returns the correct page."""
+    import time
+
+    sleeps = []
+    calls = {"n": 0}
+
+    def quota_wall(path, offset, limit):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise asana.RateLimitError(retry_after=0.07)
+        return asana._replay_fixture_page(path, offset, limit)
+
+    limited = asana.RateLimitedFetcher(quota_wall, rate_per_sec=1000.0, burst=10)
+    real_sleep = time.sleep
+    time.sleep = lambda s: (sleeps.append(s), real_sleep(min(s, 0.001)))[1]
+    try:
+        out = limited(_B1, 0, 5)
+    finally:
+        time.sleep = real_sleep
+    assert len(out) == 5 and calls["n"] == 3
+    # both 429s slept the server's exact Retry-After, not 0.5/1.0 backoff
+    assert [s for s in sleeps if abs(s - 0.07) < 1e-9] == [0.07, 0.07]
+    # the bucket drained on 429: the successful third call had to re-pace
+    # (tokens were 0 before it took one), so it cannot have burst-fired
+    assert limited._tokens < 1.0
+
+
+def test_rate_limited_fetcher_429_without_header_backs_off():
+    """429 with no Retry-After falls back to the exponential schedule and a
+    persistent quota wall propagates after max_retries."""
+    import time
+
+    import pytest
+
+    sleeps = []
+    calls = {"n": 0}
+
+    def wall_then_ok(path, offset, limit):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise asana.RateLimitError()
+        return asana._replay_fixture_page(path, offset, limit)
+
+    limited = asana.RateLimitedFetcher(wall_then_ok, rate_per_sec=1000.0, burst=10)
+    real_sleep = time.sleep
+    time.sleep = lambda s: (sleeps.append(s), real_sleep(min(s, 0.001)))[1]
+    try:
+        out = limited(_B1, 0, 5)
+        with pytest.raises(asana.RateLimitError):
+            asana.RateLimitedFetcher(
+                lambda *a: (_ for _ in ()).throw(asana.RateLimitError(0.01)),
+                rate_per_sec=1000.0, burst=10, max_retries=2,
+            )(_B1, 0, 5)
+    finally:
+        time.sleep = real_sleep
+    assert len(out) == 5
+    assert 0.5 in sleeps and 1.0 in sleeps  # exponential: 0.5 then 1.0
+
+
 def test_paginated_source_with_rate_limit(spark):
     """End-to-end: the paced fetcher drops into fetch_pages unchanged."""
     pages = asana.page_plan(spark, _B1, total=N_TASKS, page_size=100)

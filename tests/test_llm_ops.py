@@ -476,6 +476,22 @@ def test_prefix_filter_prunes_candidates_same_answer(spark, sf_dir):
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
 
+def test_unshingleable_count_measures_exclusion(spark):
+    """Docs shorter than shingle_n words are silently excluded from fuzzy
+    pairing; unshingleable_count is the caller-facing detector for a corpus
+    dominated by them."""
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, "a b c"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    assert dedup.unshingleable_count(docs, shingle_n=3) == 2
+    assert dedup.unshingleable_count(docs, shingle_n=5) == 4
+    # and the excluded docs indeed produce NULL simhash signatures
+    sigs = dedup.simhash_signatures(docs).toPandas().set_index("doc_id")
+    assert sigs.loc[1, "simhash"] is None or sigs.loc[1, "simhash"] != sigs.loc[1, "simhash"]
+    assert sigs.loc[3, "simhash"] == sigs.loc[3, "simhash"]
+
+
 def test_semantic_dedup_pairs_subset_of_all_pairs(spark, sf_dir):
     """SemDeDup's within-cluster pairs must be a subset of the clusterless
     all-pairs scan at the same threshold (precision 1.0 by construction),
@@ -494,7 +510,7 @@ def test_semantic_dedup_pairs_subset_of_all_pairs(spark, sf_dir):
             F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
         )
     )
-    assigned = kmeans_lloyd(emb, k=16, n_iter=3).select("vec_id", "cluster")
+    assigned = kmeans_lloyd(emb, k=16, n_iter=2).select("vec_id", "cluster")
     cv = vecs.join(assigned, "vec_id")
     within = (
         cv.alias("a")

@@ -93,6 +93,57 @@ def test_bounded_drain_retries_once_then_propagates(spark, sf_dir, monkeypatch):
         jobs.tumbling_counts_stream(spark, sf_dir)
 
 
+def test_drain_retry_logs_first_attempt_failure(spark, sf_dir, monkeypatch, caplog):
+    """A swallowed first-attempt exception must leave a diagnostic trace
+    (otherwise transient-infra failures are invisible and deterministic
+    ones get a pointless silent re-run)."""
+    import logging
+
+    from etl_asana_spark.streaming import jobs
+
+    real = jobs.fresh_dir
+    calls = {"n": 0}
+
+    def flaky(purpose):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return "/proc/not/a/writable/checkpoint"
+        return real(purpose)
+
+    monkeypatch.setattr(jobs, "fresh_dir", flaky)
+    with caplog.at_level(logging.WARNING, logger="etl_asana_spark.streaming.jobs"):
+        jobs.tumbling_counts_stream(spark, sf_dir).collect()
+    assert any(
+        "attempt 1/2 failed" in rec.getMessage() for rec in caplog.records
+    )
+
+
+def test_upsert_retry_equals_clean_run(spark, sf_dir, monkeypatch):
+    """foreach_batch_upsert: a retried run (first attempt's TARGET dir
+    unwritable) must return the same frame as a clean run — each attempt
+    writes to a fresh target, so a replay can never accumulate a prior
+    attempt's appends and let a (ts, event_type)-tie pick a different
+    survivor."""
+    from etl_asana_spark.streaming import jobs
+    from etl_asana_spark.testing import canonical_rows
+
+    clean = jobs.foreach_batch_upsert(spark, sf_dir).toPandas()
+
+    real = jobs.fresh_dir
+    calls = {"n": 0}
+
+    def flaky(purpose):
+        calls["n"] += 1
+        if calls["n"] == 1:  # first attempt's upsert_target
+            return "/proc/not/a/writable/target"
+        return real(purpose)
+
+    monkeypatch.setattr(jobs, "fresh_dir", flaky)
+    retried = jobs.foreach_batch_upsert(spark, sf_dir).toPandas()
+    assert calls["n"] >= 3  # failed target, then fresh target + ckpt
+    assert canonical_rows(retried) == canonical_rows(clean)
+
+
 def test_stream_sliding_equals_batch(spark, sf_dir):
     """Sliding windows: every closed 2 h/30 min hop must match the batch
     twin (4 overlapping windows per event — the state-size multiplier)."""
