@@ -324,7 +324,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-           ROUND(CAST(length(text) - length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+           ROUND(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
                  AS DOUBLE) / length(text), 8) AS punct_ratio,
            ROUND(CAST(len(list_filter(string_split(text, ' '),
                      t -> t IN ('the','of','and','to','in','is','that','for')))
@@ -334,11 +334,19 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring features: punctuation + English-stopword ratios
-    (threshold-filter inputs for corpus cleaning)."""
+    (threshold-filter inputs for corpus cleaning).
+
+    Round-4 outcome-audit fix: the inline n_punct formula (re-derived here
+    instead of reusing text.quality_features) had dropped the caret from
+    ``[^\\w\\s]`` — BOTH the Spark plan and its oracle computed
+    1 - punct_ratio, so the cross-engine hash matched while every ratio
+    read 1.0 on this punctuation-free corpus. An oracle proves
+    Spark==DuckDB; only reading the ANSWER catches an agreeing-but-wrong
+    formula."""
     t = load_tables(spark, sf_dir)
     toks = text.ws_tokens("text")
     n_chars = F.length("text")
-    n_punct = n_chars - F.length(F.regexp_replace("text", r"[\w\s]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
     n_stop = F.size(F.filter(toks, lambda tk: tk.isin(*text.STOPWORDS["en"])))
     return (
         t["documents"]

@@ -476,6 +476,31 @@ def test_prefix_filter_prunes_candidates_same_answer(spark, sf_dir):
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
 
+def test_punct_ratio_counts_punctuation_not_its_complement(spark, sf_dir):
+    """Round-4 outcome-audit regression: q_text_quality's inline n_punct
+    dropped the caret from [^\\w\\s] and computed 1 - punct_ratio on BOTH
+    engines (oracle agreed, every ratio read 1.0 on the punctuation-free
+    corpus). Pin the answer on a string with known punctuation and on the
+    real corpus, and pin query == library operator."""
+    from etl_asana_spark.operators.text import quality_features
+
+    probe = spark.createDataFrame(
+        [(1, "hello, world!!"), (2, "no punct here")], "doc_id long, text string"
+    )
+    feats = quality_features("text")
+    got = {
+        r["doc_id"]: r["pr"]
+        for r in probe.select("doc_id", feats["punct_ratio"].alias("pr")).collect()
+    }
+    assert abs(got[1] - 3 / 14) < 1e-9  # ',' '!' '!' of 14 chars
+    assert got[2] == 0.0
+
+    pdf = catalog.queries()["q_text_quality"](spark, sf_dir).toPandas()
+    # synthetic corpus text is bag-of-words with no punctuation at all
+    assert (pdf["punct_ratio"] == 0.0).all()
+    assert (pdf["stopword_ratio"] <= 1.0).all()
+
+
 def test_unshingleable_count_measures_exclusion(spark):
     """Docs shorter than shingle_n words are silently excluded from fuzzy
     pairing; unshingleable_count is the caller-facing detector for a corpus
