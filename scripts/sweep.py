@@ -190,7 +190,15 @@ def main() -> int:
     print("slowest:")
     for key, dt in sorted(timings, key=lambda kv: -kv[1])[:15]:
         print(f"  {key:32s} {dt:6.2f}s")
-    gate_scale = os.path.basename(sf_dir.rstrip("/")) == GATE_SCALE_DIRNAME
+    # Gate-config only: the dir must BE the gate-scale dir (exact basename)
+    # AND the shuffle count must be the gate's 32 — a SWEEP_SHUFFLE=7
+    # partitioning-invariance run measures different per-key costs (fewer
+    # partitions = less overhead at sf0.01) and must not feed the
+    # rotation's cheapest-first scheduler.
+    gate_scale = (
+        os.path.basename(sf_dir.rstrip("/")) == GATE_SCALE_DIRNAME
+        and n_shuffle == "32"
+    )
     if not only and gate_scale:
         # Full sweep AT THE GATE SCALE: record measured per-key cost —
         # sweeps at other scales must not contaminate the snapshot (an

@@ -1356,6 +1356,115 @@ def test_random_regex_parity(spark, duck, sf_dir, seed):
     )
 
 
+# ---------------------------------------------------------------------------
+# String-function chains (tier 11) — upper/lower/trim/substr/lpad/replace/
+# translate/reverse/repeat/left/right/instr/levenshtein/md5 compositions
+# over documents.text, from the dialect-safe intersection (identical
+# semantics in Spark and DuckDB for non-null inputs and positive positions).
+# Deliberately excluded: initcap (absent in DuckDB), concat (DuckDB ignores
+# NULLs where Spark propagates), split_part out-of-range, overlay. Motivated
+# by the r04 outcome-audit find: a hand-inlined string formula (punct_ratio)
+# drifted from its library twin — string expressions deserve the same
+# combinatorial adversary the numeric/date/regex families already have.
+# ---------------------------------------------------------------------------
+
+_STR_WORDS = ["spark", "line", "value", "batch", "query"]
+
+
+def _str_pool(rng: random.Random) -> list[Agg]:
+    w = rng.randint(8, 60)
+    k = rng.randint(2, 9)
+    word = rng.choice(_STR_WORDS)
+    fill = rng.choice(["_", ".", "x"])
+    head = F.substring("text", 1, w)
+    head_sql = f"substr(text, 1, {w})"
+    return [
+        Agg(
+            "shout_tail",
+            F.reverse(F.upper(head)),
+            f"reverse(upper({head_sql}))",
+        ),
+        Agg(
+            "padded",
+            F.lpad(F.rtrim(head), w + k, fill),
+            f"lpad(rtrim({head_sql}), {w + k}, '{fill}')",
+        ),
+        Agg(
+            "swapped",
+            F.replace(head, F.lit(word), F.lit(word.upper())),
+            f"replace({head_sql}, '{word}', '{word.upper()}')",
+        ),
+        Agg(
+            "vowelless",
+            F.translate(head, "aeiou", "     "),
+            f"translate({head_sql}, 'aeiou', '     ')",
+        ),
+        Agg(
+            "find_word",
+            F.instr(F.col("text"), word).cast("long"),
+            f"CAST(instr(text, '{word}') AS BIGINT)",
+        ),
+        Agg(
+            "edit_dist",
+            F.levenshtein(F.left(F.col("text"), F.lit(k + 3)), F.lit(word)).cast("long"),
+            f"CAST(levenshtein(left(text, {k + 3}), '{word}') AS BIGINT)",
+        ),
+        Agg(
+            "stutter",
+            F.repeat(F.right(F.col("text"), F.lit(k)), 2),
+            f"repeat(right(text, {k}), 2)",
+        ),
+        Agg(
+            "digest",
+            F.md5(F.ltrim(head)),
+            f"md5(ltrim({head_sql}))",
+        ),
+    ]
+
+
+@dataclass(frozen=True)
+class StrShape:
+    exprs: list[Agg]
+    pred: Pred | None
+
+
+def gen_str_shape(seed: int) -> StrShape:
+    rng = random.Random(seed)
+    exprs = rng.sample(_str_pool(rng), rng.randint(2, 4))
+    pred = None
+    if rng.random() < 0.4:
+        n = rng.randint(60, 300)
+        pred = Pred(F.length("text") >= n, f"length(text) >= {n}")
+    return StrShape(exprs=exprs, pred=pred)
+
+
+def run_str_spark(spark, sf_dir: str, s: StrShape) -> DataFrame:
+    df = load_tables(spark, sf_dir)["documents"]
+    if s.pred is not None:
+        df = df.filter(s.pred.col)
+    return df.select("doc_id", *[e.col.alias(e.name) for e in s.exprs])
+
+
+def str_sql(s: StrShape) -> str:
+    where = f" WHERE ({s.pred.sql})" if s.pred is not None else ""
+    select = ", ".join(["doc_id"] + [f"{e.sql} AS {e.name}" for e in s.exprs])
+    return f"SELECT {select} FROM documents{where}"
+
+
+STR_SEEDS = list(range(1200, 1214))
+
+
+@pytest.mark.parametrize("seed", STR_SEEDS)
+def test_random_string_parity(spark, duck, sf_dir, seed):
+    s = gen_str_shape(seed)
+    got = run_str_spark(spark, sf_dir, s).toPandas()
+    want = duck.execute(str_sql(s)).fetchdf()
+    problems = compare_frames(got, want)
+    assert not problems, (
+        f"seed={seed} sql={str_sql(s)} problems={problems[:3]}"
+    )
+
+
 def test_seed_space_is_diverse(spark):  # Column construction needs a live JVM
     """The generators must actually exercise joins, global aggs, grouped
     aggs, unpartitioned windows, and the windowed-integer-SUM drift class
@@ -1408,3 +1517,10 @@ def test_seed_space_is_diverse(spark):  # Column construction needs a live JVM
     regexes = [gen_regex_shape(s) for s in REGEX_SEEDS]
     rx_names = {e.name for r in regexes for e in r.exprs}
     assert {"first_hit", "gutted", "matches"} <= rx_names
+    strs = [gen_str_shape(s) for s in STR_SEEDS]
+    st_names = {e.name for t in strs for e in t.exprs}
+    # padding, literal replace, char translate, search, and distance must
+    # all be drawn somewhere across the pinned seeds
+    assert {"padded", "swapped", "vowelless", "edit_dist"} <= st_names
+    assert any(t.pred is not None for t in strs)
+    assert any(t.pred is None for t in strs)
