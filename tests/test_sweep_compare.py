@@ -78,6 +78,29 @@ def test_array_cells_raise_like_the_driver_hasher(sweep):
         sweep.canon(a)
 
 
+def test_check_query_rejects_uncanonicalizable_rows_only_output(spark):
+    """Round-4 regression (the r03 q_multimodal gate red): a ROWS-ONLY key
+    whose frame holds ndarray/list cells must fail ``testing.check_query``
+    — the driver canonicalizes every key's frame before hashing, and the
+    old rows-only path skipped exactly that check locally. Inject a
+    throwaway catalog key returning an array column and assert the guard
+    names the crash."""
+    from pyspark.sql import functions as F
+
+    from etl_asana_spark import catalog
+    from etl_asana_spark.testing import check_query
+
+    key = "__test_uncanon__"
+    catalog._QUERIES[key] = lambda sp, sf: sp.range(3).select(
+        "id", F.array(F.lit(1.0), F.lit(2.0)).alias("vec")
+    )
+    try:
+        problems = check_query(spark, None, key, "unused")
+        assert problems and "driver-canonicalization would crash" in problems[0]
+    finally:
+        del catalog._QUERIES[key]
+
+
 def test_testing_compare_frames_strict_on_mixed_dtype_frames():
     """Regression: ``testing.compare_frames`` once extracted rows via
     ``iterrows``, which upcasts every cell of a mixed int64/float64 frame to
