@@ -1,0 +1,138 @@
+"""Scale rehearsal: run headline queries at N× the largest driver scale.
+
+The driver's testdata tops out at sf0.1 (~600 k lineitem rows). This script
+materializes an N×-replicated copy (default N=10 → ~sf1, ~6 M lineitem rows)
+by FK-CONSISTENT replication — each replica shifts every key family by a
+disjoint span so primary keys stay unique and every join still matches
+within its replica (the data grows the way a real warehouse grows: more
+orders/lineitems/events/docs, same region/nation dims) — then times the
+bench headline queries at both scales and prints the scaling ratio per
+query.
+
+Purpose: empirical evidence for the 100 TB design review. A query whose
+cost grows ~N× (or less, where TakeOrdered/partial-agg bounds work) for N×
+data has no hidden superlinear path at the next scale-up; a query growing
+≫N× would be flagged here before any real cluster sees it.
+
+Usage:  python scripts/scale_rehearsal.py [--replicas 10] [--runs 2]
+
+Writes the replicated tables to a temp dir (removed on exit unless
+--keep). Input: /root/testdata/sf0.1 (read-only, never modified).
+"""
+
+from __future__ import annotations
+
+import argparse
+import atexit
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+#: Per-replica shift spans, comfortably above each key family's max value.
+SPANS = {
+    "orderkey": 100_000_000,
+    "custkey": 10_000_000,
+    "partkey": 10_000_000,
+    "suppkey": 1_000_000,
+    "event_id": 100_000_000,
+    "user_id": 10_000_000,
+    "doc_id": 10_000_000,
+    "vec_id": 10_000_000,
+}
+
+#: Key columns to shift per table (FK families shift together, so each
+#: replica is a self-consistent star; dims region/nation copy unshifted).
+TABLE_KEYS = {
+    "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey",
+                 "l_suppkey": "suppkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "customer": {"c_custkey": "custkey"},
+    "part": {"p_partkey": "partkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
+    "region": {},
+    "nation": {},
+}
+
+HEADLINE = [
+    "q_agg_groupby", "q_join_star", "q_win_topk_group", "q_win_tumbling",
+    "q_topk", "q_join_semi",
+    # LLM-pipeline extras worth rehearsing (docs/embeddings replicate too)
+    "q_dedup_exact_docs", "q_text_tokens", "q_sim_cosine_topk",
+]
+
+
+def replicate(spark, src: str, dst: str, n: int) -> None:
+    from pyspark.sql import functions as F
+
+    for name, keys in TABLE_KEYS.items():
+        df = spark.read.parquet(f"{src}/{name}.parquet")
+        if keys and n > 1:
+            reps = spark.range(n).withColumnRenamed("id", "__r")
+            df = df.crossJoin(F.broadcast(reps))
+            for col, fam in keys.items():
+                df = df.withColumn(
+                    col, (F.col(col) + F.col("__r") * SPANS[fam]).cast("long")
+                )
+            df = df.drop("__r")
+        df.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+
+
+def time_key(qs, spark, key: str, sf_dir: str, runs: int) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    from etl_asana_spark import catalog
+    from etl_asana_spark.session import build_session
+
+    spark = build_session(app_name="scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dst = tempfile.mkdtemp(prefix="scale_rehearsal_")
+    if not args.keep:
+        atexit.register(shutil.rmtree, dst, True)
+    t0 = time.perf_counter()
+    replicate(spark, args.src, dst, args.replicas)
+    print(f"replicated {args.replicas}x into {dst} "
+          f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
+
+    qs = catalog.queries()
+    base, big, ratio = {}, {}, {}
+    for key in HEADLINE:
+        base[key] = round(time_key(qs, spark, key, args.src, args.runs), 3)
+        big[key] = round(time_key(qs, spark, key, dst, args.runs), 3)
+        ratio[key] = round(big[key] / base[key], 2)
+        print(f"{key:22s} sf0.1 {base[key]:7.3f}s  x{args.replicas} "
+              f"{big[key]:7.3f}s  ratio {ratio[key]:5.2f}", file=sys.stderr)
+    print(json.dumps({
+        "replicas": args.replicas,
+        "base_total": round(sum(base.values()), 3),
+        "big_total": round(sum(big.values()), 3),
+        "ratios": ratio,
+    }))
+    # a ratio far above the replica count means a superlinear path
+    worst = max(ratio.values())
+    return 1 if worst > args.replicas * 2 else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
