@@ -348,6 +348,28 @@ def embedding_cosine_dups_blocked(
     realistic threshold, pruning discards most cell pairs; on an adversarial
     uniform corpus it degrades to the same total comparisons as all-pairs
     but still executes as shuffle joins, never a nested loop.
+
+    Round-4 (found by ``scripts/scale_rehearsal.py``, which replicates the
+    corpus so every vector has N−1 byte-identical copies): cell blocking
+    cannot subdivide IDENTICAL vectors, so a duplicate-heavy corpus made
+    the within-cell verify quadratic in the duplicate count — 7.3× cost at
+    3× data, a single hot task evaluating interpreted-HOF cosines for
+    minutes at 10×. Two fixes, both preserving exactness:
+
+    - **Exact-duplicate collapse first**: group byte-identical vectors, run
+      the blocked pipeline over one REPRESENTATIVE per distinct vector,
+      then expand — cross-group pairs inherit the rep pair's cosine (the
+      member vectors ARE the rep vectors), and intra-group pairs compute
+      the self-cosine once per GROUP and enumerate member pairs with plain
+      codegen'd joins (no per-pair distance eval at all). Exactly the
+      hygiene a production pipeline wants anyway: never re-verify a byte
+      dup.
+    - **Unrolled dot in the verify**: interpreted higher-order functions
+      (``aggregate``/``zip_with``) cannot whole-stage-codegen, and the
+      verify evaluates one per candidate PAIR. The dot is unrolled to a
+      fixed-width left-to-right sum of products (dim is known driver-side
+      from the bounded cell collect) — the identical float-addition
+      sequence as the HOF fold (bit-identical values), but codegen'd.
     """
     import math
 
@@ -355,15 +377,29 @@ def embedding_cosine_dups_blocked(
 
     d_cut = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-9
 
-    # Per-vector norm computed ONCE here (n rows) instead of inside the
+    # Collapse byte-identical vectors: one representative (min id) plus the
+    # full member list per distinct vector. localCheckpoint truncates the
+    # lineage so the groupBy is not re-executed by each downstream branch
+    # (reps / cross-expansion / intra-enumeration) — same discipline as
+    # connected_components' symmetric edge list.
+    groups = (
+        embeddings.groupBy(F.col(vec_col).alias("vec"))
+        .agg(
+            F.min(F.col(id_col)).alias("rep"),
+            F.collect_list(F.col(id_col)).alias("members"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # Per-vector norm computed ONCE here (rep rows) instead of inside the
     # verify join (candidate-pair count ≫ n): pair cosine then costs one
-    # HOF pass (the dot) instead of three. Bit-identical to cosine():
+    # pass (the dot) instead of three. Bit-identical to cosine():
     # same l2_norm expression, same product, same try_divide.
-    base = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        l2_normalize(vec_col).alias("nv"),
-        l2_norm(vec_col).alias("nrm"),
+    base = groups.select(
+        F.col("rep").alias("id"),
+        F.col("vec"),
+        l2_normalize("vec").alias("nv"),
+        l2_norm("vec").alias("nrm"),
     )
     # Cell id from coordinate signs — pure projection, no shuffle.
     cell = F.lit(0)
@@ -409,6 +445,21 @@ def embedding_cosine_dups_blocked(
     spark = embeddings.sparkSession
     edge_df = spark.createDataFrame(edges or [], "cell_a int, cell_b int")
 
+    # The embedding width, known driver-side from the same bounded collect —
+    # lets the verify's dot unroll into codegen'd arithmetic (see docstring).
+    dim = len(cells[0][1]) if cells else 0
+
+    def dot_unrolled(ca: str, cb: str):
+        """Left-to-right Σ aᵢ·bᵢ as a plain expression tree: the identical
+        addition sequence as functions.vector.dot's fold (which starts at
+        0.0 and accumulates in index order), so values are bit-identical —
+        but GetArrayItem/multiply/add all whole-stage-codegen, where the
+        interpreted HOF fold costs a Catalyst eval() per candidate pair."""
+        s = F.lit(0.0)
+        for i in range(dim):
+            s = s + F.col(ca)[i].cast("double") * F.col(cb)[i].cast("double")
+        return s
+
     a = assigned.select(
         F.col("cell").alias("cell_a"),
         F.col("id").alias("ida"),
@@ -422,23 +473,62 @@ def embedding_cosine_dups_blocked(
         F.col("nrm").alias("nrmb"),
     )
     # Cross-cell pairs match exactly once (edge has cell_a < cell_b);
-    # same-cell pairs dedupe on id order.
-    return (
+    # same-cell pairs dedupe on id order. These are REPRESENTATIVE pairs —
+    # one per distinct-vector pair.
+    rep_pairs = (
         a.join(F.broadcast(edge_df), "cell_a")
         .join(b, "cell_b")
         .filter((F.col("cell_a") != F.col("cell_b")) | (F.col("ida") < F.col("idb")))
         .select(
-            F.least("ida", "idb").alias("id_a"),
-            F.greatest("ida", "idb").alias("id_b"),
+            F.col("ida").alias("rep_a"),
+            F.col("idb").alias("rep_b"),
             # cosine via precomputed norms; bit-symmetric in the pair order:
             # per-element products commute and the accumulation order is the
             # element index either way.
             F.try_divide(
-                dot("veca", "vecb"), F.col("nrma") * F.col("nrmb")
+                dot_unrolled("veca", "vecb"), F.col("nrma") * F.col("nrmb")
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
+
+    # Expand rep pairs to member pairs: every member of group A pairs with
+    # every member of group B at the rep pair's cosine (the member vectors
+    # ARE the rep vectors, byte-identical) — plain codegen'd joins +
+    # explodes, no distance eval. Output size is the answer size, which is
+    # inherent to the pair contract.
+    ga = groups.select(F.col("rep").alias("rep_a"), F.col("members").alias("ma"))
+    gb = groups.select(F.col("rep").alias("rep_b"), F.col("members").alias("mb"))
+    cross = (
+        rep_pairs.join(ga, "rep_a")
+        .join(gb, "rep_b")
+        .select(F.explode("ma").alias("pa"), "mb", "cos")
+        .select("pa", F.explode("mb").alias("pb"), "cos")
+        .select(
+            F.least("pa", "pb").alias("id_a"),
+            F.greatest("pa", "pb").alias("id_b"),
+            F.col("cos"),
+        )
+    )
+
+    # Intra-group pairs: byte-identical vectors trivially satisfy any sane
+    # threshold, but the cosine is still COMPUTED (once per group, same
+    # expression the all-pairs form evaluates on two identical arrays) and
+    # the threshold still applied, so the answer set stays exactly equal to
+    # the all-pairs oracle even for threshold > self-cosine edge cases.
+    self_cos = F.try_divide(dot("vec", "vec"), l2_norm("vec") * l2_norm("vec"))
+    intra = (
+        groups.filter(F.size("members") >= 2)
+        .select(self_cos.alias("cos"), F.explode("members").alias("pa"), "members")
+        .select("pa", F.explode("members").alias("pb"), "cos")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(
+            F.col("pa").alias("id_a"), F.col("pb").alias("id_b"), F.col("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+    return cross.unionByName(intra)
 
 
 def connected_components(

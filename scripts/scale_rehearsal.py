@@ -99,6 +99,10 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--keys", nargs="*", default=None,
+                    help="override the headline key list (e.g. the dedup "
+                         "family — note replication makes every doc an "
+                         "exact 10-way duplicate, a worst-case dedup load)")
     args = ap.parse_args()
 
     from etl_asana_spark import catalog
@@ -117,7 +121,7 @@ def main() -> int:
 
     qs = catalog.queries()
     base, big, ratio = {}, {}, {}
-    for key in HEADLINE:
+    for key in (args.keys or HEADLINE):
         base[key] = round(time_key(qs, spark, key, args.src, args.runs), 3)
         big[key] = round(time_key(qs, spark, key, dst, args.runs), 3)
         ratio[key] = round(big[key] / base[key], 2)

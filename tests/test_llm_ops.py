@@ -177,6 +177,34 @@ def test_embed_dedup_blocked_equals_all_pairs(spark, sf_dir):
         assert sorted(map(key, ap)) == sorted(map(key, bl)), thr
 
 
+def test_embed_dedup_blocked_equals_all_pairs_with_exact_duplicates(spark, sf_dir):
+    """Round-4 regression (found by scripts/scale_rehearsal.py): a corpus
+    where vectors have byte-identical copies made the within-cell verify
+    quadratic in the duplicate count. The rewritten pipeline collapses
+    exact duplicates first — answer set must still EXACTLY equal all-pairs,
+    including the intra-group (identical-vector) pairs and their computed
+    self-cosine values."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "embedding").limit(120)
+    # plant 3 exact copies of every vector (disjoint id spans, like the
+    # rehearsal's replication)
+    dup = e
+    for r in (1, 2):
+        dup = dup.unionByName(
+            e.select((F.col("vec_id") + 1_000_000 * r).alias("vec_id"), "embedding")
+        )
+    for thr in (0.3, 0.9, 1.1):  # 1.1 > self-cosine: intra pairs must drop
+        ap = dedup.embedding_cosine_dups(dup, threshold=thr).collect()
+        bl = dedup.embedding_cosine_dups_blocked(dup, threshold=thr).collect()
+        key = lambda r: (r["id_a"], r["id_b"], round(r["cos"], 10))
+        assert sorted(map(key, ap)) == sorted(map(key, bl)), thr
+    # and the duplicate-heavy corpus actually produced intra-group pairs
+    assert any(
+        r["id_b"] - r["id_a"] in (1_000_000, 2_000_000)
+        for r in dedup.embedding_cosine_dups_blocked(dup, threshold=0.99).collect()
+    )
+
+
 def test_embed_dedup_plan_has_no_nested_loop(spark, sf_dir):
     """q_dedup_embed (round-3 re-registration) must never BNLJ/Cartesian —
     the whole point of the blocked pipeline."""
