@@ -356,14 +356,20 @@ def embedding_cosine_dups_blocked(
     3× data, a single hot task evaluating interpreted-HOF cosines for
     minutes at 10×. Two fixes, both preserving exactness:
 
-    - **Exact-duplicate collapse first**: group byte-identical vectors, run
-      the blocked pipeline over one REPRESENTATIVE per distinct vector,
-      then expand — cross-group pairs inherit the rep pair's cosine (the
-      member vectors ARE the rep vectors), and intra-group pairs compute
-      the self-cosine once per GROUP and enumerate member pairs with plain
-      codegen'd joins (no per-pair distance eval at all). Exactly the
-      hygiene a production pipeline wants anyway: never re-verify a byte
-      dup.
+    - **Exact-duplicate collapse first**: reduce to one REPRESENTATIVE per
+      distinct vector (min id, map-side-combinable groupBy on the vector
+      bytes), run the blocked pipeline over reps only, then expand rep
+      pairs back to member pairs through an ``(id, rep)`` membership table
+      — cross-group pairs inherit the rep pair's cosine (the member
+      vectors ARE the rep vectors), and intra-group pairs compute the
+      self-cosine once per DISTINCT VECTOR and enumerate member pairs with
+      plain codegen'd joins (no per-pair distance eval at all). The
+      expansion is deliberately join-based, not collect_list+explode: a
+      boilerplate vector with millions of copies would otherwise build one
+      giant array cell and fan it out in a single task, where the
+      membership joins shuffle on rep ids and stay AQE-skew-splittable.
+      Exactly the hygiene a production pipeline wants anyway: never
+      re-verify a byte dup.
     - **Unrolled dot in the verify**: interpreted higher-order functions
       (``aggregate``/``zip_with``) cannot whole-stage-codegen, and the
       verify evaluates one per candidate PAIR. The dot is unrolled to a
@@ -377,25 +383,29 @@ def embedding_cosine_dups_blocked(
 
     d_cut = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-9
 
-    # Collapse byte-identical vectors: one representative (min id) plus the
-    # full member list per distinct vector. localCheckpoint truncates the
-    # lineage so the groupBy is not re-executed by each downstream branch
-    # (reps / cross-expansion / intra-enumeration) — same discipline as
+    # Collapse byte-identical vectors (see docstring): reps is one row per
+    # DISTINCT vector; membership maps every id to its group's rep via a
+    # join back on the vector bytes. Null vectors drop at the inner join,
+    # matching the all-pairs form (any cosine against NULL is NULL and
+    # fails the threshold filter). localCheckpoint truncates lineage so the
+    # groupBy/join are not re-executed by each downstream branch (blocking
+    # / cross-expansion / intra-enumeration) — same discipline as
     # connected_components' symmetric edge list.
-    groups = (
-        embeddings.groupBy(F.col(vec_col).alias("vec"))
-        .agg(
-            F.min(F.col(id_col)).alias("rep"),
-            F.collect_list(F.col(id_col)).alias("members"),
-        )
+    vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    reps = (
+        vecs.groupBy("vec")
+        .agg(F.min("id").alias("rep"))
         .localCheckpoint(eager=False)
+    )
+    membership = (
+        vecs.join(reps, "vec").select("id", "rep").localCheckpoint(eager=False)
     )
 
     # Per-vector norm computed ONCE here (rep rows) instead of inside the
     # verify join (candidate-pair count ≫ n): pair cosine then costs one
     # pass (the dot) instead of three. Bit-identical to cosine():
     # same l2_norm expression, same product, same try_divide.
-    base = groups.select(
+    base = reps.select(
         F.col("rep").alias("id"),
         F.col("vec"),
         l2_normalize("vec").alias("nv"),
@@ -494,16 +504,14 @@ def embedding_cosine_dups_blocked(
 
     # Expand rep pairs to member pairs: every member of group A pairs with
     # every member of group B at the rep pair's cosine (the member vectors
-    # ARE the rep vectors, byte-identical) — plain codegen'd joins +
-    # explodes, no distance eval. Output size is the answer size, which is
-    # inherent to the pair contract.
-    ga = groups.select(F.col("rep").alias("rep_a"), F.col("members").alias("ma"))
-    gb = groups.select(F.col("rep").alias("rep_b"), F.col("members").alias("mb"))
+    # ARE the rep vectors, byte-identical) — two shuffle joins on rep ids,
+    # no distance eval. Output size is the answer size, which is inherent
+    # to the pair contract.
+    ma = membership.select(F.col("rep").alias("rep_a"), F.col("id").alias("pa"))
+    mb = membership.select(F.col("rep").alias("rep_b"), F.col("id").alias("pb"))
     cross = (
-        rep_pairs.join(ga, "rep_a")
-        .join(gb, "rep_b")
-        .select(F.explode("ma").alias("pa"), "mb", "cos")
-        .select("pa", F.explode("mb").alias("pb"), "cos")
+        rep_pairs.join(ma, "rep_a")
+        .join(mb, "rep_b")
         .select(
             F.least("pa", "pb").alias("id_a"),
             F.greatest("pa", "pb").alias("id_b"),
@@ -512,20 +520,20 @@ def embedding_cosine_dups_blocked(
     )
 
     # Intra-group pairs: byte-identical vectors trivially satisfy any sane
-    # threshold, but the cosine is still COMPUTED (once per group, same
-    # expression the all-pairs form evaluates on two identical arrays) and
-    # the threshold still applied, so the answer set stays exactly equal to
-    # the all-pairs oracle even for threshold > self-cosine edge cases.
+    # threshold, but the cosine is still COMPUTED (once per distinct
+    # vector, same expression the all-pairs form evaluates on two identical
+    # arrays) and the threshold applied BEFORE the enumeration joins, so
+    # the answer set stays exactly equal to the all-pairs oracle even for
+    # threshold > self-cosine edge cases — and a failing group never pays
+    # its quadratic expansion.
     self_cos = F.try_divide(dot("vec", "vec"), l2_norm("vec") * l2_norm("vec"))
     intra = (
-        groups.filter(F.size("members") >= 2)
-        .select(self_cos.alias("cos"), F.explode("members").alias("pa"), "members")
-        .select("pa", F.explode("members").alias("pb"), "cos")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(
-            F.col("pa").alias("id_a"), F.col("pb").alias("id_b"), F.col("cos")
-        )
+        reps.select("rep", self_cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
+        .join(membership.select("rep", F.col("id").alias("pa")), "rep")
+        .join(membership.select("rep", F.col("id").alias("pb")), "rep")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("id_a"), F.col("pb").alias("id_b"), F.col("cos"))
     )
 
     return cross.unionByName(intra)
