@@ -539,6 +539,146 @@ def embedding_cosine_dups_blocked(
     return cross.unionByName(intra)
 
 
+def semantic_dedup_stats(
+    vecs: DataFrame,
+    threshold: float = 0.28,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Per-cluster SemDeDup stats without enumerating duplicate pairs.
+
+    Input: one row per vector with a precomputed cluster assignment
+    (``kmeans_lloyd`` output joined back to the vectors). Output: one row
+    per cluster — ``n_members``, ``n_dup_pairs`` (within-cluster pairs with
+    cos ≥ threshold), ``n_to_drop`` (distinct higher-id members of those
+    pairs) — integer-identical to the naive within-cluster self-join +
+    ``count`` / ``countDistinct(id_b)``.
+
+    Why not the naive form: a within-cluster self-join is quadratic in
+    duplicate MULTIPLICITY — a boilerplate vector with m byte-identical
+    copies contributes m² comparison rows even though they carry one
+    distinct cosine. Since k-means assignment is a deterministic argmin of
+    the vector VALUE, identical vectors always share a cluster, so the
+    group structure collapses exactly:
+
+    - distinct-vector groups g (size s_g, rep = min id) pair up once per
+      DISTINCT pair; a matching cross pair contributes ``s_g·s_h`` member
+      pairs, a self-matching group (cos(v,v) ≥ t, i.e. any non-degenerate
+      vector) contributes ``C(s_g, 2)`` — pure arithmetic, no enumeration.
+    - a member m of group g is a drop candidate (appears as the higher id
+      of some pair) iff some matched partner has an id below m: cross
+      partners reduce to ``min(rep_h)`` over matched groups h, and a
+      self-matched group drops every member except its rep. One linear
+      pass over the membership table decides this per member.
+
+    Scale shape: the only joins are groupBy/join on the vector bytes (the
+    same collapse as ``embedding_cosine_dups_blocked``) and rep-level
+    pairing within clusters — O((distinct/k)²) per cluster, which is the
+    SemDeDup contract, but never quadratic in duplicate count.
+    """
+    from ..functions.vector import cosine
+
+    base = vecs.select(
+        F.col(cluster_col).alias("cluster"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+    )
+    groups = (
+        base.groupBy("cluster", "v")
+        .agg(F.min("id").alias("rep"), F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    membership = (
+        base.join(groups.select("v", "rep"), "v")
+        .select("id", "rep")
+        .localCheckpoint(eager=False)
+    )
+
+    ga = groups.select(
+        "cluster",
+        F.col("rep").alias("rep_a"),
+        F.col("v").alias("va"),
+        F.col("cnt").alias("cnt_a"),
+    )
+    gb = groups.select(
+        "cluster",
+        F.col("rep").alias("rep_b"),
+        F.col("v").alias("vb"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    rep_pairs = (
+        ga.join(gb, "cluster")
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("cluster", "rep_a", "rep_b", "cnt_a", "cnt_b")
+        .localCheckpoint(eager=False)
+    )
+    # Self-matching groups: the cosine is still COMPUTED (once per distinct
+    # vector) and the threshold applied, so zero vectors (NULL cosine) and
+    # threshold > self-cosine edge cases behave exactly like the naive
+    # enumeration.
+    selfm = (
+        groups.withColumn("cos", cosine("v", "v"))
+        .filter(F.col("cos") >= threshold)
+        .select("cluster", "rep", "cnt")
+        .localCheckpoint(eager=False)
+    )
+
+    crossp = rep_pairs.groupBy("cluster").agg(
+        F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("n_cross")
+    )
+    intrap = selfm.groupBy("cluster").agg(
+        F.sum((F.col("cnt") * (F.col("cnt") - F.lit(1)) / F.lit(2)).cast("long")).alias(
+            "n_intra"
+        )
+    )
+
+    # min matched-partner rep per group (reps are globally unique ids).
+    pmin = (
+        rep_pairs.select(F.col("rep_a").alias("rep"), F.col("rep_b").alias("partner"))
+        .unionByName(
+            rep_pairs.select(
+                F.col("rep_b").alias("rep"), F.col("rep_a").alias("partner")
+            )
+        )
+        .groupBy("rep")
+        .agg(F.min("partner").alias("pmin"))
+    )
+    gmeta = (
+        groups.select("cluster", "rep")
+        .join(pmin, "rep", "left")
+        .join(
+            selfm.select("rep", F.lit(True).alias("selfm")), "rep", "left"
+        )
+    )
+    dropped = (
+        membership.join(gmeta, "rep")
+        .filter(
+            (F.col("pmin") < F.col("id"))
+            | (F.coalesce(F.col("selfm"), F.lit(False)) & (F.col("id") > F.col("rep")))
+        )
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_to_drop"))
+    )
+
+    members = base.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    return (
+        members.join(crossp, "cluster", "left")
+        .join(intrap, "cluster", "left")
+        .join(dropped, "cluster", "left")
+        .select(
+            "cluster",
+            "n_members",
+            (
+                F.coalesce("n_cross", F.lit(0)) + F.coalesce("n_intra", F.lit(0))
+            ).alias("n_dup_pairs"),
+            F.coalesce("n_to_drop", F.lit(0)).alias("n_to_drop"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

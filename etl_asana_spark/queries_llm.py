@@ -1556,12 +1556,16 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is a fixed-cost broadcast-join round and the subset/recall
     properties hold at any iteration count, so the gate-facing key runs
     the minimum that still separates the space; production callers pick
-    their own n_iter on kmeans_lloyd) → within-cluster self-join on the
-    cluster key (hash join, never a global cross join) → cosine ≥ 0.95
-    pairs → higher id of each pair marked for removal. Returns per-cluster
-    totals: members, near-dup pairs, docs to drop. Rows-only (k-means
-    float means are engine-specific); recall vs the clusterless all-pairs
-    scan and drop-idempotence are property-tested."""
+    their own n_iter on kmeans_lloyd) → within-cluster pair stats via
+    ``semantic_dedup_stats``, which collapses byte-identical vectors first
+    and computes member-pair counts arithmetically — integer-identical to
+    the naive within-cluster self-join (differential-tested) but never
+    quadratic in duplicate multiplicity (the round-4 scale rehearsal's
+    replicated corpus made the naive form's verify 100× at 10× data).
+    Returns per-cluster totals: members, near-dup pairs, docs to drop.
+    Rows-only (k-means float means are engine-specific); recall vs the
+    clusterless all-pairs scan and drop-idempotence are property-tested."""
+    from .operators.dedup import semantic_dedup_stats
     from .operators.similarity import kmeans_lloyd
 
     t = load_tables(spark, sf_dir)
@@ -1571,33 +1575,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = t["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).join(assigned, "vec_id")
-    a = vecs.select(
-        F.col("cluster"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
-    )
-    b = vecs.select(
-        F.col("cluster"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
-    )
-    pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", vector.cosine("va", "vb"))
-        .filter(F.col("cos") >= 0.28)
-    )
-    drops = pairs.groupBy("cluster").agg(
-        F.count("*").alias("n_dup_pairs"),
-        F.countDistinct("id_b").alias("n_to_drop"),
-    )
-    members = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
-    return (
-        members.join(drops, "cluster", "left")
-        .select(
-            "cluster",
-            "n_members",
-            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
-            F.coalesce("n_to_drop", F.lit(0)).alias("n_to_drop"),
-        )
-        .orderBy("cluster")
-    )
+    return semantic_dedup_stats(vecs, threshold=0.28).orderBy("cluster")
 
 
 @register(

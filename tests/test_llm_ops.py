@@ -545,6 +545,49 @@ def test_unshingleable_count_measures_exclusion(spark):
     assert sigs.loc[3, "simhash"] == sigs.loc[3, "simhash"]
 
 
+def test_semantic_dedup_stats_equal_naive_enumeration(spark, sf_dir):
+    """Round-4: q_dedup_semantic's collapsed per-cluster stats must be
+    integer-identical to the naive within-cluster self-join's
+    count / countDistinct(id_b) — on the raw corpus AND with planted
+    byte-identical duplicates (the shape that made the naive form
+    quadratic in duplicate multiplicity)."""
+    from etl_asana_spark.functions import vector
+    from etl_asana_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    planted = emb
+    for r in (1, 2):
+        planted = planted.unionByName(
+            emb.select((F.col("vec_id") + 1_000_000 * r).alias("vec_id"), "embedding")
+        )
+    for corpus in (emb, planted):
+        assigned = kmeans_lloyd(corpus, k=16, n_iter=2).select("vec_id", "cluster")
+        vecs = corpus.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ).join(assigned, "vec_id")
+        a = vecs.select("cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+        b = vecs.select("cluster", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+        naive = (
+            a.join(b, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", vector.cosine("va", "vb"))
+            .filter(F.col("cos") >= 0.28)
+            .groupBy("cluster")
+            .agg(
+                F.count("*").alias("n_dup_pairs"),
+                F.countDistinct("id_b").alias("n_to_drop"),
+            )
+        )
+        naive_by_cluster = {
+            r["cluster"]: (r["n_dup_pairs"], r["n_to_drop"]) for r in naive.collect()
+        }
+        got = dedup.semantic_dedup_stats(vecs, threshold=0.28).collect()
+        assert got
+        for r in got:
+            exp = naive_by_cluster.get(r["cluster"], (0, 0))
+            assert (r["n_dup_pairs"], r["n_to_drop"]) == exp, r["cluster"]
+
+
 def test_semantic_dedup_pairs_subset_of_all_pairs(spark, sf_dir):
     """SemDeDup's within-cluster pairs must be a subset of the clusterless
     all-pairs scan at the same threshold (precision 1.0 by construction),
