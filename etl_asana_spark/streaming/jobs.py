@@ -58,13 +58,24 @@ def _stream_shuffle(spark: SparkSession):
 
 
 def _events_stream_dir(sf_dir: str) -> str:
-    """File streaming sources list a DIRECTORY of arriving files; the
-    testdata is a single parquet file, so stage a symlink dir (read-only on
-    the source, per-process temp for the link)."""
+    """File streaming sources list a DIRECTORY of arriving files.
+
+    The driver's testdata ships events as a SINGLE parquet file, which a
+    file source cannot point at directly — stage a symlink dir (read-only
+    on the source, per-process temp for the link). A production-shaped
+    table (a directory of part-files, which is what any Spark writer — and
+    the scale rehearsal's replication — produces) streams in place: the
+    file source lists the part-files as arrivals and ignores
+    _SUCCESS/hidden files. Found by the round-4 scale rehearsal, where the
+    single-file symlink pointed at a DIRECTORY, the source listed zero
+    files, and every streaming key silently processed nothing."""
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        return src
     staged = _STAGE_DIRS.get(sf_dir)
     if staged is None or not os.path.isdir(staged):
         staged = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(f"{sf_dir}/events.parquet", f"{staged}/events.parquet")
+        os.symlink(src, f"{staged}/events.parquet")
         _STAGE_DIRS[sf_dir] = staged
     return staged
 

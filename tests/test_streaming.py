@@ -271,3 +271,24 @@ def test_sync_token_source_drains_full_feed(spark, sf_dir):
     for typ in {s["type"] for s in stories}:
         assert got[typ] == sum(1 for s in stories if s["type"] == typ)
     assert sum(got.values()) == len(stories)
+
+
+def test_stream_source_accepts_directory_shaped_events(spark, sf_dir, tmp_path):
+    """Round-4 regression (found by scripts/scale_rehearsal.py): a
+    production-shaped events table — a DIRECTORY of part-files, which is
+    what any Spark writer produces — must stream identically to the
+    driver's single-file layout. The file source previously got a symlink
+    pointing at the directory itself, listed zero files, and every
+    streaming key silently processed nothing (q_stream_upsert crashed on
+    its empty target)."""
+    import shutil
+
+    from etl_asana_spark.streaming import jobs
+
+    d = tmp_path / "dirshaped" / "events.parquet"
+    d.mkdir(parents=True)
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-00000-copy.snappy.parquet")
+    got = jobs.tumbling_counts_stream(spark, str(tmp_path / "dirshaped")).toPandas()
+    ref = catalog.queries()["q_stream_tumbling"](spark, sf_dir).toPandas()
+    assert len(got) > 0
+    assert canonical_rows(got) == canonical_rows(ref)
