@@ -411,10 +411,15 @@ def embedding_cosine_dups_blocked(
         l2_normalize("vec").alias("nv"),
         l2_norm("vec").alias("nrm"),
     )
-    # Cell id from coordinate signs — pure projection, no shuffle.
+    # Cell id from coordinate signs — pure projection, no shuffle. F.get
+    # (not []) so a vector SHORTER than n_sign_bits contributes NULL > 0 =
+    # false (bit 0) instead of an ANSI INVALID_ARRAY_INDEX — any
+    # deterministic assignment is valid, crashing is not.
     cell = F.lit(0)
     for p in range(n_sign_bits):
-        cell = cell + F.when(F.col("nv")[p] > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        cell = cell + F.when(
+            F.get(F.col("nv"), p) > 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
     assigned = base.withColumn("cell", cell)
 
     # Centroid per cell via posexplode → (cell, pos) mean → re-assembled
@@ -445,12 +450,27 @@ def embedding_cosine_dups_blocked(
     )
 
     # Bounded collect (≤ 2^n_sign_bits rows): prune cell pairs driver-side.
+    # EXACTNESS RULE: a cell pair may be dropped only when the triangle
+    # inequality PROVES no member pair can match. NaN/NULL cell stats
+    # (vectors with NaN components, Inf vectors whose normalization is
+    # NaN, all-degenerate cells) prove nothing — and Spark's comparison
+    # semantics treat a NaN cosine as greater than ANY threshold, so the
+    # all-pairs oracle KEEPS such pairs. Hence `not (cc > bound)` (keep on
+    # unprovable), never `cc <= bound` (Python NaN comparisons are False,
+    # which would silently prune pairs the oracle emits).
+    nan = float("nan")
     cells = [(row["cell"], row["centroid"], row["r"]) for row in stats.collect()]
     edges = []
     for i, (ci, vi, ri) in enumerate(cells):
         for cj, vj, rj in cells[i:]:
-            cc = math.sqrt(sum((a - b) ** 2 for a, b in zip(vi, vj)))
-            if cc <= ri + rj + d_cut + 1e-9:
+            cc = math.sqrt(
+                sum(
+                    ((nan if a is None else a) - (nan if b is None else b)) ** 2
+                    for a, b in zip(vi, vj)
+                )
+            )
+            bound = (nan if ri is None else ri) + (nan if rj is None else rj)
+            if not (cc > bound + d_cut + 1e-9):
                 edges.append((min(ci, cj), max(ci, cj)))
     spark = embeddings.sparkSession
     edge_df = spark.createDataFrame(edges or [], "cell_a int, cell_b int")
@@ -463,11 +483,18 @@ def embedding_cosine_dups_blocked(
         """Left-to-right Σ aᵢ·bᵢ as a plain expression tree: the identical
         addition sequence as functions.vector.dot's fold (which starts at
         0.0 and accumulates in index order), so values are bit-identical —
-        but GetArrayItem/multiply/add all whole-stage-codegen, where the
-        interpreted HOF fold costs a Catalyst eval() per candidate pair."""
+        but element access/multiply/add all whole-stage-codegen, where the
+        interpreted HOF fold costs a Catalyst eval() per candidate pair.
+        F.get (NULL out of bounds, poisoning the sum to NULL) rather than
+        [] (ANSI crash) for a vector shorter than the corpus dim — the HOF
+        fold's zip_with null-padding yields the same NULL cosine, which
+        the threshold filter drops either way."""
         s = F.lit(0.0)
         for i in range(dim):
-            s = s + F.col(ca)[i].cast("double") * F.col(cb)[i].cast("double")
+            s = s + (
+                F.get(F.col(ca), i).cast("double")
+                * F.get(F.col(cb), i).cast("double")
+            )
         return s
 
     a = assigned.select(

@@ -692,3 +692,62 @@ def test_scrub_dup_spans_token_accounting(spark, sf_dir):
         assert len(kept) == r["n_tokens"] - r["n_removed"]
         if r["n_removed"] == 0:
             assert r["cleaned_text"] == originals[doc_id]
+
+
+def test_embed_dedup_blocked_adversarial_vectors(spark):
+    """Degenerate vectors must behave identically in the blocked and
+    all-pairs forms: zero vectors (NULL cosine via try_divide), NaN/Inf
+    components, exact duplicates of a zero vector, and negatives. The
+    grouping layer normalizes NaN/-0.0 (Spark's normalizenanandzero), so
+    the collapse must not invent or lose pairs relative to the oracle."""
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0]),          # zero vector -> NULL cosine
+        (2, [0.0, 0.0, 0.0, 0.0]),          # exact duplicate of the zero vec
+        (3, [float("nan"), 1.0, 0.0, 0.0]),  # NaN component
+        (4, [float("nan"), 1.0, 0.0, 0.0]),  # NaN duplicate (normalized equal)
+        (5, [float("inf"), 1.0, 0.0, 0.0]),  # Inf component
+        (6, [1.0, 2.0, 3.0, 4.0]),
+        (7, [1.0, 2.0, 3.0, 4.0]),
+        (8, [-1.0, -2.0, -3.0, -4.0]),      # antipodal to 6/7
+        (9, [4.0, 3.0, 2.0, 1.0]),
+        (10, [-0.0, 0.0, -0.0, 0.0]),       # negative zero vector
+    ]
+    import math
+
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    def key(r):
+        c = r["cos"]
+        # NaN != NaN would fail the comparison even when both sides emit
+        # the identical pair; canonicalize (Spark keeps NaN-cosine pairs —
+        # NaN compares greater than any threshold).
+        c = "nan" if c is None or math.isnan(c) else round(c, 10)
+        return (r["id_a"], r["id_b"], c)
+
+    for thr in (-1.0, 0.5, 0.95, 1.1):
+        ap = dedup.embedding_cosine_dups(df, threshold=thr).collect()
+        bl = dedup.embedding_cosine_dups_blocked(df, threshold=thr).collect()
+        assert sorted(map(key, ap)) == sorted(map(key, bl)), thr
+
+
+def test_embed_dedup_blocked_empty_and_singleton(spark):
+    """Empty corpus and a single vector: no crash, empty pair set (the
+    bounded cell collect returns zero cells; dim falls back to 0)."""
+    empty = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    assert dedup.embedding_cosine_dups_blocked(empty).collect() == []
+    one = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id int, embedding array<float>")
+    assert dedup.embedding_cosine_dups_blocked(one).collect() == []
+
+
+def test_semantic_dedup_stats_empty_and_degenerate(spark):
+    """Empty input -> empty stats; a cluster of only zero vectors (NULL
+    self-cosine) -> members counted, zero pairs, zero drops."""
+    empty = spark.createDataFrame([], "vec_id int, v array<double>, cluster int")
+    assert dedup.semantic_dedup_stats(empty).collect() == []
+    zeros = spark.createDataFrame(
+        [(1, [0.0, 0.0], 0), (2, [0.0, 0.0], 0), (3, [1.0, 1.0], 1)],
+        "vec_id int, v array<double>, cluster int",
+    )
+    got = {r["cluster"]: r for r in dedup.semantic_dedup_stats(zeros).collect()}
+    assert got[0]["n_members"] == 2 and got[0]["n_dup_pairs"] == 0 and got[0]["n_to_drop"] == 0
+    assert got[1]["n_members"] == 1 and got[1]["n_dup_pairs"] == 0 and got[1]["n_to_drop"] == 0
