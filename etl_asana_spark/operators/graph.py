@@ -59,6 +59,10 @@ def pagerank(
     # single (ranks ⋈ edges) hash join on src; dangling nodes keep NULL.
     base = vertices.join(outdeg, "id", "left")
     n = base.count()  # scalar graph size: metadata, not data, on the driver
+    if n == 0:
+        # Empty graph (a zeroed-out slice at scale is routine): empty rank
+        # frame with the output schema, never a ZeroDivisionError on 1/n.
+        return base.select("id", F.lit(0.0).alias("rank"))
     ranks = base.withColumn("rank", F.lit(1.0 / n))
     edges = edges.localCheckpoint(eager=False)  # scanned every superstep
 
@@ -132,6 +136,9 @@ def pagerank_units(
     # below forces it anyway).
     base = vertices.join(outdeg, "id", "left").localCheckpoint(eager=True)
     n = base.count()
+    if n == 0:
+        # Same empty-graph guard as pagerank(): schema-correct empty frame.
+        return base.select("id", F.lit(0).cast("long").alias("rank_units"))
     ranks = base.withColumn("u", F.lit(int(scale // n)).cast("long"))
     edges = edges.localCheckpoint(eager=False)
     # Teleport term: floor((1-d)*scale / n) — evaluated as the same double

@@ -82,6 +82,13 @@ def cosine_topk_batched(
     import pandas as pd
 
     rows = query.select("query_id", "query_vec").collect()
+    if not rows:
+        # No probes (e.g. the probe id filtered out on an empty slice):
+        # schema-correct empty result, not a numpy AxisError on a 0-d
+        # matrix inside the UDF.
+        return embeddings.sparkSession.createDataFrame(
+            [], f"query_id bigint, {id_col} bigint, cos double"
+        )
     qmat = np.array([r["query_vec"] for r in rows], dtype=np.float64)
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     qids = np.array([r["query_id"] for r in rows])
@@ -144,6 +151,13 @@ def ann_brp_lsh(
     base = embeddings.select(
         id_col, array_to_vector(l2_normalize(vec_col)).alias("features")
     )
+    if base.isEmpty():
+        # LSH fit requires at least one row; an empty corpus (zeroed-out
+        # slice) must yield an empty result, not an MLlib fit error. The
+        # isEmpty probe is a limit-1 scan — metadata-cheap at any scale.
+        return embeddings.sparkSession.createDataFrame(
+            [], f"query_id bigint, {id_col} bigint, cos_approx double"
+        )
     probes = query.select(
         "query_id", array_to_vector(l2_normalize("query_vec")).alias("features")
     )
@@ -197,6 +211,12 @@ def ivf_topk(
     featurized = embeddings.select(
         id_col, vec_col, array_to_vector(vec_col).alias("features")
     )
+    if featurized.isEmpty():
+        # KMeans fit requires rows; empty corpus -> schema-correct empty
+        # result (limit-1 probe, see ann_brp_lsh).
+        return embeddings.sparkSession.createDataFrame(
+            [], f"query_id bigint, {id_col} bigint, cos double"
+        )
     km = KMeans(k=n_centroids, seed=seed, featuresCol="features")
     model = km.fit(featurized)
     assigned = model.transform(featurized).select(
@@ -256,6 +276,12 @@ def pca_reduce(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     feat = embeddings.select(id_col, array_to_vector(vec_col).alias("features"))
+    if feat.isEmpty():
+        # The d x d Gramian of an empty corpus has no eigenbasis; empty in,
+        # schema-correct empty out (limit-1 probe, see ann_brp_lsh).
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, reduced array<double>"
+        )
     model = MLPCA(k=k, inputCol="features", outputCol="pc").fit(feat)
     return model.transform(feat).select(
         id_col, vector_to_array("pc").alias("reduced")

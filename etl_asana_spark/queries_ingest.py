@@ -776,18 +776,17 @@ def q_ingest_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     path = scratch_dir("orc_roundtrip", sf_dir) + "/orders_orc"
-    (
-        t["orders"]
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-        )
-        .write.mode("overwrite")
-        .partitionBy("o_orderstatus")
-        .orc(path)
+    src = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
+    src.write.mode("overwrite").partitionBy("o_orderstatus").orc(path)
+    # Explicit read-back schema: at scale you never footer-sample thousands
+    # of files to infer, and a filter that matched zero rows writes zero
+    # data files — inference would throw UNABLE_TO_INFER_SCHEMA where the
+    # correct answer is an empty frame.
     return (
-        spark.read.orc(path)
+        spark.read.schema(src.schema).orc(path)
         .groupBy("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -817,7 +817,12 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     t["orders"].write.mode("overwrite").partitionBy("o_orderstatus").parquet(
         path
     )
-    fact = spark.read.parquet(path)
+    # Explicit read-back schema (see q_ingest_orc): an empty source writes
+    # zero data files, where inference throws instead of returning empty —
+    # and at scale you never footer-sample a large layout to infer anyway.
+    # Partition-column recovery (and with it DPP) still comes from the
+    # directory layout; the plan assertion in tests/test_plans.py holds.
+    fact = spark.read.schema(t["orders"].schema).parquet(path)
     hot = (
         fact.groupBy("o_orderstatus")
         .agg(davg("o_totalprice").alias("avg_price"))

@@ -122,3 +122,36 @@ def test_window_rank_single_row_group(spark):
         F.sum("x").over(w).alias("run"),
     ).collect()[0]
     assert (got["rn"], got["prev"], got["run"]) == (1, None, 5.0)
+
+
+def test_every_catalog_key_survives_an_empty_corpus(spark, sf_dir, tmp_path_factory):
+    """Round-4 catalog-wide invariant: EVERY registered key must run on a
+    dataset whose tables all have ZERO rows (exact driver schemas,
+    pyarrow-written so the events nanos annotation survives) — at 100 TB a
+    partition filter zeroing out a slice is routine, and a scheduled
+    pipeline must produce an empty output, not a page. First run of this
+    sweep found seven crashers: ZeroDivisionError in pagerank's 1/n
+    teleport, a numpy AxisError in the batched cosine UDF, MLlib fit
+    errors in ANN/IVF/PCA, and UNABLE_TO_INFER_SCHEMA in the two
+    write-then-read keys whose empty write produced no data files."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_asana_spark import catalog
+
+    dst = str(tmp_path_factory.mktemp("empty_sf"))
+    for name in os.listdir(sf_dir):
+        schema = pq.read_schema(f"{sf_dir}/{name}")
+        pq.write_table(
+            pa.table({f.name: pa.array([], f.type) for f in schema}, schema=schema),
+            f"{dst}/{name}",
+        )
+    failures = []
+    for key, fn in catalog.queries().items():
+        try:
+            fn(spark, dst).count()
+        except Exception as ex:  # noqa: BLE001 - collecting all failures
+            failures.append((key, type(ex).__name__, str(ex).split("\n")[0][:120]))
+    assert not failures, failures
