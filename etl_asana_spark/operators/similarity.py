@@ -211,12 +211,24 @@ def ivf_topk(
     featurized = embeddings.select(
         id_col, vec_col, array_to_vector(vec_col).alias("features")
     )
-    if featurized.isEmpty():
-        # KMeans fit requires rows; empty corpus -> schema-correct empty
-        # result (limit-1 probe, see ann_brp_lsh).
+    # KMeans cannot fit more centroids than rows (and needs at least one);
+    # the limit(n).count() probe reads at most n_centroids rows — bounded
+    # work at any corpus size. A tiny slice degrades to fewer cells (same
+    # answers, less pruning), an empty one to an empty result.
+    n_avail = featurized.limit(n_centroids).count()
+    if n_avail == 0:
         return embeddings.sparkSession.createDataFrame(
             [], f"query_id bigint, {id_col} bigint, cos double"
         )
+    if n_avail < 2:
+        # MLlib KMeans requires k >= 2; a sub-2-row corpus has no cells to
+        # invert, so IVF degenerates to the exact brute force (trivial at
+        # this size, identical answers).
+        return cosine_topk(
+            embeddings, query, k=k, id_col=id_col, vec_col=vec_col
+        )
+    n_centroids = min(n_centroids, n_avail)
+    nprobe = min(nprobe, n_centroids)
     km = KMeans(k=n_centroids, seed=seed, featuresCol="features")
     model = km.fit(featurized)
     assigned = model.transform(featurized).select(
@@ -276,11 +288,19 @@ def pca_reduce(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     feat = embeddings.select(id_col, array_to_vector(vec_col).alias("features"))
-    if feat.isEmpty():
-        # The d x d Gramian of an empty corpus has no eigenbasis; empty in,
-        # schema-correct empty out (limit-1 probe, see ann_brp_lsh).
+    # The covariance of fewer than 2 rows has no eigenbasis (MLlib refuses
+    # with "RowMatrix.computeCovariance called on matrix with only 1
+    # rows"). Empty in -> empty out; a single row keeps its id with a NULL
+    # projection (row-count parity for pipelines that join the reduction
+    # back). The limit-2 probe is bounded work at any corpus size.
+    n_avail = feat.limit(2).count()
+    if n_avail == 0:
         return embeddings.sparkSession.createDataFrame(
             [], f"{id_col} bigint, reduced array<double>"
+        )
+    if n_avail == 1:
+        return feat.select(
+            id_col, F.lit(None).cast("array<double>").alias("reduced")
         )
     model = MLPCA(k=k, inputCol="features", outputCol="pc").fit(feat)
     return model.transform(feat).select(

@@ -438,7 +438,14 @@ def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
     )
     w = Window.partitionBy("event_type")
-    z = (F.col("n") - F.avg("n").over(w)) / F.stddev_pop("n").over(w)
+    # try_divide: a type whose daily counts never vary (stddev_pop = 0 — a
+    # one-day slice, or perfectly uniform volume) has no measurable
+    # deviation, so z is NULL and the day is NOT anomalous — ANSI `/`
+    # would page the on-call with DIVIDE_BY_ZERO instead. Identical to `/`
+    # whenever stddev > 0 (oracle parity unchanged).
+    z = F.try_divide(
+        F.col("n") - F.avg("n").over(w), F.stddev_pop("n").over(w)
+    )
     return (
         daily.withColumn("z_raw", z)  # materialize the window before WHERE
         .filter(F.abs(F.col("z_raw")) > 2.0)  # unrounded filter (oracle parity)

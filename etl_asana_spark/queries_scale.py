@@ -481,13 +481,22 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("n"),
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    # Degenerate range (every value identical — a one-row or constant
+    # slice): width is 0 and the bin division would raise ANSI
+    # DIVIDE_BY_ZERO; all mass belongs in bin 0 and the interpolation
+    # then estimates exactly lo. CaseWhen evaluates branches lazily, so
+    # the guarded division never executes for the degenerate case.
     binned = ev.crossJoin(F.broadcast(bounds)).select(
         "day",
         "lo",
         "hi",
         "n",
-        F.least(
-            F.floor((F.col("value") - F.col("lo")) / width), F.lit(n_bins - 1)
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width),
+                F.lit(n_bins - 1),
+            )
         )
         .cast("int")
         .alias("bin"),

@@ -124,16 +124,26 @@ def test_window_rank_single_row_group(spark):
     assert (got["rn"], got["prev"], got["run"]) == (1, None, 5.0)
 
 
-def test_every_catalog_key_survives_an_empty_corpus(spark, sf_dir, tmp_path_factory):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("n_rows", [0, 1])
+def test_every_catalog_key_survives_degenerate_corpus(
+    spark, sf_dir, tmp_path_factory, n_rows
+):
     """Round-4 catalog-wide invariant: EVERY registered key must run on a
-    dataset whose tables all have ZERO rows (exact driver schemas,
-    pyarrow-written so the events nanos annotation survives) — at 100 TB a
-    partition filter zeroing out a slice is routine, and a scheduled
-    pipeline must produce an empty output, not a page. First run of this
-    sweep found seven crashers: ZeroDivisionError in pagerank's 1/n
+    dataset whose tables all have ZERO rows or ONE row (exact driver
+    schemas, pyarrow-written so the events nanos annotation survives) — at
+    100 TB a partition filter zeroing a slice down to nothing, or to a
+    single straggler row, is routine, and a scheduled pipeline must
+    produce a (possibly empty) output, not a page. First runs of this
+    sweep found eleven crashers: ZeroDivisionError in pagerank's 1/n
     teleport, a numpy AxisError in the batched cosine UDF, MLlib fit
-    errors in ANN/IVF/PCA, and UNABLE_TO_INFER_SCHEMA in the two
-    write-then-read keys whose empty write produced no data files."""
+    errors in ANN/IVF/PCA (empty corpus, k > n rows, covariance of one
+    row), UNABLE_TO_INFER_SCHEMA in the two write-then-read keys whose
+    empty write produced no data files, and ANSI DIVIDE_BY_ZERO in the
+    anomaly z-score (stddev 0) and the quantile sketch's bin width
+    (hi == lo)."""
     import os
 
     import pyarrow as pa
@@ -141,13 +151,16 @@ def test_every_catalog_key_survives_an_empty_corpus(spark, sf_dir, tmp_path_fact
 
     from etl_asana_spark import catalog
 
-    dst = str(tmp_path_factory.mktemp("empty_sf"))
+    dst = str(tmp_path_factory.mktemp(f"degen_sf_{n_rows}"))
     for name in os.listdir(sf_dir):
-        schema = pq.read_schema(f"{sf_dir}/{name}")
-        pq.write_table(
-            pa.table({f.name: pa.array([], f.type) for f in schema}, schema=schema),
-            f"{dst}/{name}",
-        )
+        if n_rows == 0:
+            schema = pq.read_schema(f"{sf_dir}/{name}")
+            table = pa.table(
+                {f.name: pa.array([], f.type) for f in schema}, schema=schema
+            )
+        else:
+            table = pq.read_table(f"{sf_dir}/{name}").slice(0, n_rows)
+        pq.write_table(table, f"{dst}/{name}")
     failures = []
     for key, fn in catalog.queries().items():
         try:
