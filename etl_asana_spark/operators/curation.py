@@ -113,6 +113,8 @@ def pack_sequences(
             if pid is None:
                 pid = int(pdf[id_col].iloc[0])  # namespace: first id in part
             for did, tok in zip(pdf[id_col], pdf[token_col]):
+                if tok != tok or tok is None:  # NULL token count (NaN in
+                    continue  # pandas): doc is outside the packing domain
                 tok = int(tok)
                 if cur_ids and cur_tok + tok > max_tokens:
                     seqs.append((cur_ids, cur_tok))

@@ -112,7 +112,13 @@ def minhash_lsh_pairs(
         inputCol="__shingles", outputCol="__features",
         numFeatures=num_features, binary=True,
     )
-    shingled = ng.transform(tok.transform(docs.select(id_col, text_col)))
+    # NULL text is outside the pairing domain, like docs too short to
+    # shingle (ML Tokenizer throws on NULL input).
+    shingled = ng.transform(
+        tok.transform(
+            docs.select(id_col, text_col).filter(F.col(text_col).isNotNull())
+        )
+    )
     featurized = tf.transform(
         shingled.filter(F.size("__shingles") > 0)  # MinHash needs ≥1 feature
     )

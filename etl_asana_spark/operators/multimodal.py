@@ -133,6 +133,10 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["payload"], pdf["media_meta"]
             ):
+                if payload is None or meta is None:
+                    # No payload/metadata (failed upstream fetch): nothing
+                    # to decode — skip the row, never crash the batch.
+                    continue
                 payload = bytes(payload)
                 checksum_w, checksum_h, feats = _decode_payload(payload)
                 rows.append(
@@ -191,6 +195,10 @@ def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224) -> 
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["payload"], pdf["media_meta"]
             ):
+                if payload is None or meta is None:
+                    # No payload/metadata (failed upstream fetch): nothing
+                    # to decode — skip the row, never crash the batch.
+                    continue
                 payload = bytes(payload)
                 out = _resize_real(payload, pil) if (pil and payload) else None
                 if out is None:  # stub: re-scale byte length by pixel ratio
@@ -249,6 +257,8 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # nothing to sample from (see decode_batches)
                 payload = bytes(payload)
                 if not payload:
                     raise NotImplementedError("empty payload: stub undefined")

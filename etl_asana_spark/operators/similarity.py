@@ -81,7 +81,15 @@ def cosine_topk_batched(
     import numpy as np
     import pandas as pd
 
-    rows = query.select("query_id", "query_vec").collect()
+    # NULL vectors (failed upstream embedding) are outside the scoring
+    # domain on both sides — a None in the numpy batch would otherwise make
+    # an object-dtype matrix and crash the matmul for the whole partition.
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
+    rows = [
+        r
+        for r in query.select("query_id", "query_vec").collect()
+        if r["query_vec"] is not None
+    ]
     if not rows:
         # No probes (e.g. the probe id filtered out on an empty slice):
         # schema-correct empty result, not a numpy AxisError on a 0-d
@@ -148,7 +156,7 @@ def ann_brp_lsh(
 
     from ..functions.vector import l2_normalize
 
-    base = embeddings.select(
+    base = embeddings.filter(F.col(vec_col).isNotNull()).select(
         id_col, array_to_vector(l2_normalize(vec_col)).alias("features")
     )
     if base.isEmpty():
@@ -158,7 +166,7 @@ def ann_brp_lsh(
         return embeddings.sparkSession.createDataFrame(
             [], f"query_id bigint, {id_col} bigint, cos_approx double"
         )
-    probes = query.select(
+    probes = query.filter(F.col("query_vec").isNotNull()).select(
         "query_id", array_to_vector(l2_normalize("query_vec")).alias("features")
     )
     lsh = BucketedRandomProjectionLSH(
@@ -208,9 +216,10 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    featurized = embeddings.select(
+    featurized = embeddings.filter(F.col(vec_col).isNotNull()).select(
         id_col, vec_col, array_to_vector(vec_col).alias("features")
     )
+    query = query.filter(F.col("query_vec").isNotNull())
     # KMeans cannot fit more centroids than rows (and needs at least one);
     # the limit(n).count() probe reads at most n_centroids rows — bounded
     # work at any corpus size. A tiny slice degrades to fewer cells (same
@@ -287,7 +296,9 @@ def pca_reduce(
     from pyspark.ml.feature import PCA as MLPCA
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    feat = embeddings.select(id_col, array_to_vector(vec_col).alias("features"))
+    feat = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        id_col, array_to_vector(vec_col).alias("features")
+    )
     # The covariance of fewer than 2 rows has no eigenbasis (MLlib refuses
     # with "RowMatrix.computeCovariance called on matrix with only 1
     # rows"). Empty in -> empty out; a single row keeps its id with a NULL
@@ -331,7 +342,9 @@ def kmeans_lloyd(
     Returns (id, cluster, dist2) for the final centroids.
     """
     spark = embeddings.sparkSession
-    vecs = embeddings.select(
+    # NULL vectors have no cluster (the init collect and the argmin both
+    # need values) — same domain rule as the similarity indexes above.
+    vecs = embeddings.filter(F.col(vec_col).isNotNull()).select(
         id_col, F.col(vec_col).cast("array<double>").alias("v")
     )
 

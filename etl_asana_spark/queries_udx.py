@@ -160,6 +160,8 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, token string")
     class Tokens:
         def eval(self, text: str):
+            if text is None:
+                return  # split(NULL) explodes to zero rows in the oracle too
             for i, tok in enumerate(text.split(" ")):
                 yield i + 1, tok
 

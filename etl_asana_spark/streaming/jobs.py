@@ -259,20 +259,31 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
         else:
             ts_us = []
             for pdf in pdfs:
-                ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+                ts_us.extend(
+                    int(t.value // 1000)
+                    for t in pd.to_datetime(pdf["ts"])
+                    if t is not pd.NaT  # NULL event time cannot be
+                    # sessionized (NaT.value is INT64_MIN — it would arm a
+                    # pre-watermark timeout and kill the whole query)
+                )
             ts_us.sort()
             if state.exists:
                 start_us, last_us, n = state.get
-            else:
+            elif ts_us:
                 start_us, last_us, n = ts_us[0], ts_us[0] - 1, 0
-            for t in ts_us:
-                if t - last_us > gap_us and n > 0:
-                    emit(start_us, last_us, n)
-                    start_us, n = t, 0
-                last_us = t
-                n += 1
-            state.update((start_us, last_us, n))
-            state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60 * 1000)
+            else:
+                start_us = None  # no timestamped events, no open session
+            if start_us is not None:
+                for t in ts_us:
+                    if t - last_us > gap_us and n > 0:
+                        emit(start_us, last_us, n)
+                        start_us, n = t, 0
+                    last_us = t
+                    n += 1
+                state.update((start_us, last_us, n))
+                state.setTimeoutTimestamp(
+                    last_us // 1000 + gap_minutes * 60 * 1000
+                )
         if out:
             yield pd.DataFrame(
                 {

@@ -127,9 +127,9 @@ def test_window_rank_single_row_group(spark):
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("n_rows", [0, 1])
+@_pytest.mark.parametrize("shape", [0, 1, "nullcols"])
 def test_every_catalog_key_survives_degenerate_corpus(
-    spark, sf_dir, tmp_path_factory, n_rows
+    spark, sf_dir, tmp_path_factory, shape
 ):
     """Round-4 catalog-wide invariant: EVERY registered key must run on a
     dataset whose tables all have ZERO rows or ONE row (exact driver
@@ -143,7 +143,18 @@ def test_every_catalog_key_survives_degenerate_corpus(
     row), UNABLE_TO_INFER_SCHEMA in the two write-then-read keys whose
     empty write produced no data files, and ANSI DIVIDE_BY_ZERO in the
     anomaly z-score (stddev 0) and the quantile sketch's bin width
-    (hi == lo)."""
+    (hi == lo).
+
+    The "nullcols" shape (every non-key column NULL, 50 rows — the shape
+    of a failed upstream extraction) found thirteen more, all in
+    Python-side kernels and ML entry points: None.split in the token
+    UDTF, NaN token counts in sequence packing, None payloads in the
+    multimodal decoders, NULL text crashing the ML Tokenizer, NULL
+    vectors crashing numpy matmul / MLlib fits / the k-means init
+    collect, and NaT event times arming a pre-watermark timeout that
+    killed the sessionize stream. Policy everywhere: a row that is NULL
+    in the operative column is outside the operator's domain (SQL
+    aggregates skip NULLs) — excluded, never a crash."""
     import os
 
     import pyarrow as pa
@@ -151,15 +162,25 @@ def test_every_catalog_key_survives_degenerate_corpus(
 
     from etl_asana_spark import catalog
 
-    dst = str(tmp_path_factory.mktemp(f"degen_sf_{n_rows}"))
+    dst = str(tmp_path_factory.mktemp(f"degen_sf_{shape}"))
+    keep = lambda n: n.endswith("key") or n.endswith("_id") or n == "l_linenumber"
     for name in os.listdir(sf_dir):
-        if n_rows == 0:
+        if shape == 0:
             schema = pq.read_schema(f"{sf_dir}/{name}")
             table = pa.table(
                 {f.name: pa.array([], f.type) for f in schema}, schema=schema
             )
-        else:
-            table = pq.read_table(f"{sf_dir}/{name}").slice(0, n_rows)
+        elif shape == 1:
+            table = pq.read_table(f"{sf_dir}/{name}").slice(0, 1)
+        else:  # nullcols: keys kept, every other column NULL
+            t = pq.read_table(f"{sf_dir}/{name}").slice(0, 50)
+            table = pa.table(
+                {
+                    f.name: (t[f.name] if keep(f.name) else pa.nulls(len(t), f.type))
+                    for f in t.schema
+                },
+                schema=t.schema,
+            )
         pq.write_table(table, f"{dst}/{name}")
     failures = []
     for key, fn in catalog.queries().items():
