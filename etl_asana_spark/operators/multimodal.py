@@ -5,18 +5,22 @@ struct, exactly as a 100 TB training pipeline carries them (payload bytes
 co-located with row metadata in parquet; heavy decode work happens in
 Arrow-batched Python, not the JVM).
 
-The decode kernels themselves (JPEG decode, resampling, frame sampling)
-require media libraries that are NOT in this container. Kernel dispatch is
-optional-import (round-3): when PIL is importable and the payload parses as
-a real image, ``_decode_payload`` / the resize kernel run the REAL
-PIL-backed path; otherwise they fall back to a clearly-marked deterministic
-stub that preserves every real aspect of the Spark plumbing (schema, batch
-iteration, partition behavior, UDF signature). In this container PIL is
-absent and the synthetic fixtures are UTF-8 text bytes, so execution always
-lands on the stub — but an environment with PIL + real media runs real
-kernels with zero code changes (dispatch is tested by module injection in
-tests/test_llm_ops.py). Frame sampling's real path needs an ffmpeg binding
-(``av``), gated the same way.
+The decode kernels dispatch in three tiers (round-4):
+
+1. **PIL** (optional import) — the production path for arbitrary formats.
+2. **Pure-stdlib PNG** (:mod:`.png_codec`, always available) — a REAL
+   decoder (zlib inflate, scanline unfiltering, pixel math) for 8-bit
+   grey/RGB/RGBA PNGs; with :func:`attach_png_payload` generating real PNG
+   fixtures, the decode → feature-extract → resize pipeline executes
+   genuinely end-to-end even in this PIL-less container.
+3. **Deterministic stub** — for non-image payloads (the original text-byte
+   fixtures) and formats outside both real paths; preserves every Spark
+   aspect of the contract (schema, batch iteration, partitioning, UDF
+   signature).
+
+Frame sampling's real path still needs an ffmpeg binding (``av``) — no
+sane video container decodes from the stdlib, so inventing one would prove
+nothing; it keeps the two-tier av/stub dispatch.
 """
 
 from __future__ import annotations
@@ -26,6 +30,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from . import png_codec
 
 
 def _optional(name: str):
@@ -68,6 +74,57 @@ def attach_binary_payload(
     )
 
 
+def attach_png_payload(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Materialize REAL PNG payloads from the documents table: each doc's
+    UTF-8 bytes become the pixels of a small RGB PNG (dimensions derived
+    from the byte length, scanline filter cycling through all five PNG
+    filter types across the corpus), encoded by the pure-stdlib codec.
+
+    Same output contract as :func:`attach_binary_payload`, but the
+    payloads parse as genuine images — so :func:`extract_features` /
+    :func:`resize_media` run their REAL decode kernels in any environment
+    (PIL where present, :mod:`.png_codec` otherwise)."""
+    import pandas as pd
+
+    schema = (
+        "doc_id long, payload binary, media_meta "
+        "struct<mime:string, n_bytes:bigint, width:int, height:int>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue  # no content, no payload (NULL-domain rule)
+                raw = text.encode("utf-8") or b"\x00"
+                w = 4 + (len(raw) % 13)
+                h = 3 + (len(raw) % 7)
+                need = w * h * 3
+                pix = (raw * (need // len(raw) + 1))[:need]
+                payload = png_codec.encode_png(
+                    w, h, pix, color_type=2, filter_type=int(doc_id) % 5
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": payload,
+                        "media_meta": {
+                            "mime": "image/png",
+                            "n_bytes": len(payload),
+                            "width": w,
+                            "height": h,
+                        },
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
 def _decode_payload_real(payload: bytes, pil_image) -> tuple[int, int, list[float]]:
     """REAL decode kernel (used when PIL is importable and the bytes parse):
     decodes the image, downsamples to an 8-value grayscale intensity
@@ -103,15 +160,21 @@ def _decode_payload_stub(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def _decode_payload(payload: bytes) -> tuple[int, int, list[float]]:
-    """Kernel dispatch: real PIL decode when available and the bytes are a
-    parseable image, deterministic stub otherwise (absent lib, or synthetic
-    non-image fixtures — the fallback keeps CI/container runs green while a
-    production cluster with PIL + real media takes the real path)."""
+    """Kernel dispatch (see module docstring): PIL when importable → the
+    pure-stdlib PNG decoder on a PNG signature → deterministic stub. The
+    stdlib tier means a PNG payload takes a REAL decode path in every
+    environment, including this PIL-less container."""
     pil = _optional("PIL.Image")
     if pil is not None and payload:
         try:
             return _decode_payload_real(payload, pil)
-        except Exception:  # not parseable media → stub
+        except Exception:  # not parseable media → next tier
+            pass
+    if payload and png_codec.is_png(payload):
+        try:
+            w, h, bpp, pix = png_codec.decode_png(payload)
+            return w, h, png_codec.luma_signature(w, h, bpp, pix)
+        except ValueError:  # outside the stdlib subset → stub
             pass
     return _decode_payload_stub(payload)
 
@@ -201,6 +264,21 @@ def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224) -> 
                     continue
                 payload = bytes(payload)
                 out = _resize_real(payload, pil) if (pil and payload) else None
+                if out is None and payload and png_codec.is_png(payload):
+                    # Pure-stdlib tier: decode → nearest-neighbor resample
+                    # → re-encode (see module docstring).
+                    try:
+                        w, h, bpp, pix = png_codec.decode_png(payload)
+                        out = png_codec.encode_png(
+                            target_w,
+                            target_h,
+                            png_codec.resize_nearest(
+                                w, h, bpp, pix, target_w, target_h
+                            ),
+                            color_type={1: 0, 3: 2, 4: 6}[bpp],
+                        )
+                    except ValueError:
+                        out = None
                 if out is None:  # stub: re-scale byte length by pixel ratio
                     src_px = max(int(meta["width"]) * int(meta["height"]), 1)
                     ratio = min((target_w * target_h) / src_px, 1.0)

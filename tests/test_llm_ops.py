@@ -751,3 +751,63 @@ def test_semantic_dedup_stats_empty_and_degenerate(spark):
     got = {r["cluster"]: r for r in dedup.semantic_dedup_stats(zeros).collect()}
     assert got[0]["n_members"] == 2 and got[0]["n_dup_pairs"] == 0 and got[0]["n_to_drop"] == 0
     assert got[1]["n_members"] == 1 and got[1]["n_dup_pairs"] == 0 and got[1]["n_to_drop"] == 0
+
+
+def test_png_codec_round_trips_all_filters_and_color_types():
+    """Pure-stdlib PNG codec: encode -> decode is the identity for every
+    (color type, scanline filter) combination the decoder claims."""
+    import random
+
+    from etl_asana_spark.operators import png_codec as pc
+
+    rng = random.Random(7)
+    for ct, bpp in ((0, 1), (2, 3), (6, 4)):
+        for ft in range(5):
+            w, h = rng.randint(1, 23), rng.randint(1, 17)
+            pix = bytes(rng.randrange(256) for _ in range(w * h * bpp))
+            data = pc.encode_png(w, h, pix, color_type=ct, filter_type=ft)
+            assert pc.is_png(data)
+            assert pc.decode_png(data) == (w, h, bpp, pix), (ct, ft)
+
+
+def test_png_fixture_runs_the_real_decode_kernel(spark, sf_dir):
+    """Round-4: with real-PNG fixtures the feature extractor must take the
+    REAL decode path (stdlib PNG tier) in this PIL-less container — every
+    feat vector equals the luminance signature computed independently from
+    the decoded pixels, and width/height are the TRUE image dims. The
+    fixture cycles doc_id % 5 through all five PNG scanline filters, so
+    this exercises every unfilter path end-to-end through mapInPandas."""
+    from etl_asana_spark.operators import multimodal, png_codec
+
+    docs = load_tables(spark, sf_dir)["documents"].limit(24)
+    media = multimodal.attach_png_payload(docs)
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = {r["doc_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert set(out) == set(payloads) and len(out) >= 20
+    for doc_id, payload in payloads.items():
+        w, h, bpp, pix = png_codec.decode_png(payload)
+        expect = png_codec.luma_signature(w, h, bpp, pix)
+        row = out[doc_id]
+        assert row["media_type"] == "image/png"
+        assert (row["width"], row["height"]) == (w, h)
+        got = list(row["feat"])
+        assert len(got) == 8
+        assert all(abs(a - b) < 1e-6 for a, b in zip(got, expect)), doc_id
+
+
+def test_png_resize_real_path_emits_valid_resampled_pngs(spark, sf_dir):
+    """resize_media's stdlib tier: every output payload must parse as a PNG
+    of exactly the target dimensions, with pixels equal to the
+    nearest-neighbor resample of the source image."""
+    from etl_asana_spark.operators import multimodal, png_codec
+
+    docs = load_tables(spark, sf_dir)["documents"].limit(10)
+    media = multimodal.attach_png_payload(docs)
+    src = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = multimodal.resize_media(media, target_w=12, target_h=9).collect()
+    assert len(out) == len(src)
+    for r in out:
+        w, h, bpp, pix = png_codec.decode_png(bytes(r["payload"]))
+        assert (w, h, r["width"], r["height"]) == (12, 9, 12, 9)
+        sw, sh, sbpp, spix = png_codec.decode_png(src[r["doc_id"]])
+        assert pix == png_codec.resize_nearest(sw, sh, sbpp, spix, 12, 9)
