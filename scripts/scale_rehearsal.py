@@ -84,6 +84,33 @@ def replicate(spark, src: str, dst: str, n: int) -> None:
         df.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
 
 
+def skew_fact(spark, dst: str, frac: float) -> None:
+    """Remap ``frac`` of lineitem rows onto ONE hot l_orderkey (the corpus
+    minimum, which exists in orders — FK-consistent) — the production
+    hot-tenant/hot-day shape. A PERF rehearsal twist: the join answers
+    change (that's fine, we time, we don't oracle-check skewed data); what
+    must NOT happen is a single straggler task holding the whole stage —
+    AQE's skew-join split (enabled in the engine confs) is the mechanism
+    under test."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{dst}/lineitem.parquet")
+    hot = li.agg(F.min("l_orderkey")).collect()[0][0]
+    (
+        li.withColumn(
+            "l_orderkey",
+            F.when(F.rand(seed=42) < frac, F.lit(hot).cast("long")).otherwise(
+                F.col("l_orderkey")
+            ),
+        ).write.mode("overwrite").parquet(f"{dst}/lineitem_skew.parquet")
+    )
+    shutil.rmtree(f"{dst}/lineitem.parquet")
+    os.rename(f"{dst}/lineitem_skew.parquet", f"{dst}/lineitem.parquet")
+
+
 def time_key(qs, spark, key: str, sf_dir: str, runs: int) -> float:
     best = float("inf")
     for _ in range(runs):
@@ -99,6 +126,11 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--skew", type=float, default=0.0,
+                    help="after replication, remap this fraction of "
+                         "lineitem rows onto one hot l_orderkey (perf "
+                         "rehearsal for AQE skew-join; answers change, "
+                         "timings are the point)")
     ap.add_argument("--keys", nargs="*", default=None,
                     help="override the headline key list (e.g. the dedup "
                          "family — note replication makes every doc an "
@@ -116,6 +148,9 @@ def main() -> int:
         atexit.register(shutil.rmtree, dst, True)
     t0 = time.perf_counter()
     replicate(spark, args.src, dst, args.replicas)
+    if args.skew > 0:
+        skew_fact(spark, dst, args.skew)
+        print(f"skewed: {args.skew:.0%} of lineitem on one hot l_orderkey")
     print(f"replicated {args.replicas}x into {dst} "
           f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
 
