@@ -47,11 +47,20 @@ def shingles(tokens_col: str, n: int = 3) -> Column:
 
     SQL-expression form (0-based subscripts) so it stays in codegen:
     one output element per window position, empty array for short docs.
+
+    The short-doc case needs an explicit CASE: Spark's ``sequence(1, 0)``
+    is the DESCENDING [1, 0], not empty, so the previous
+    ``greatest(size - {n-1}, 0)`` bound made every document with fewer
+    than ``n`` tokens index out of bounds — an ANSI crash that took every
+    shingle-based key down with it (found by the round-4
+    unicode-adversarial corpus sweep, whose single-token emoji doc was the
+    first sub-``n``-token text any fixture ever contained).
     """
     parts = ", ".join(f"{tokens_col}[i - 1 + {j}]" for j in range(n))
     return F.expr(
-        f"transform(sequence(1, greatest(size({tokens_col}) - {n - 1}, 0)),"
-        f" i -> concat_ws(' ', {parts}))"
+        f"CASE WHEN size({tokens_col}) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size({tokens_col}) - {n - 1}),"
+        f" i -> concat_ws(' ', {parts})) END"
     )
 
 

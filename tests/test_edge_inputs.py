@@ -127,7 +127,7 @@ def test_window_rank_single_row_group(spark):
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("shape", [0, 1, "nullcols"])
+@_pytest.mark.parametrize("shape", [0, 1, "nullcols", "unicode"])
 def test_every_catalog_key_survives_degenerate_corpus(
     spark, sf_dir, tmp_path_factory, shape
 ):
@@ -172,6 +172,33 @@ def test_every_catalog_key_survives_degenerate_corpus(
             )
         elif shape == 1:
             table = pq.read_table(f"{sf_dir}/{name}").slice(0, 1)
+        elif shape == "unicode":  # adversarial text in text/title columns
+            adv = [
+                "😀🎉🚀 emoji only 🌍",
+                "日本語のテキスト 中文 한국어",
+                "مرحبا بالعالم",
+                "áé combining éé marks",
+                "tab\tnewline\nnull\x00control\x07",
+                "😀" * 300,          # a single 300-emoji token
+                " ​‍﻿ zero width ",
+                "one",                        # 1 token: sub-shingle-width
+                "two words",                  # 2 tokens: sub-shingle-width
+                "𐍈𐍉 gothic supplementary plane",
+            ]
+            t = pq.read_table(f"{sf_dir}/{name}").slice(0, 60)
+            table = pa.table(
+                {
+                    f.name: (
+                        pa.array(
+                            [adv[i % len(adv)] for i in range(len(t))], f.type
+                        )
+                        if f.name in ("text", "title")
+                        else t[f.name]
+                    )
+                    for f in t.schema
+                },
+                schema=t.schema,
+            )
         else:  # nullcols: keys kept, every other column NULL
             t = pq.read_table(f"{sf_dir}/{name}").slice(0, 50)
             table = pa.table(
