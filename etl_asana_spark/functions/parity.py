@@ -169,3 +169,26 @@ def sql_dsum_wide(expr: str) -> str:
 def sql_davg_wide(expr: str) -> str:
     """SQL mirror of ``davg_wide``."""
     return f"CAST({sql_dsum_wide(expr)} / COUNT({expr}) AS DOUBLE)"
+
+
+def fixed_point_join(col: Column | str, scale: int = 1_000_000) -> Column:
+    """Serialize a float array to a ``'|'``-joined fixed-point string —
+    the mandatory output-boundary form for any registered query emitting a
+    float array.
+
+    The external driver's canonicalizer sorts result frames with pandas
+    ``sort_values``; ndarray cells are unhashable there and crash the
+    comparison (the r03 ``q_multimodal`` gate red), and raw float strings
+    would be engine-formatting-sensitive. Rounding to ``1/scale`` units
+    (``floor(x*scale + 0.5)``, exactly DuckDB's ROUND-half-up on the
+    magnitudes involved) then joining makes the cell a plain, stable
+    string. One definition, used by every emitting site — a precision or
+    rounding change must never have to hunt down inline copies.
+    """
+    return F.array_join(
+        F.transform(
+            _c(col),
+            lambda x: F.floor(x * scale + 0.5).cast("long").cast("string"),
+        ),
+        "|",
+    )

@@ -73,9 +73,20 @@ def unshingleable_count(
     ``minhash_lsh_pairs`` / ``simhash_signatures`` silently EXCLUDE such
     docs from pairing (no feature set → cannot collide); call this to
     detect a corpus dominated by unshingleable docs, where the fuzzy-dedup
-    families would quietly return near-empty pair sets."""
+    families would quietly return near-empty pair sets. NULL text counts
+    as unshingleable (it is likewise excluded from pairing)."""
+    # filter('' ) matches RegexTokenizer's minTokenLength=1: a leading-
+    # whitespace doc must not count a phantom empty token.
     return docs.filter(
-        F.size(F.split(F.col(text_col), r"\s+")) < shingle_n
+        F.col(text_col).isNull()
+        | (
+            F.size(
+                F.filter(
+                    F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+                )
+            )
+            < shingle_n
+        )
     ).count()
 
 
@@ -104,9 +115,13 @@ def minhash_lsh_pairs(
     and cannot pair — use :func:`unshingleable_count` to measure how many
     docs a given corpus silently excludes.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
 
-    tok = Tokenizer(inputCol=text_col, outputCol="__toks")
+    # RegexTokenizer on whitespace RUNS (plain Tokenizer splits on single
+    # "\\s" and keeps interior empty tokens, so "a  b" would grow a
+    # phantom shingle and diverge from unshingleable_count's run-split
+    # diagnostic).
+    tok = RegexTokenizer(inputCol=text_col, outputCol="__toks", pattern=r"\s+")
     ng = NGram(n=shingle_n, inputCol="__toks", outputCol="__shingles")
     tf = HashingTF(
         inputCol="__shingles", outputCol="__features",
@@ -452,7 +467,14 @@ def embedding_cosine_dups_blocked(
     stats = (
         assigned.join(F.broadcast(cent), "cell")
         .groupBy("cell")
-        .agg(F.first("centroid").alias("centroid"), F.max(dist_to_cent).alias("r"))
+        .agg(
+            F.first("centroid").alias("centroid"),
+            F.max(dist_to_cent).alias("r"),
+            # vector-width bounds ride along in the same bounded collect:
+            # they decide whether the verify dot may unroll (see below).
+            F.min(F.size("vec")).alias("dmin"),
+            F.max(F.size("vec")).alias("dmax"),
+        )
     )
 
     # Bounded collect (≤ 2^n_sign_bits rows): prune cell pairs driver-side.
@@ -465,7 +487,10 @@ def embedding_cosine_dups_blocked(
     # unprovable), never `cc <= bound` (Python NaN comparisons are False,
     # which would silently prune pairs the oracle emits).
     nan = float("nan")
-    cells = [(row["cell"], row["centroid"], row["r"]) for row in stats.collect()]
+    rows = stats.collect()
+    cells = [(row["cell"], row["centroid"], row["r"]) for row in rows]
+    dmins = [row["dmin"] for row in rows if row["dmin"] is not None]
+    dmaxs = [row["dmax"] for row in rows if row["dmax"] is not None]
     edges = []
     for i, (ci, vi, ri) in enumerate(cells):
         for cj, vj, rj in cells[i:]:
@@ -483,7 +508,17 @@ def embedding_cosine_dups_blocked(
 
     # The embedding width, known driver-side from the same bounded collect —
     # lets the verify's dot unroll into codegen'd arithmetic (see docstring).
-    dim = len(cells[0][1]) if cells else 0
+    # The unroll is only VALID when every vector shares one width (a ragged
+    # corpus's unequal-length pairs must get the NULL cosine the all-pairs
+    # zip_with produces, which a fixed-width unroll cannot express), and
+    # only WISE below ~256 terms (a wider single expression tree risks
+    # Janino's 64KB generated-method limit, which would silently fall back
+    # to interpreted eval — the exact cost the unroll exists to avoid).
+    # Outside that envelope the verify keeps the HOF fold, whose semantics
+    # are the all-pairs form's by construction.
+    homogeneous = bool(dmins) and min(dmins) == max(dmaxs)
+    dim = dmaxs[0] if homogeneous else 0
+    unroll = homogeneous and dim <= 256
 
     def dot_unrolled(ca: str, cb: str):
         """Left-to-right Σ aᵢ·bᵢ as a plain expression tree: the identical
@@ -529,7 +564,8 @@ def embedding_cosine_dups_blocked(
             # per-element products commute and the accumulation order is the
             # element index either way.
             F.try_divide(
-                dot_unrolled("veca", "vecb"), F.col("nrma") * F.col("nrmb")
+                (dot_unrolled if unroll else dot)("veca", "vecb"),
+                F.col("nrma") * F.col("nrmb"),
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
@@ -622,8 +658,12 @@ def semantic_dedup_stats(
         .agg(F.min("id").alias("rep"), F.count("*").alias("cnt"))
         .localCheckpoint(eager=False)
     )
+    # Join back on (cluster, v), not v alone: the operator's contract is
+    # ANY precomputed assignment, and one that splits an identical vector
+    # across clusters (ties, external labels) must not fan a member out to
+    # every same-valued group.
     membership = (
-        base.join(groups.select("v", "rep"), "v")
+        base.join(groups.select("cluster", "v", "rep"), ["cluster", "v"])
         .select("id", "rep")
         .localCheckpoint(eager=False)
     )

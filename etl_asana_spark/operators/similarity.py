@@ -216,7 +216,8 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    featurized = embeddings.filter(F.col(vec_col).isNotNull()).select(
+    clean = embeddings.filter(F.col(vec_col).isNotNull())
+    featurized = clean.select(
         id_col, vec_col, array_to_vector(vec_col).alias("features")
     )
     query = query.filter(F.col("query_vec").isNotNull())
@@ -232,10 +233,10 @@ def ivf_topk(
     if n_avail < 2:
         # MLlib KMeans requires k >= 2; a sub-2-row corpus has no cells to
         # invert, so IVF degenerates to the exact brute force (trivial at
-        # this size, identical answers).
-        return cosine_topk(
-            embeddings, query, k=k, id_col=id_col, vec_col=vec_col
-        )
+        # this size, identical answers). Brute-force the NULL-FILTERED
+        # frame — the normal path never scores NULL vectors, so the
+        # degenerate path must not leak them into the top-k either.
+        return cosine_topk(clean, query, k=k, id_col=id_col, vec_col=vec_col)
     n_centroids = min(n_centroids, n_avail)
     nprobe = min(nprobe, n_centroids)
     km = KMeans(k=n_centroids, seed=seed, featuresCol="features")

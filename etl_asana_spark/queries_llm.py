@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from .catalog import register
 from .functions import vector
+from .functions.parity import fixed_point_join
 from .operators import dedup, multimodal, similarity, text
 from .registry import load_tables
 
@@ -211,13 +212,7 @@ def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduced = similarity.pca_reduce(t["embeddings"], k=8)
     return reduced.select(
         "vec_id",
-        F.array_join(
-            F.transform(
-                "reduced",
-                lambda x: F.floor(x * 1000000 + 0.5).cast("long").cast("string"),
-            ),
-            "|",
-        ).alias("reduced"),
+        fixed_point_join("reduced").alias("reduced"),
     )
 
 
@@ -457,13 +452,7 @@ def q_emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["embeddings"].select(
         "vec_id",
         F.round(l2_norm("embedding"), 8).alias("l2"),
-        F.array_join(
-            F.transform(
-                l2_normalize("embedding"),
-                lambda x: F.floor(x * 1000000 + 0.5).cast("long").cast("string"),
-            ),
-            "|",
-        ).alias("unit_vec"),
+        fixed_point_join(l2_normalize("embedding")).alias("unit_vec"),
     )
 
 
@@ -490,13 +479,7 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checksum",
         "width",
         "height",
-        F.array_join(
-            F.transform(
-                "feat",
-                lambda x: F.floor(x * 1000000 + 0.5).cast("long").cast("string"),
-            ),
-            "|",
-        ).alias("feat"),
+        fixed_point_join("feat").alias("feat"),
     )
 
 

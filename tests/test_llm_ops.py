@@ -811,3 +811,87 @@ def test_png_resize_real_path_emits_valid_resampled_pngs(spark, sf_dir):
         assert (w, h, r["width"], r["height"]) == (12, 9, 12, 9)
         sw, sh, sbpp, spix = png_codec.decode_png(src[r["doc_id"]])
         assert pix == png_codec.resize_nearest(sw, sh, sbpp, spix, 12, 9)
+
+
+def test_embed_dedup_blocked_handles_mixed_width_vectors(spark):
+    """Round-4 review find: the unrolled verify dot took its width from
+    the FIRST collected cell, so a mixed-width corpus computed truncated
+    or NULL-poisoned cosines depending on nondeterministic collect order.
+    The unroll now engages only for homogeneous-width corpora; ragged ones
+    keep the HOF fold, whose unequal-length pairs get the same NULL
+    cosine (dropped) as the all-pairs oracle."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0]),
+        (3, [0.0, 0.0, 0.9, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 1.0, 0.0]),
+        (5, [1.0, 0.0]),
+        (6, [0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    for thr in (0.5, 0.95):
+        ap = dedup.embedding_cosine_dups(df, threshold=thr).collect()
+        bl = dedup.embedding_cosine_dups_blocked(df, threshold=thr).collect()
+        key = lambda r: (r["id_a"], r["id_b"], round(r["cos"], 9))
+        assert sorted(map(key, ap)) == sorted(map(key, bl)), thr
+    # same-width near-dups found, cross-width pairs absent
+    ids = {(r["id_a"], r["id_b"])
+           for r in dedup.embedding_cosine_dups_blocked(df, threshold=0.9).collect()}
+    assert (1, 2) in ids and (3, 4) in ids and (5, 6) in ids
+    assert not any({a, b} & {1, 2} and {a, b} & {5, 6} for a, b in ids)
+
+
+def test_semantic_dedup_stats_split_identical_vectors_across_clusters(spark):
+    """Round-4 review find: membership joined back on the vector value
+    alone, so an assignment that splits an identical vector across
+    clusters (ties, external labels — legal input for this operator)
+    fanned members out to every same-valued group and corrupted
+    n_to_drop. The join now keys on (cluster, v)."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [1.0, 0.0], 1),
+        (4, [1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>, cluster int")
+    got = {r["cluster"]: r for r in dedup.semantic_dedup_stats(df, threshold=0.5).collect()}
+    for c in (0, 1):
+        assert got[c]["n_members"] == 2
+        assert got[c]["n_dup_pairs"] == 1
+        assert got[c]["n_to_drop"] == 1, got
+
+
+def test_ivf_degenerate_path_excludes_null_vectors(spark):
+    """Round-4 review find: the sub-2-row IVF fallback brute-forced the
+    UNFILTERED frame, leaking NULL-vector rows (outside the operator's
+    domain) into the top-k with NULL cos."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, None)],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "query_id bigint, query_vec array<float>"
+    )
+    out = similarity.ivf_topk(emb, q, k=3).collect()
+    assert [(r["query_id"], r["vec_id"]) for r in out] == [(7, 1)]
+
+
+def test_unshingleable_count_matches_minhash_exclusions(spark):
+    """Round-4 review find: the diagnostic used run-splitting while the
+    minhash featurizer's plain Tokenizer split on single whitespace and
+    kept empty tokens — 'alpha  beta' was counted unshingleable yet grew
+    a phantom shingle and could pair. Both sides now agree on
+    whitespace-run tokenization, and NULL text counts as excluded."""
+    docs = spark.createDataFrame(
+        [(1, "alpha  beta"), (2, "alpha beta"), (3, None),
+         (4, " lead space only"), (5, "three token doc here")],
+        "doc_id bigint, text string",
+    )
+    # docs 1,2 have 2 real tokens; 3 is NULL; 4 has 3 (no phantom empty)
+    assert dedup.unshingleable_count(docs, shingle_n=3) == 3
+    # and minhash indeed cannot pair the excluded docs: duplicate the
+    # double-space doc — identical text, still no shingles, no pair
+    dup = spark.createDataFrame(
+        [(1, "alpha  beta"), (2, "alpha  beta")], "doc_id bigint, text string"
+    )
+    assert dedup.minhash_lsh_pairs(dup, jaccard_threshold=0.5).collect() == []
