@@ -184,11 +184,23 @@ def fixed_point_join(col: Column | str, scale: int = 1_000_000) -> Column:
     magnitudes involved) then joining makes the cell a plain, stable
     string. One definition, used by every emitting site — a precision or
     rounding change must never have to hunt down inline copies.
+
+    Degenerate elements get explicit stable tokens — ``nan``, ``inf``,
+    ``-inf``, ``null`` — because Spark's FLOOR(double) returns BIGINT and
+    silently maps NaN to 0 and ±Inf to the LONG extremes, which would
+    make a NaN element indistinguishable from a true 0.0 (degenerate
+    floats are first-class inputs elsewhere in the engine, so the
+    boundary must not launder them into real values).
     """
+    inf = float("inf")
     return F.array_join(
         F.transform(
             _c(col),
-            lambda x: F.floor(x * scale + 0.5).cast("long").cast("string"),
+            lambda x: F.when(x.isNull(), F.lit("null"))
+            .when(F.isnan(x), F.lit("nan"))
+            .when(x == F.lit(inf), F.lit("inf"))
+            .when(x == F.lit(-inf), F.lit("-inf"))
+            .otherwise(F.floor(x * scale + 0.5).cast("long").cast("string")),
         ),
         "|",
     )

@@ -178,7 +178,14 @@ def simhash_signatures(
     64-separate-aggregates formulation costs 64 shingle-array builds per
     row; this one costs one.
     """
-    th = f"transform(split({text_col}, '\\\\s+'), t -> xxhash64(t))"
+    # filter('') — split keeps leading/trailing empty tokens on padded
+    # text, which would both grow phantom shingles AND diverge from
+    # unshingleable_count / minhash's whitespace-RUN tokenization (a
+    # ' x y' doc must be unshingleable by every family's count).
+    th = (
+        f"transform(filter(split({text_col}, '\\\\s+'), t -> t != ''),"
+        " t -> xxhash64(t))"
+    )
     shingle_hashes = f"""
         slice(
           zip_with(
@@ -332,6 +339,38 @@ def embedding_cosine_dups(
     )
 
 
+def _collapse_exact(
+    df: DataFrame, id_col: str, vec_col: str, group_cols: tuple[str, ...] = ()
+):
+    """Byte-identical-vector collapse shared by the fuzzy-dedup family.
+
+    Returns ``(groups, membership)``: ``groups`` has one row per distinct
+    ``(group_cols..., vec)`` with the min-id representative ``rep`` and
+    member count ``cnt``; ``membership`` maps every ``id`` to its rep.
+    Join-based, never collect_list — a boilerplate vector with millions of
+    copies stays row-distributed and AQE-skew-splittable. NULL vectors
+    keep their group row but drop from membership at the inner join (a
+    cosine against NULL never passes a threshold anyway); grouping relies
+    on Spark's normalizenanandzero (NaN==NaN, -0.0==0.0) exactly like the
+    callers' pair semantics. localCheckpoint truncates lineage so each
+    downstream branch reuses the shuffle instead of re-executing it.
+    """
+    base = df.select(
+        *group_cols, F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    groups = (
+        base.groupBy(*group_cols, "vec")
+        .agg(F.min("id").alias("rep"), F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    membership = (
+        base.join(groups.select(*group_cols, "vec", "rep"), [*group_cols, "vec"])
+        .select("id", "rep")
+        .localCheckpoint(eager=False)
+    )
+    return groups, membership
+
+
 def embedding_cosine_dups_blocked(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -412,15 +451,7 @@ def embedding_cosine_dups_blocked(
     # groupBy/join are not re-executed by each downstream branch (blocking
     # / cross-expansion / intra-enumeration) — same discipline as
     # connected_components' symmetric edge list.
-    vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    reps = (
-        vecs.groupBy("vec")
-        .agg(F.min("id").alias("rep"))
-        .localCheckpoint(eager=False)
-    )
-    membership = (
-        vecs.join(reps, "vec").select("id", "rep").localCheckpoint(eager=False)
-    )
+    reps, membership = _collapse_exact(embeddings, id_col, vec_col)
 
     # Per-vector norm computed ONCE here (rep rows) instead of inside the
     # verify join (candidate-pair count ≫ n): pair cosine then costs one
@@ -648,36 +679,29 @@ def semantic_dedup_stats(
     """
     from ..functions.vector import cosine
 
+    # Collapse keyed on (cluster, vec), not the vector alone: the
+    # operator's contract is ANY precomputed assignment, and one that
+    # splits an identical vector across clusters (ties, external labels)
+    # must not fan a member out to every same-valued group.
     base = vecs.select(
         F.col(cluster_col).alias("cluster"),
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
+        F.col(vec_col).alias("vec"),
     )
-    groups = (
-        base.groupBy("cluster", "v")
-        .agg(F.min("id").alias("rep"), F.count("*").alias("cnt"))
-        .localCheckpoint(eager=False)
-    )
-    # Join back on (cluster, v), not v alone: the operator's contract is
-    # ANY precomputed assignment, and one that splits an identical vector
-    # across clusters (ties, external labels) must not fan a member out to
-    # every same-valued group.
-    membership = (
-        base.join(groups.select("cluster", "v", "rep"), ["cluster", "v"])
-        .select("id", "rep")
-        .localCheckpoint(eager=False)
+    groups, membership = _collapse_exact(
+        base, "id", "vec", group_cols=("cluster",)
     )
 
     ga = groups.select(
         "cluster",
         F.col("rep").alias("rep_a"),
-        F.col("v").alias("va"),
+        F.col("vec").alias("va"),
         F.col("cnt").alias("cnt_a"),
     )
     gb = groups.select(
         "cluster",
         F.col("rep").alias("rep_b"),
-        F.col("v").alias("vb"),
+        F.col("vec").alias("vb"),
         F.col("cnt").alias("cnt_b"),
     )
     rep_pairs = (
@@ -693,7 +717,7 @@ def semantic_dedup_stats(
     # threshold > self-cosine edge cases behave exactly like the naive
     # enumeration.
     selfm = (
-        groups.withColumn("cos", cosine("v", "v"))
+        groups.withColumn("cos", cosine("vec", "vec"))
         .filter(F.col("cos") >= threshold)
         .select("cluster", "rep", "cnt")
         .localCheckpoint(eager=False)
@@ -702,10 +726,14 @@ def semantic_dedup_stats(
     crossp = rep_pairs.groupBy("cluster").agg(
         F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("n_cross")
     )
+    # Integer `div`, never `/`: the float division would round the exact
+    # long product through a double, losing integer identity with the
+    # naive enumeration once cnt*(cnt-1) passes 2^53 — precisely the
+    # mega-duplicate regime this operator exists for. (The long product
+    # itself overflows ANSI-loud past cnt ~3e9, the repo's documented
+    # fixed-point bound class.)
     intrap = selfm.groupBy("cluster").agg(
-        F.sum((F.col("cnt") * (F.col("cnt") - F.lit(1)) / F.lit(2)).cast("long")).alias(
-            "n_intra"
-        )
+        F.sum(F.expr("cnt * (cnt - 1) div 2")).alias("n_intra")
     )
 
     # min matched-partner rep per group (reps are globally unique ids).

@@ -115,6 +115,17 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """
     if not is_png(data):
         raise ValueError("not a PNG (bad signature)")
+    try:
+        return _decode_png_inner(data)
+    except (zlib.error, struct.error) as ex:
+        # Normalize to the module's one failure type: callers dispatch on
+        # ValueError ("not parseable media -> stub"), and a truncated
+        # download or corrupt IDAT must take that path, not crash the
+        # batch with a zlib/struct error the dispatch never catches.
+        raise ValueError(f"corrupt PNG: {ex}") from ex
+
+
+def _decode_png_inner(data: bytes) -> tuple[int, int, int, bytes]:
     pos = 8
     width = height = None
     color_type = None

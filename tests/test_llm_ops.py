@@ -895,3 +895,39 @@ def test_unshingleable_count_matches_minhash_exclusions(spark):
         [(1, "alpha  beta"), (2, "alpha  beta")], "doc_id bigint, text string"
     )
     assert dedup.minhash_lsh_pairs(dup, jaccard_threshold=0.5).collect() == []
+
+
+def test_png_decode_normalizes_corruption_to_valueerror():
+    """Round-4 review find (reproduced): corrupt IDAT raised zlib.error
+    and a malformed IHDR raised struct.error, escaping the kernels'
+    ValueError-only dispatch and crashing the whole batch. decode_png now
+    normalizes every parse failure to ValueError, and the dispatch falls
+    through to the stub for any corrupt PNG-signatured payload."""
+    import pytest
+
+    from etl_asana_spark.operators import png_codec as pc
+    from etl_asana_spark.operators.multimodal import _decode_payload
+
+    good = pc.encode_png(3, 2, bytes(range(18)), color_type=2)
+    bad_ihdr = good[:8] + b"\x00\x00\x00\x0dIHDRxx"          # truncated IHDR
+    bad_idat = good[:-20] + b"corruptcorruptcorro"            # mangled tail
+    for payload in (bad_ihdr, bad_idat):
+        with pytest.raises(ValueError):
+            pc.decode_png(payload)
+        w, h, feats = _decode_payload(payload)  # stub path, not a crash
+        assert len(feats) == 8
+
+
+def test_fixed_point_join_degenerate_tokens(spark):
+    """Round-4 review find: Spark's FLOOR(double) returns BIGINT and
+    silently maps NaN to 0 and ±Inf to the LONG extremes — a NaN element
+    serialized identically to a true 0.0. The boundary serializer now
+    emits explicit nan/inf/-inf/null tokens."""
+    from etl_asana_spark.functions.parity import fixed_point_join
+
+    df = spark.createDataFrame(
+        [(1, [0.5, float("nan"), float("inf"), float("-inf"), None, 0.0])],
+        "id int, v array<double>",
+    )
+    got = df.select(fixed_point_join("v").alias("s")).collect()[0]["s"]
+    assert got == "500000|nan|inf|-inf|null|0"
