@@ -496,14 +496,33 @@ def q_fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_fn_variant")
+@register(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           -- Spark's schema_of_variant string, derived from DuckDB's
+           -- json_structure for the integer-object shape this corpus
+           -- carries (a nested shape would need a fuller type-name map).
+           CASE WHEN json_structure(props) IN ('{"k":"UBIGINT"}', '{"k":"BIGINT"}')
+                THEN 'OBJECT<k: BIGINT>' END AS inferred_schema,
+           -- is_variant_null(try_parse_json('not json')): the failed parse
+           -- yields SQL NULL (not the variant null), so the predicate is
+           -- FALSE — same derivation via DuckDB's TRY_CAST to JSON.
+           (try_cast('not json' AS JSON) IS NOT NULL
+            AND json_type(try_cast('not json' AS JSON)) = 'NULL')
+               AS bad_parse_is_null
+    FROM events
+    """,
+)
 def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-4 VariantType: ``parse_json`` the events.props payload into the
     binary semi-structured type and extract typed paths with
     ``variant_get`` — the open-schema JSON path that skips per-query schema
-    declaration (vs #50's ``from_json``). Rows-only: DuckDB 1.0 has no
-    variant; equivalence with the schema-declared extraction is
-    property-tested in tests/test_udx_extra.py.
+    declaration (vs #50's ``from_json``). DuckDB 1.0 has no variant type,
+    but every output column is derivable through its JSON functions, so the
+    key carries a full oracle; equivalence with the schema-declared
+    extraction is additionally property-tested in tests/test_udx_extra.py.
 
     (Probe note: Spark 4's other headline semi-structured API,
     ``transformWithStateInPandas``, is unavailable in this container — its

@@ -166,13 +166,26 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("cos", 8).alias("cos"))
 
 
-@register("q_sim_cosine_topk_batched")
+@register(
+    "q_sim_cosine_topk_batched",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT 0 AS query_id, vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        CAST(qv AS DOUBLE[])), 8) AS cos
+    FROM embeddings, q
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(qv AS DOUBLE[])) DESC, vec_id
+    LIMIT 5
+    """,
+)
 def q_sim_cosine_topk_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#70 variant: exact cosine top-5 via Arrow-batched numpy matmul with
     per-partition partial top-k — the shape that wins once per-partition
     matmul work amortizes the Python worker tax (see operators.similarity).
-    Rows-only (float sum order differs from the HOF fold); identity of the
-    (query_id, vec_id) result set is asserted in tests."""
+    Same oracle as the HOF path: both compute the dot in float64, so the
+    fold-order difference (matmul vs sequential aggregate) sits ~7 orders
+    of magnitude inside the ROUND(8) serialization and the top-5 margins."""
     t = load_tables(spark, sf_dir)
     out = similarity.cosine_topk_batched(t["embeddings"], _query_vec(t), k=5)
     return out.select("query_id", "vec_id", F.round("cos", 8).alias("cos"))

@@ -26,6 +26,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.parity import dsum
 from ..scratch import fresh_dir
 
 from ..session import ensure_engine_confs
@@ -166,9 +167,13 @@ def tumbling_counts_stream(
     catalog key's defaults.
     """
     ev = _stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    # dsum, not SUM(double): the stateful partial aggregates merge in
+    # micro-batch/partition order, so only the fixed-point accumulator makes
+    # the drained result bit-identical to the batch twin (and SQL-oracle
+    # hashable) under any partitioning — same discipline as q_win_tumbling.
     agg = (
         ev.groupBy(F.window("ts", window).alias("win"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
         .select(F.col("win.start").alias("bucket"), "event_type", "n_events", "total_value")
     )
     return _run_to_memory(agg, "append")
@@ -185,7 +190,7 @@ def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = (
         ev.groupBy(F.window("ts", "2 hours", "30 minutes").alias("win"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
         .select(F.col("win.start").alias("bucket"), "event_type", "n_events", "total_value")
     )
     return _run_to_memory(agg, "append")

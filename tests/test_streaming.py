@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from etl_asana_spark import catalog
 from etl_asana_spark.registry import load_tables
+from etl_asana_spark.functions.parity import dsum
 from etl_asana_spark.testing import canonical_rows
 
 
@@ -20,7 +21,7 @@ def test_stream_tumbling_equals_batch(spark, sf_dir):
     ).collect()[0]["wm"]
     batch = (
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
         .filter(F.col("win.end") <= F.lit(watermark))
         .select(F.col("win.start").alias("bucket"), "event_type", "n_events", "total_value")
         .toPandas()
@@ -53,7 +54,7 @@ def test_stream_tumbling_batch_twin_fuzz(spark, sf_dir, seed):
     ).collect()[0]["wm"]
     batch = (
         ev.groupBy(F.window("ts", window).alias("win"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
         .filter(F.col("win.end") <= F.lit(watermark))
         .select(F.col("win.start").alias("bucket"), "event_type",
                 "n_events", "total_value")
@@ -154,7 +155,7 @@ def test_stream_sliding_equals_batch(spark, sf_dir):
     ).collect()[0]["wm"]
     batch = (
         ev.groupBy(F.window("ts", "2 hours", "30 minutes").alias("win"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
         .filter(F.col("win.end") <= F.lit(watermark))
         .select(F.col("win.start").alias("bucket"), "event_type", "n_events", "total_value")
         .toPandas()
