@@ -1587,3 +1587,57 @@ def test_random_blocked_dedup_parity(spark, seed):
     assert sorted(map(key, ap)) == sorted(map(key, bl)), (
         f"seed={seed} thr={thr} bits={bits} n={len(rows)} dim={dim}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-drain oracle differential (tier 14) — random (window, watermark)
+# configs for the bounded tumbling drain, checked against a PARAMETRICALLY
+# GENERATED DuckDB oracle (not the Spark batch twin): the same emission rule
+# the gate-facing q_stream_* oracles encode — tumbling windows aligned to
+# epoch multiples of the width, append-mode emission iff
+# win.end <= max(ts) - watermark, float sums through the fixed-point dsum
+# accumulator. A drift in ANY of those rules (alignment arithmetic, the
+# <= boundary, dsum parity inside the stateful engine) fails a seed here
+# before the external gate sees the fixed-config keys built on them.
+# ---------------------------------------------------------------------------
+
+STREAM_SEEDS = list(range(1400, 1406))
+
+
+@pytest.mark.parametrize("seed", STREAM_SEEDS)
+def test_random_streaming_drain_vs_duckdb_oracle(spark, sf_dir, seed):
+    import random as _random
+
+    from etl_asana_spark.functions.parity import sql_dsum
+    from etl_asana_spark.streaming import jobs
+    from etl_asana_spark.testing import duckdb_connect
+
+    rng = _random.Random(seed)
+    win_min = rng.choice([20, 45, 90, 120, 180])
+    wm_min = rng.choice([5, 15, 60, 120])
+    out = jobs.tumbling_counts_stream(
+        spark, sf_dir,
+        window=f"{win_min} minutes", watermark=f"{wm_min} minutes",
+    ).toPandas()
+    win_s = win_min * 60
+    oracle = f"""
+    WITH ev AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / {win_s}) AS BIGINT)
+                   AS slot
+        FROM events
+    ),
+    wm AS (SELECT max(ts) - INTERVAL {wm_min} MINUTES AS w FROM ev)
+    SELECT make_timestamp(slot * {win_s} * 1000000) AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM ev
+    GROUP BY 1, 2
+    HAVING make_timestamp(slot * {win_s} * 1000000) + INTERVAL {win_min} MINUTES
+           <= (SELECT w FROM wm)
+    """
+    expected = duckdb_connect(sf_dir).execute(oracle).fetchdf()
+    assert len(out) > 0, f"seed={seed} win={win_min}m wm={wm_min}m"
+    problems = compare_frames(out, expected)
+    assert not problems, f"seed={seed} win={win_min}m wm={wm_min}m: {problems[:3]}"
