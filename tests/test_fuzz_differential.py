@@ -1641,3 +1641,60 @@ def test_random_streaming_drain_vs_duckdb_oracle(spark, sf_dir, seed):
     assert len(out) > 0, f"seed={seed} win={win_min}m wm={wm_min}m"
     problems = compare_frames(out, expected)
     assert not problems, f"seed={seed} win={win_min}m wm={wm_min}m: {problems[:3]}"
+
+
+SESSION_SEEDS = list(range(1450, 1454))
+
+
+@pytest.mark.parametrize("seed", SESSION_SEEDS)
+def test_random_session_drain_vs_duckdb_oracle(spark, sf_dir, seed):
+    """Tier-14 session variant: random gap widths for the stateful
+    sessionization drain vs a parametric gaps-and-islands oracle. Pins the
+    subtlest emission rule of the streaming family: a user's LAST session
+    emits iff its event-time timeout (last event + gap) fell STRICTLY
+    before the final watermark (Spark fires an EventTimeTimeout only when
+    the watermark advances past the set timestamp)."""
+    import random as _random
+
+    from etl_asana_spark.streaming import jobs
+    from etl_asana_spark.testing import duckdb_connect
+
+    rng = _random.Random(seed)
+    gap_min = rng.choice([10, 20, 45, 90, 240])
+    out = jobs.sessionize_stream(spark, sf_dir, gap_minutes=gap_min).toPandas()
+    oracle = f"""
+    WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL {gap_min} MINUTES
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM ev
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess_id
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, sess_id
+    ),
+    ranked AS (
+        SELECT *, MAX(session_end) OVER (PARTITION BY user_id) AS user_last_end
+        FROM sessions
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTES AS w FROM ev)
+    SELECT user_id, session_start, session_end, n_events
+    FROM ranked
+    WHERE session_end < user_last_end
+       OR session_end + INTERVAL {gap_min} MINUTES < (SELECT w FROM wm)
+    """
+    expected = duckdb_connect(sf_dir).execute(oracle).fetchdf()
+    assert len(out) > 0, f"seed={seed} gap={gap_min}m"
+    problems = compare_frames(out, expected)
+    assert not problems, f"seed={seed} gap={gap_min}m: {problems[:3]}"
