@@ -194,7 +194,9 @@ def q_sim_cosine_topk_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_sim_ann")
 def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#71 ANN top-5 via random-hyperplane LSH (seed=42) — sub-linear scale
-    path; recall vs exact checked in tests."""
+    path. Rows-only: the candidate set depends on the seeded hyperplane
+    projections, which no SQL oracle can replay; recall vs exact is
+    checked in tests."""
     t = load_tables(spark, sf_dir)
     return similarity.ann_brp_lsh(t["embeddings"], _query_vec(t), k=5)
 
@@ -204,7 +206,9 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 (KMeans coarse quantizer, 16 cells, seed=42). nprobe=8:
     uniform-random vectors are IVF's worst case (neighbors scatter across
     cells) — measured recall on this corpus: 2/5 @ nprobe=4, 4/5 @ 8, 5/5
-    @ 10. Clustered real-world embeddings do far better at low nprobe."""
+    @ 10. Clustered real-world embeddings do far better at low nprobe.
+    Rows-only: the probed cells come from the seeded k-means quantizer,
+    which no SQL oracle can replay."""
     t = load_tables(spark, sf_dir)
     return similarity.ivf_topk(t["embeddings"], _query_vec(t), k=5, nprobe=8)
 
@@ -473,7 +477,9 @@ def q_emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#75 Multimodal plumbing: binary payload + metadata struct →
     Arrow-batched decode/feature-extract via mapInPandas (decode kernel
-    stubbed deterministically; see operators.multimodal).
+    dispatches PIL → stdlib PNG codec → deterministic stub; see
+    operators.multimodal). Rows-only: the features come from decoding
+    binary image payloads, which no SQL oracle can express.
 
     The ``feat array<float>`` column is serialized to a fixed-point
     ``'|'``-joined string AT THE QUERY BOUNDARY (same pattern as

@@ -35,3 +35,23 @@ def test_every_query_has_callable_and_key_coverage():
     assert set(oracles) <= set(qs), "oracle without query"
     for key, fn in qs.items():
         assert callable(fn), key
+
+
+def test_every_rows_only_key_documents_why():
+    """An oracle-less key gets only the driver's weak rows-only check, so
+    the docstring must say WHY no SQL oracle exists (sketch estimate,
+    seeded projection, binary decode, ...). Keeps the rows-only set an
+    explicit, justified list — a new key can't silently skip the oracle."""
+    import re
+
+    catalog.load_all()
+    markers = ("rows-only", "rows only", "no oracle", "no sql oracle",
+               "no duckdb", "engine-specific")
+    missing = []
+    for key, fn in catalog._QUERIES.items():
+        if key in catalog._ORACLES:
+            continue
+        doc = re.sub(r"\s+", " ", (fn.__doc__ or "")).replace("- ", "-").lower()
+        if not any(m in doc for m in markers):
+            missing.append(key)
+    assert not missing, f"rows-only keys without a documented rationale: {missing}"
