@@ -179,17 +179,25 @@ def tumbling_counts_stream(
     return _run_to_memory(agg, "append")
 
 
-def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sliding_counts_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "2 hours",
+    slide: str = "30 minutes",
+) -> DataFrame:
     """Sliding (hopping) windowed aggregation: 2 h windows every 30 min.
 
-    Each event lands in 4 overlapping windows; state holds 4× the tumbling
-    case per key, still bounded by the watermark (a window is emitted and
-    evicted once the watermark passes its end). The overlap factor — not the
-    event rate — is what sizes state at scale, so the slide:length ratio is
-    the knob to watch on a 100 TB/day stream."""
+    Each event lands in ⌈window/slide⌉ overlapping windows (4 at the
+    defaults); state holds that multiple of the tumbling case per key,
+    still bounded by the watermark (a window is emitted and evicted once
+    the watermark passes its end). The overlap factor — not the event
+    rate — is what sizes state at scale, so the slide:length ratio is the
+    knob to watch on a 100 TB/day stream. ``window``/``slide`` are exposed
+    so the oracle-differential fuzz can hit odd alignment ratios, not just
+    the catalog key's 4:1 default."""
     ev = _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = (
-        ev.groupBy(F.window("ts", "2 hours", "30 minutes").alias("win"), "event_type")
+        ev.groupBy(F.window("ts", window, slide).alias("win"), "event_type")
         .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
         .select(F.col("win.start").alias("bucket"), "event_type", "n_events", "total_value")
     )

@@ -1698,3 +1698,61 @@ def test_random_session_drain_vs_duckdb_oracle(spark, sf_dir, seed):
     assert len(out) > 0, f"seed={seed} gap={gap_min}m"
     problems = compare_frames(out, expected)
     assert not problems, f"seed={seed} gap={gap_min}m: {problems[:3]}"
+
+
+SLIDING_SEEDS = list(range(1470, 1475))
+
+
+@pytest.mark.parametrize("seed", SLIDING_SEEDS)
+def test_random_sliding_drain_vs_duckdb_oracle(spark, sf_dir, seed):
+    """Tier-14 sliding variant: random (window, slide) ratios — including
+    slides that do NOT divide the window, where the per-event window count
+    varies by phase — vs a parametric oracle that generates every
+    slide-multiple start in (ts - window, ts] and keeps the emission rule.
+    Pins the hop-alignment arithmetic beyond the catalog key's 4:1 case."""
+    import math
+    import random as _random
+
+    from etl_asana_spark.functions.parity import sql_dsum
+    from etl_asana_spark.streaming import jobs
+    from etl_asana_spark.testing import duckdb_connect
+
+    rng = _random.Random(seed)
+    win_min, slide_min = rng.choice(
+        [(50, 20), (90, 60), (35, 10), (120, 45), (60, 25), (80, 30)]
+    )
+    out = jobs.sliding_counts_stream(
+        spark, sf_dir,
+        window=f"{win_min} minutes", slide=f"{slide_min} minutes",
+    ).toPandas()
+    win_s, slide_s = win_min * 60, slide_min * 60
+    n_off = math.ceil(win_s / slide_s)
+    oracle = f"""
+    WITH ev AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / {slide_s}) AS BIGINT)
+                   AS slot
+        FROM events
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTES AS w FROM ev),
+    expanded AS (
+        SELECT make_timestamp((slot - off.i) * {slide_s} * 1000000) AS bucket,
+               event_type, value
+        FROM ev CROSS JOIN (SELECT unnest(range({n_off})) AS i) AS off
+        -- keep only starts the event actually falls inside: a slide that
+        -- does not divide the window makes the last offset conditional
+        WHERE (slot - off.i) * {slide_s} + {win_s} > epoch(ts)
+    )
+    SELECT bucket, event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    HAVING bucket + INTERVAL {win_min} MINUTES <= (SELECT w FROM wm)
+    """
+    expected = duckdb_connect(sf_dir).execute(oracle).fetchdf()
+    assert len(out) > 0, f"seed={seed} win={win_min}m slide={slide_min}m"
+    problems = compare_frames(out, expected)
+    assert not problems, (
+        f"seed={seed} win={win_min}m slide={slide_min}m: {problems[:3]}"
+    )
