@@ -52,6 +52,8 @@ EXTRA_KEYS = (
     "q_text_tokens",              # tokenize + explode + count
     "q_dsir_weights",             # two-pass corpus stats + broadcast scoring
     "q_sim_cosine_topk",          # brute-force cosine top-k (HOF path)
+    "q_stream_tumbling",          # bounded streaming drain: source listing +
+                                  # state store + watermark emission overhead
 )
 
 
