@@ -293,3 +293,51 @@ def test_stream_source_accepts_directory_shaped_events(spark, sf_dir, tmp_path):
     ref = catalog.queries()["q_stream_tumbling"](spark, sf_dir).toPandas()
     assert len(got) > 0
     assert canonical_rows(got) == canonical_rows(ref)
+
+
+def test_session_timeout_boundary_is_strictly_greater(spark):
+    """Pins the emission strictness the q_stream_session oracle encodes:
+    an event-time timeout fires only when the final watermark advances
+    STRICTLY past the timeout timestamp (last event + gap). Real corpora
+    never land a timeout exactly ON the watermark, so this synthetic pair
+    — equality vs one millisecond past — is the only thing that would
+    catch Spark flipping to >= (or the oracle drifting to <=)."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from etl_asana_spark.streaming import jobs
+
+    def stage(max_ts):
+        d = tempfile.mkdtemp(prefix="sess_boundary_")
+        rows = [
+            (1, datetime(2024, 1, 1, 10, 0), 1, "view", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 10, 5), 1, "view", 1.0, "{}"),
+            (3, max_ts, 2, "view", 1.0, "{}"),  # the watermark clock
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        return d
+
+    # User 1's open session arms a timeout at 10:05 + 30 min = 10:35.
+    # max_ts 10:45 puts the final watermark (10 min delay) at exactly
+    # 10:35 — equality, so nothing may emit.
+    eq = jobs.sessionize_stream(
+        spark, stage(datetime(2024, 1, 1, 10, 45)), gap_minutes=30
+    ).collect()
+    assert eq == []
+
+    # One millisecond later the watermark strictly passes the timeout and
+    # user 1's session (2 events, end 10:05) must emit; user 2's own
+    # timeout (11:15) is still in the future.
+    past = jobs.sessionize_stream(
+        spark, stage(datetime(2024, 1, 1, 10, 45, 0, 1000)), gap_minutes=30
+    ).collect()
+    got = [(r.user_id, r.session_end, r.n_events) for r in past]
+    assert got == [(1, datetime(2024, 1, 1, 10, 5), 2)]
