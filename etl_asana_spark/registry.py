@@ -85,6 +85,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if cached is None:
         cached = {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
         _CACHE[key] = cached
+    else:
+        # The plan cache must not bypass the conf defense: a caller may have
+        # perturbed dynamic confs (session TZ, ANSI, nanosAsLong) between
+        # query calls, and cached LOGICAL plans re-resolve TZ-dependent
+        # expressions at analysis of each new query built on top of them.
+        ensure_engine_confs(spark)
     return cached
 
 
