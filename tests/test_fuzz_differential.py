@@ -1756,3 +1756,74 @@ def test_random_sliding_drain_vs_duckdb_oracle(spark, sf_dir, seed):
     assert not problems, (
         f"seed={seed} win={win_min}m slide={slide_min}m: {problems[:3]}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier 15 — dynamic-conf perturbation: correctness must be conf-invariant
+# ---------------------------------------------------------------------------
+#
+# The driver owns its SparkSession, and nothing in the gate contract fixes
+# the dynamic SQL confs the engine does not pin: whole-stage codegen, ANSI
+# mode, the broadcast-join threshold (a plan-strategy axis: -1 forces every
+# equi-join to sort-merge), and a non-default shuffle.partitions (which the
+# engine deliberately respects). Confs the engine DOES pin (session TZ,
+# AQE, Arrow) are perturbed here too — that exercises the
+# ensure_engine_confs re-pin path on plan-cache hits. Each seed draws a
+# random combination of perturbations plus a random oracled catalog key;
+# the DuckDB comparison must come out identical regardless.
+
+_TIER15_CONF_AXES = {
+    # axis -> candidate perturbed values (None = leave at current value)
+    "spark.sql.codegen.wholeStage": ["false"],
+    "spark.sql.ansi.enabled": ["true", "false"],
+    "spark.sql.autoBroadcastJoinThreshold": ["-1", "1024"],
+    "spark.sql.shuffle.partitions": ["1", "5", "37"],
+    "spark.sql.session.timeZone": ["America/New_York", "Asia/Tokyo"],
+    "spark.sql.adaptive.enabled": ["false"],
+    "spark.sql.execution.arrow.pyspark.enabled": ["false"],
+}
+
+#: Cheap, physically diverse oracled keys: scans, broadcast + shuffle +
+#: asof joins, hash/rollup aggregation, window frames, event-time windows,
+#: set ops, sorts, array HOFs, date arithmetic, text explode-agg.
+_TIER15_KEYS = [
+    "q_agg_groupby", "q_join_star", "q_join_outer", "q_join_asof",
+    "q_win_rank", "q_win_range", "q_win_tumbling", "q_fn_date",
+    "q_fn_array", "q_set_except", "q_agg_rollup", "q_topk",
+    "q_sort_global", "q_text_tokens", "q_emb_norm", "q_join_anti",
+]
+
+CONF_SEEDS = list(range(1500, 1512))
+
+
+@pytest.mark.parametrize("seed", CONF_SEEDS)
+def test_random_conf_perturbation_parity(spark, duck, sf_dir, seed):
+    import random as _random
+
+    from etl_asana_spark.testing import check_query
+
+    rng = _random.Random(seed)
+    key = rng.choice(_TIER15_KEYS)
+    perturbed = {
+        axis: rng.choice(vals)
+        for axis, vals in _TIER15_CONF_AXES.items()
+        if rng.random() < 0.5
+    }
+    saved = {}
+    for axis, val in perturbed.items():
+        try:
+            saved[axis] = spark.conf.get(axis)
+        except Exception:
+            saved[axis] = None
+        spark.conf.set(axis, val)
+    try:
+        problems = check_query(spark, duck, key, sf_dir)
+        assert not problems, (
+            f"seed={seed} key={key} confs={perturbed}: {problems[:3]}"
+        )
+    finally:
+        for axis, old in saved.items():
+            if old is None:
+                spark.conf.unset(axis)
+            else:
+                spark.conf.set(axis, old)
