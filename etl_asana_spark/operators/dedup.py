@@ -90,6 +90,67 @@ def unshingleable_count(
     ).count()
 
 
+def _run_split_size(text: Column | str) -> Column:
+    """Token count under the family's shared whitespace-RUN tokenization."""
+    return F.size(
+        F.filter(F.split(F.col(text) if isinstance(text, str) else text, r"\s+"),
+                 lambda t: t != F.lit(""))
+    )
+
+
+def _expand_member_pairs(
+    rep_pairs: DataFrame, membership: DataFrame, payload: str
+) -> DataFrame:
+    """Representative pairs → member pairs (the exact-duplicate-collapse
+    expansion shared by the text fuzzy-dedup family; the embed family's
+    twin lives in ``embedding_cosine_dups_blocked``).
+
+    Every member of rep_a's text-group pairs with every member of rep_b's
+    at the rep pair's ``payload`` value (members are byte-identical to
+    their rep, so the distance IS the member distance). Two shuffle joins
+    on rep ids — output size is the answer size, inherent to the pair
+    contract."""
+    ma = membership.select(F.col("rep").alias("id_a"), F.col("id").alias("pa"))
+    mb = membership.select(F.col("rep").alias("id_b"), F.col("id").alias("pb"))
+    return (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("pa", "pb").alias("id_a"),
+            F.greatest("pa", "pb").alias("id_b"),
+            F.col(payload),
+        )
+    )
+
+
+def _intra_group_pairs(
+    groups: DataFrame,
+    membership: DataFrame,
+    pairable: Column,
+    payload: Column,
+    payload_name: str,
+) -> DataFrame:
+    """All within-group member pairs for groups that can self-pair.
+
+    ``pairable`` is evaluated against the group's ``vec`` (the shared
+    text): byte-identical docs pair in the naive formulation exactly when
+    they can shingle at all, at the self-distance ``payload``. The filter
+    runs BEFORE the quadratic enumeration joins, so an unpairable group
+    never pays its expansion."""
+    return (
+        groups.filter((F.col("cnt") >= 2) & pairable)
+        .select("rep")
+        .join(membership.select("rep", F.col("id").alias("pa")), "rep")
+        .join(membership.select("rep", F.col("id").alias("pb")), "rep")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(
+            F.col("pa").alias("id_a"),
+            F.col("pb").alias("id_b"),
+            payload.alias(payload_name),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -99,6 +160,7 @@ def minhash_lsh_pairs(
     num_features: int = 1 << 18,
     shingle_n: int = 3,
     seed: int = 42,
+    collapse: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash LSH over hashed SHINGLE sets —
     shingle → minhash → band, the canonical web-scale text-dedup shape.
@@ -114,8 +176,40 @@ def minhash_lsh_pairs(
     Docs too short to shingle (< ``shingle_n`` words) have no feature set
     and cannot pair — use :func:`unshingleable_count` to measure how many
     docs a given corpus silently excludes.
+
+    ``collapse=True`` (the default) runs the LSH pipeline over one
+    REPRESENTATIVE per distinct text and expands rep pairs back to member
+    pairs by join — bit-identical output (features/hashes depend only on
+    the text, so copies collide with exactly the pairs their rep does, at
+    distance 0 within a group), but the bucket joins stay linear in
+    DISTINCT texts. Without it, a duplicate-heavy corpus (the normal case
+    for web crawl) makes every LSH bucket quadratic in copy multiplicity —
+    measured by the round-4 ``scale_rehearsal`` 30×-duplication run: 160×
+    cost for 30× data (636 s), vs output-linear after collapse.
+    ``collapse=False`` keeps the naive formulation as the differential
+    oracle for tests.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
+
+    if collapse:
+        groups, membership = _collapse_exact(docs, id_col, text_col)
+        reps = groups.select(
+            F.col("rep").alias(id_col), F.col("vec").alias(text_col)
+        )
+        rep_pairs = minhash_lsh_pairs(
+            reps, id_col, text_col, jaccard_threshold, num_hash_tables,
+            num_features, shingle_n, seed, collapse=False,
+        )
+        cross = _expand_member_pairs(rep_pairs, membership, "jaccard_dist")
+        # Identical texts have Jaccard distance exactly 0 and always share
+        # every LSH bucket, so the naive form emits every within-group
+        # pair whenever the text can shingle at all.
+        intra = _intra_group_pairs(
+            groups, membership,
+            pairable=_run_split_size("vec") >= shingle_n,
+            payload=F.lit(0.0), payload_name="jaccard_dist",
+        )
+        return cross.unionByName(intra)
 
     # RegexTokenizer on whitespace RUNS (plain Tokenizer splits on single
     # "\\s" and keeps interior empty tokens, so "a  b" would grow a
@@ -217,13 +311,38 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
+    collapse: bool = True,
 ) -> DataFrame:
     """Near-dup pairs: SimHash banding (4×16-bit) for candidates, Hamming
     verification on candidates. Pigeonhole guarantee: any pair with Hamming
     distance ≤ 3 must agree on a full band, so recall is exact for d ≤ 3 and
     probabilistic for 4..max_hamming (raise the band count for tighter
-    guarantees). Candidate generation is a shuffle on band values — linear.
+    guarantees). Candidate generation is a shuffle on band values — linear
+    in DISTINCT texts under ``collapse=True`` (the default): signatures
+    depend only on the text, so byte-identical copies are collapsed to one
+    representative before banding and rep pairs expand back by join
+    (identical texts: Hamming 0, always emitted when the doc can shingle).
+    Same bit-identical-output argument and the same measured motivation as
+    :func:`minhash_lsh_pairs`; ``collapse=False`` keeps the naive
+    formulation as the differential oracle.
     """
+    if collapse:
+        groups, membership = _collapse_exact(docs, id_col, text_col)
+        reps = groups.select(
+            F.col("rep").alias(id_col), F.col("vec").alias(text_col)
+        )
+        rep_pairs = simhash_pairs(
+            reps, id_col, text_col, max_hamming, collapse=False
+        )
+        cross = _expand_member_pairs(rep_pairs, membership, "hamming")
+        intra = _intra_group_pairs(
+            groups, membership,
+            # signature exists ⇔ ≥ 3 run-split tokens (simhash_signatures'
+            # CASE guard); Hamming(sig, sig) = 0 ≤ any sane max_hamming.
+            pairable=_run_split_size("vec") >= 3,
+            payload=F.lit(0).cast("int"), payload_name="hamming",
+        ) if max_hamming >= 0 else None
+        return cross.unionByName(intra) if intra is not None else cross
     sigs = simhash_signatures(docs, id_col, text_col).filter(
         F.col("simhash").isNotNull()  # unshingleable docs cannot pair
     )
@@ -272,14 +391,57 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    collapse: bool = True,
 ) -> DataFrame:
     """EXACT n-gram-set Jaccard near-dup pairs with shared-shingle blocking.
 
     Only pairs sharing at least one shingle are materialized (the blocking
     join), so cost tracks collision volume, not n². Returns
     (doc_a, doc_b, jaccard) with jaccard >= threshold.
+
+    ``collapse=True`` (default) additionally collapses byte-identical
+    texts before the blocking join (Jaccard depends only on the text;
+    identical texts have Jaccard exactly 1.0 and pair iff they have ≥ 1
+    shingle) — the shared-shingle join otherwise goes quadratic in copy
+    multiplicity on a duplicate-heavy corpus, the same measured class as
+    :func:`minhash_lsh_pairs`. ``collapse=False`` is the differential
+    oracle.
     """
     from .text import shingles
+
+    if collapse:
+        groups, membership = _collapse_exact(docs, id_col, text_col)
+        reps = groups.select(
+            F.col("rep").alias(id_col), F.col("vec").alias(text_col)
+        )
+        rep_pairs = ngram_jaccard_pairs(
+            reps, id_col, text_col, n, threshold, collapse=False
+        ).select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            "jaccard",
+        )
+        cross = _expand_member_pairs(rep_pairs, membership, "jaccard")
+        intra = (
+            _intra_group_pairs(
+                groups, membership,
+                # this family tokenizes with a plain split (no run filter)
+                # and shingles via operators.text.shingles — ≥ 1 shingle ⇔
+                # ≥ n split tokens; self-Jaccard is exactly 1.0.
+                pairable=F.size(F.split(F.col("vec"), r"\s+")) >= n,
+                payload=F.lit(1.0), payload_name="jaccard",
+            )
+            if threshold <= 1.0
+            else None
+        )
+        out = (
+            cross.unionByName(intra) if intra is not None else cross
+        )
+        return out.select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "jaccard",
+        )
 
     sh = (
         docs.select(id_col, F.split(F.col(text_col), r"\s+").alias("toks"))
@@ -868,6 +1030,76 @@ def dedup_clusters(
             F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
         )
         .withColumn("is_canonical", F.col(id_col) == F.min(id_col).over(Window.partitionBy("cluster_id")))
+    )
+
+
+def dedup_clusters_collapsed(
+    docs: DataFrame,
+    rep_pairs_fn,
+    pairable: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`dedup_clusters` without ever materializing member-level pairs.
+
+    A duplicate-heavy corpus makes the member pair set quadratic in copy
+    multiplicity (30-way copies → 435 within-group pairs per distinct
+    text) — at the round-4 30×-duplication rehearsal the member-level edge
+    list OOM'd the 8 GB test heap before label propagation even started.
+    But byte-identical docs share their representative's connectivity
+    exactly, so the components can be computed on the DISTINCT-TEXT rep
+    graph and the labels expanded to members with one join:
+
+    - members of a ``pairable`` group (a text that can self-pair in the
+      naive pair formulation, e.g. ≥ n tokens for the n-gram family) are
+      all mutually connected (self-Jaccard 1.0) and inherit the rep-graph
+      component — whose label is the min member id reachable, because
+      ``_collapse_exact`` picks rep = min member id per group and the rep
+      graph's component label is the min rep reachable;
+    - members of an UNpairable group (too short to shingle) have no pairs
+      at all in the naive form — each is its own singleton, INCLUDING the
+      rep;
+    - NULL-text docs never enter membership and fall out as singletons via
+      the caller-facing left join below.
+
+    ``rep_pairs_fn(reps)`` must return the naive (already linear at rep
+    granularity) pair frame with columns (doc_a, doc_b) over a frame with
+    the caller's ``id_col``/``text_col`` schema; ``pairable`` is evaluated
+    against the group's shared text exposed as column ``vec``.
+    """
+    groups, membership = _collapse_exact(docs, id_col, text_col)
+    reps = groups.select(
+        F.col("rep").alias(id_col), F.col("vec").alias(text_col)
+    )
+    rep_pairs = rep_pairs_fn(reps)
+    cc = connected_components(rep_pairs, src="doc_a", dst="doc_b")
+    member_lab = (
+        membership.join(groups.select("rep", pairable.alias("__ok")), "rep")
+        .join(cc.withColumnRenamed("node", "rep"), "rep", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(
+                F.col("__ok"), F.coalesce("component", F.col("rep"))
+            )
+            .otherwise(F.col("id"))
+            .alias("__cluster"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(member_lab, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__cluster", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .withColumn(
+            "is_canonical",
+            F.col(id_col) == F.min(id_col).over(Window.partitionBy("cluster_id")),
+        )
     )
 
 

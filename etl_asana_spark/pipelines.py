@@ -98,7 +98,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from .operators import text as text_ops  # noqa: E402
 from .operators.curation import hash_bucket, split_ranges  # noqa: E402
 from .operators.dedup import (  # noqa: E402
-    dedup_clusters,
+    dedup_clusters_collapsed,
     dedup_exact,
     ngram_jaccard_pairs,
 )
@@ -198,11 +198,18 @@ def curate_corpus(
     )
     exact = note("exact_dedup", exact)
 
-    # 3. fuzzy dedup → canonical survivors
-    pairs = ngram_jaccard_pairs(
-        exact, n=3, threshold=jaccard_threshold
-    ).select("doc_a", "doc_b")
-    clusters = dedup_clusters(pairs, exact)
+    # 3. fuzzy dedup → canonical survivors. Collapse-aware clustering:
+    # components over the distinct-text rep graph (dedup_clusters_collapsed)
+    # instead of materializing member-level pairs, which go quadratic in
+    # exact-copy multiplicity — stage 2 already dropped exact dups here, but
+    # the operator must not rely on that to be safe at corpus scale.
+    clusters = dedup_clusters_collapsed(
+        exact,
+        rep_pairs_fn=lambda reps: ngram_jaccard_pairs(
+            reps, n=3, threshold=jaccard_threshold, collapse=False
+        ).select("doc_a", "doc_b"),
+        pairable=F.size(F.split(F.col("vec"), r"\s+")) >= 3,
+    )
     fuzzy = exact.join(
         clusters.filter(F.col("is_canonical")).select("doc_id"), "doc_id", "semi"
     )

@@ -678,8 +678,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB recursive-CTE transitive closure over the identical pair set."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.015).select("doc_a", "doc_b")
-    return dedup.dedup_clusters(pairs, docs)
+    # Collapse-aware clustering: components over the distinct-text rep
+    # graph, labels expanded to members — same answer as pairs→CC over
+    # member-level pairs (differential-tested), but never quadratic in
+    # exact-copy multiplicity (the member edge list OOM'd the 30×
+    # duplication rehearsal).
+    return dedup.dedup_clusters_collapsed(
+        docs,
+        rep_pairs_fn=lambda reps: dedup.ngram_jaccard_pairs(
+            reps, n=3, threshold=0.015, collapse=False
+        ).select("doc_a", "doc_b"),
+        pairable=F.size(F.split(F.col("vec"), r"\s+")) >= 3,
+    )
 
 
 @register(

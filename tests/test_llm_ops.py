@@ -931,3 +931,99 @@ def test_fixed_point_join_degenerate_tokens(spark):
     )
     got = df.select(fixed_point_join("v").alias("s")).collect()[0]["s"]
     assert got == "500000|nan|inf|-inf|null|0"
+
+
+def test_text_dedup_collapse_equals_naive_on_duplicate_heavy_corpus(spark):
+    """The exact-duplicate collapse (collapse=True, the production default)
+    must be bit-identical to the naive formulation for all three text
+    fuzzy-dedup families — on a corpus that stresses every edge the
+    collapse reasons about: copy multiplicities 1..6, near-dup clusters,
+    empty / whitespace-only / sub-shingle texts, and a NULL text.
+
+    Motivation (round-4 scale_rehearsal, 30×-duplication): the naive LSH
+    bucket joins go quadratic in copy multiplicity — q_dedup_minhash cost
+    160× for 30× data — while features/signatures/Jaccard depend only on
+    the text, so pairing one representative per distinct text and
+    expanding by join is provably the same answer set."""
+    import random
+
+    from etl_asana_spark.operators import dedup
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(50)]
+    base = []
+    for _ in range(40):
+        n = rng.randint(1, 30)
+        base.append(" ".join(rng.choice(words) for _ in range(n)))
+    base += [base[0] + " extra", base[0] + " more extra", "", "  ", "one two"]
+    rows, i = [], 0
+    for t in base:
+        for _ in range(rng.randint(1, 6)):
+            rows.append((i, t))
+            i += 1
+    rows.append((i, None))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def canon(df, cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    for fn, cols, kw in [
+        (dedup.minhash_lsh_pairs, ["id_a", "id_b", "jaccard_dist"], {}),
+        (dedup.simhash_pairs, ["id_a", "id_b", "hamming"], {}),
+        (dedup.ngram_jaccard_pairs, ["doc_a", "doc_b", "jaccard"],
+         dict(threshold=0.5)),
+    ]:
+        got = canon(fn(docs, collapse=True, **kw), cols)
+        want = canon(fn(docs, collapse=False, **kw), cols)
+        assert got == want, (
+            f"{fn.__name__}: collapse diverges from naive "
+            f"(+{len(set(got) - set(want))} -{len(set(want) - set(got))})"
+        )
+        assert len(got) > 0, f"{fn.__name__}: degenerate test corpus"
+
+
+def test_dedup_clusters_collapsed_equals_member_level_cc(spark):
+    """dedup_clusters_collapsed (components over the distinct-text rep
+    graph, the q_dedup_clusters production path) must equal member-level
+    pairs → connected components on a duplicate-heavy corpus — including
+    the singleton rules: unshingleable duplicated texts (each copy its own
+    cluster) and a NULL-text doc. Motivation: member-level edges are
+    quadratic in copy multiplicity; the 30×-duplication rehearsal OOM'd on
+    them before the collapse."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_asana_spark.operators import dedup
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(30)]
+    base = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 20)))
+        for _ in range(30)
+    ]
+    base += [base[0] + " x", base[1] + " y z", "", " ", "a b"]
+    rows, i = [], 0
+    for t in base:
+        for _ in range(rng.randint(1, 5)):
+            rows.append((i, t))
+            i += 1
+    rows.append((i, None))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1).select(
+        "doc_a", "doc_b"
+    )
+    want = sorted(tuple(r) for r in dedup.dedup_clusters(pairs, docs).collect())
+    got = sorted(
+        tuple(r)
+        for r in dedup.dedup_clusters_collapsed(
+            docs,
+            rep_pairs_fn=lambda reps: dedup.ngram_jaccard_pairs(
+                reps, n=3, threshold=0.1, collapse=False
+            ).select("doc_a", "doc_b"),
+            pairable=F.size(F.split(F.col("vec"), r"\s+")) >= 3,
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == len(rows)
