@@ -1109,6 +1109,7 @@ def prefix_filter_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    collapse: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard pairs via prefix filtering (the ssjoin family:
     AllPairs/PPJoin's length-independent prefix) — same answer as
@@ -1126,8 +1127,47 @@ def prefix_filter_jaccard_pairs(
     exploding on stop-shingles and staying near-linear. Candidate-count
     reduction is asserted in tests/test_llm_ops.py; the result itself is
     oracle-identical to the brute-force form.
+
+    ``collapse=True`` (default) collapses byte-identical texts first —
+    copies would otherwise pair each other through their rare prefix
+    shingles, quadratic in copy multiplicity (the same measured class as
+    :func:`minhash_lsh_pairs`). Same bit-identical-output argument: the
+    ranking/prefix/verify all depend only on the text, with one
+    refinement — corpus document frequency is counted over DISTINCT texts,
+    which only changes candidate PRUNING order, never the verified answer
+    set (verification is exact Jaccard). ``collapse=False`` keeps the
+    naive formulation as the differential oracle.
     """
     from .text import shingles
+
+    if collapse:
+        groups, membership = _collapse_exact(docs, id_col, text_col)
+        reps = groups.select(
+            F.col("rep").alias(id_col), F.col("vec").alias(text_col)
+        )
+        rep_pairs = prefix_filter_jaccard_pairs(
+            reps, id_col, text_col, n, threshold, collapse=False
+        ).select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            "jaccard",
+        )
+        cross = _expand_member_pairs(rep_pairs, membership, "jaccard")
+        intra = (
+            _intra_group_pairs(
+                groups, membership,
+                pairable=F.size(F.split(F.col("vec"), r"\s+")) >= n,
+                payload=F.lit(1.0), payload_name="jaccard",
+            )
+            if threshold <= 1.0
+            else None
+        )
+        out = cross.unionByName(intra) if intra is not None else cross
+        return out.select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "jaccard",
+        )
 
     sh = (
         docs.select(id_col, F.split(F.col(text_col), r"\s+").alias("toks"))

@@ -972,6 +972,11 @@ def test_text_dedup_collapse_equals_naive_on_duplicate_heavy_corpus(spark):
         (dedup.simhash_pairs, ["id_a", "id_b", "hamming"], {}),
         (dedup.ngram_jaccard_pairs, ["doc_a", "doc_b", "jaccard"],
          dict(threshold=0.5)),
+        # prefix filtering: collapse changes the df-based candidate
+        # ORDER (df over distinct texts) but the verified answer set is
+        # order-independent — this case pins exactly that claim.
+        (dedup.prefix_filter_jaccard_pairs, ["doc_a", "doc_b", "jaccard"],
+         dict(threshold=0.5)),
     ]:
         got = canon(fn(docs, collapse=True, **kw), cols)
         want = canon(fn(docs, collapse=False, **kw), cols)
