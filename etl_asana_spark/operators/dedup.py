@@ -151,6 +151,47 @@ def _intra_group_pairs(
     )
 
 
+def _collapsed_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    naive_fn,
+    pairable: Column,
+    payload: Column,
+    payload_name: str,
+    emit_intra: bool,
+) -> DataFrame:
+    """The exact-duplicate collapse shared by all four text pair families:
+    one representative per distinct text → ``naive_fn`` over reps → expand
+    rep pairs to member pairs → within-group pairs for groups the naive
+    form would self-pair.
+
+    Single-sourced so the per-family pieces that MUST stay mutually
+    consistent live at one call site each: ``naive_fn(reps)`` returns the
+    family's naive pairs as (id_a, id_b, ``payload_name``) over a frame
+    with the caller's ``id_col``/``text_col`` schema; ``pairable`` mirrors
+    the naive featurizer's pairing capability against the group text
+    ``vec``; ``emit_intra`` mirrors the naive form's threshold boundary
+    (identical texts sit AT self-distance, and whether the naive filter
+    emits them there is family-specific — strict ``<`` for MinHash's
+    ``approxSimilarityJoin``, inclusive for the Hamming/Jaccard filters).
+    The review of the original four hand-expanded copies found exactly the
+    drift this prevents: three copies had the boundary guard, minhash
+    didn't."""
+    groups, membership = _collapse_exact(docs, id_col, text_col)
+    reps = groups.select(
+        F.col("rep").alias(id_col), F.col("vec").alias(text_col)
+    )
+    cross = _expand_member_pairs(naive_fn(reps), membership, payload_name)
+    if not emit_intra:
+        return cross
+    intra = _intra_group_pairs(
+        groups, membership,
+        pairable=pairable, payload=payload, payload_name=payload_name,
+    )
+    return cross.unionByName(intra)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -166,7 +207,8 @@ def minhash_lsh_pairs(
     shingle → minhash → band, the canonical web-scale text-dedup shape.
 
     Returns (id_a, id_b, jaccard_dist) with id_a < id_b and
-    jaccard_dist <= 1 - threshold. Banding keeps the join linear in
+    jaccard_dist < 1 - threshold (the ``approxSimilarityJoin`` candidate
+    filter is strict). Banding keeps the join linear in
     colliding candidates, and shingling is what keeps the collision rate
     honest: Jaccard over word-VOCABULARY sets (the naive featurization)
     degenerates on a shared-vocabulary corpus — measured here, 8.5M
@@ -192,24 +234,21 @@ def minhash_lsh_pairs(
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
 
     if collapse:
-        groups, membership = _collapse_exact(docs, id_col, text_col)
-        reps = groups.select(
-            F.col("rep").alias(id_col), F.col("vec").alias(text_col)
-        )
-        rep_pairs = minhash_lsh_pairs(
-            reps, id_col, text_col, jaccard_threshold, num_hash_tables,
-            num_features, shingle_n, seed, collapse=False,
-        )
-        cross = _expand_member_pairs(rep_pairs, membership, "jaccard_dist")
         # Identical texts have Jaccard distance exactly 0 and always share
-        # every LSH bucket, so the naive form emits every within-group
-        # pair whenever the text can shingle at all.
-        intra = _intra_group_pairs(
-            groups, membership,
+        # every LSH bucket — but approxSimilarityJoin's candidate filter is
+        # STRICT (dist < 1 - threshold, verified against the installed
+        # spark-mllib bytecode), so the naive form emits the within-group
+        # pairs iff jaccard_threshold < 1.0.
+        return _collapsed_pairs(
+            docs, id_col, text_col,
+            naive_fn=lambda reps: minhash_lsh_pairs(
+                reps, id_col, text_col, jaccard_threshold, num_hash_tables,
+                num_features, shingle_n, seed, collapse=False,
+            ),
             pairable=_run_split_size("vec") >= shingle_n,
             payload=F.lit(0.0), payload_name="jaccard_dist",
+            emit_intra=jaccard_threshold < 1.0,
         )
-        return cross.unionByName(intra)
 
     # RegexTokenizer on whitespace RUNS (plain Tokenizer splits on single
     # "\\s" and keeps interior empty tokens, so "a  b" would grow a
@@ -327,22 +366,17 @@ def simhash_pairs(
     formulation as the differential oracle.
     """
     if collapse:
-        groups, membership = _collapse_exact(docs, id_col, text_col)
-        reps = groups.select(
-            F.col("rep").alias(id_col), F.col("vec").alias(text_col)
-        )
-        rep_pairs = simhash_pairs(
-            reps, id_col, text_col, max_hamming, collapse=False
-        )
-        cross = _expand_member_pairs(rep_pairs, membership, "hamming")
-        intra = _intra_group_pairs(
-            groups, membership,
+        return _collapsed_pairs(
+            docs, id_col, text_col,
+            naive_fn=lambda reps: simhash_pairs(
+                reps, id_col, text_col, max_hamming, collapse=False
+            ),
             # signature exists ⇔ ≥ 3 run-split tokens (simhash_signatures'
             # CASE guard); Hamming(sig, sig) = 0 ≤ any sane max_hamming.
             pairable=_run_split_size("vec") >= 3,
             payload=F.lit(0).cast("int"), payload_name="hamming",
-        ) if max_hamming >= 0 else None
-        return cross.unionByName(intra) if intra is not None else cross
+            emit_intra=max_hamming >= 0,
+        )
     sigs = simhash_signatures(docs, id_col, text_col).filter(
         F.col("simhash").isNotNull()  # unshingleable docs cannot pair
     )
@@ -410,32 +444,22 @@ def ngram_jaccard_pairs(
     from .text import shingles
 
     if collapse:
-        groups, membership = _collapse_exact(docs, id_col, text_col)
-        reps = groups.select(
-            F.col("rep").alias(id_col), F.col("vec").alias(text_col)
-        )
-        rep_pairs = ngram_jaccard_pairs(
-            reps, id_col, text_col, n, threshold, collapse=False
-        ).select(
-            F.col("doc_a").alias("id_a"),
-            F.col("doc_b").alias("id_b"),
-            "jaccard",
-        )
-        cross = _expand_member_pairs(rep_pairs, membership, "jaccard")
-        intra = (
-            _intra_group_pairs(
-                groups, membership,
-                # this family tokenizes with a plain split (no run filter)
-                # and shingles via operators.text.shingles — ≥ 1 shingle ⇔
-                # ≥ n split tokens; self-Jaccard is exactly 1.0.
-                pairable=F.size(F.split(F.col("vec"), r"\s+")) >= n,
-                payload=F.lit(1.0), payload_name="jaccard",
-            )
-            if threshold <= 1.0
-            else None
-        )
-        out = (
-            cross.unionByName(intra) if intra is not None else cross
+        out = _collapsed_pairs(
+            docs, id_col, text_col,
+            naive_fn=lambda reps: ngram_jaccard_pairs(
+                reps, id_col, text_col, n, threshold, collapse=False
+            ).select(
+                F.col("doc_a").alias("id_a"),
+                F.col("doc_b").alias("id_b"),
+                "jaccard",
+            ),
+            # this family tokenizes with a plain split (no run filter)
+            # and shingles via operators.text.shingles — ≥ 1 shingle ⇔
+            # ≥ n split tokens; self-Jaccard is exactly 1.0, emitted by
+            # the naive form's inclusive jaccard >= threshold filter.
+            pairable=F.size(F.split(F.col("vec"), r"\s+")) >= n,
+            payload=F.lit(1.0), payload_name="jaccard",
+            emit_intra=threshold <= 1.0,
         )
         return out.select(
             F.col("id_a").alias("doc_a"),
@@ -1103,6 +1127,38 @@ def dedup_clusters_collapsed(
     )
 
 
+def ngram_dedup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """:func:`dedup_clusters_collapsed` specialized to the n-gram Jaccard
+    family, deriving the rep-pair function AND the matching ``pairable``
+    predicate from one ``(n, threshold)``.
+
+    The two halves are a load-bearing invariant of the collapsed
+    formulation (a rep-pair function and a ``pairable`` that disagree on
+    tokenization or ``n`` silently mislabel clusters — e.g. pairs computed
+    at ``n=2`` with ``pairable`` still requiring 3 tokens force duplicated
+    2-token docs into singletons with no error), so callers must not
+    assemble them by hand."""
+    return dedup_clusters_collapsed(
+        docs,
+        rep_pairs_fn=lambda reps: ngram_jaccard_pairs(
+            reps, id_col, text_col, n, threshold, collapse=False
+        ).select("doc_a", "doc_b"),
+        # self-Jaccard is exactly 1.0, so a doc self-pairs iff it can
+        # shingle AND the naive inclusive filter admits 1.0 — the same
+        # boundary the pair family's emit_intra encodes.
+        pairable=(F.size(F.split(F.col("vec"), r"\s+")) >= n)
+        & F.lit(threshold <= 1.0),
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
 def prefix_filter_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1141,28 +1197,21 @@ def prefix_filter_jaccard_pairs(
     from .text import shingles
 
     if collapse:
-        groups, membership = _collapse_exact(docs, id_col, text_col)
-        reps = groups.select(
-            F.col("rep").alias(id_col), F.col("vec").alias(text_col)
+        out = _collapsed_pairs(
+            docs, id_col, text_col,
+            naive_fn=lambda reps: prefix_filter_jaccard_pairs(
+                reps, id_col, text_col, n, threshold, collapse=False
+            ).select(
+                F.col("doc_a").alias("id_a"),
+                F.col("doc_b").alias("id_b"),
+                "jaccard",
+            ),
+            # same tokenization/boundary contract as ngram_jaccard_pairs
+            # (this family verifies with the identical exact-Jaccard rule).
+            pairable=F.size(F.split(F.col("vec"), r"\s+")) >= n,
+            payload=F.lit(1.0), payload_name="jaccard",
+            emit_intra=threshold <= 1.0,
         )
-        rep_pairs = prefix_filter_jaccard_pairs(
-            reps, id_col, text_col, n, threshold, collapse=False
-        ).select(
-            F.col("doc_a").alias("id_a"),
-            F.col("doc_b").alias("id_b"),
-            "jaccard",
-        )
-        cross = _expand_member_pairs(rep_pairs, membership, "jaccard")
-        intra = (
-            _intra_group_pairs(
-                groups, membership,
-                pairable=F.size(F.split(F.col("vec"), r"\s+")) >= n,
-                payload=F.lit(1.0), payload_name="jaccard",
-            )
-            if threshold <= 1.0
-            else None
-        )
-        out = cross.unionByName(intra) if intra is not None else cross
         return out.select(
             F.col("id_a").alias("doc_a"),
             F.col("id_b").alias("doc_b"),

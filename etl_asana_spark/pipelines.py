@@ -98,9 +98,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from .operators import text as text_ops  # noqa: E402
 from .operators.curation import hash_bucket, split_ranges  # noqa: E402
 from .operators.dedup import (  # noqa: E402
-    dedup_clusters_collapsed,
     dedup_exact,
-    ngram_jaccard_pairs,
+    ngram_dedup_clusters,
 )
 
 
@@ -199,17 +198,11 @@ def curate_corpus(
     exact = note("exact_dedup", exact)
 
     # 3. fuzzy dedup → canonical survivors. Collapse-aware clustering:
-    # components over the distinct-text rep graph (dedup_clusters_collapsed)
+    # components over the distinct-text rep graph (ngram_dedup_clusters)
     # instead of materializing member-level pairs, which go quadratic in
     # exact-copy multiplicity — stage 2 already dropped exact dups here, but
     # the operator must not rely on that to be safe at corpus scale.
-    clusters = dedup_clusters_collapsed(
-        exact,
-        rep_pairs_fn=lambda reps: ngram_jaccard_pairs(
-            reps, n=3, threshold=jaccard_threshold, collapse=False
-        ).select("doc_a", "doc_b"),
-        pairable=F.size(F.split(F.col("vec"), r"\s+")) >= 3,
-    )
+    clusters = ngram_dedup_clusters(exact, n=3, threshold=jaccard_threshold)
     fuzzy = exact.join(
         clusters.filter(F.col("is_canonical")).select("doc_id"), "doc_id", "semi"
     )

@@ -683,13 +683,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # member-level pairs (differential-tested), but never quadratic in
     # exact-copy multiplicity (the member edge list OOM'd the 30×
     # duplication rehearsal).
-    return dedup.dedup_clusters_collapsed(
-        docs,
-        rep_pairs_fn=lambda reps: dedup.ngram_jaccard_pairs(
-            reps, n=3, threshold=0.015, collapse=False
-        ).select("doc_a", "doc_b"),
-        pairable=F.size(F.split(F.col("vec"), r"\s+")) >= 3,
-    )
+    return dedup.ngram_dedup_clusters(docs, n=3, threshold=0.015)
 
 
 @register(

@@ -987,6 +987,109 @@ def test_text_dedup_collapse_equals_naive_on_duplicate_heavy_corpus(spark):
         assert len(got) > 0, f"{fn.__name__}: degenerate test corpus"
 
 
+def test_text_dedup_collapse_equals_naive_at_threshold_boundary(spark):
+    """Collapse≡naive must hold AT the self-distance boundary, where the
+    families' naive filters differ in strictness: approxSimilarityJoin
+    keeps candidates with dist STRICTLY below 1-threshold (verified
+    against spark-mllib 4.1.2 bytecode), so at jaccard_threshold=1.0 the
+    naive minhash form emits NO pairs even for byte-identical docs — the
+    review of the hand-expanded collapse branches found minhash emitting
+    its within-group pairs unconditionally there (the other three copies
+    had the guard; now all four share _collapsed_pairs and pin the
+    boundary in emit_intra). The Jaccard families' filter is INCLUSIVE
+    (jaccard >= threshold): identical docs still pair at threshold=1.0
+    and stop pairing above it; simhash stops at max_hamming < 0."""
+    from etl_asana_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),   # byte-identical copy
+            (2, "alpha beta gamma epsilon"), # near-dup
+            (3, "too short"),                # unshingleable at n=3
+        ],
+        "doc_id long, text string",
+    )
+
+    def canon(df, cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    cases = [
+        (dedup.minhash_lsh_pairs, ["id_a", "id_b", "jaccard_dist"],
+         dict(jaccard_threshold=1.0)),
+        (dedup.simhash_pairs, ["id_a", "id_b", "hamming"],
+         dict(max_hamming=-1)),
+        (dedup.ngram_jaccard_pairs, ["doc_a", "doc_b", "jaccard"],
+         dict(threshold=1.0)),
+        (dedup.ngram_jaccard_pairs, ["doc_a", "doc_b", "jaccard"],
+         dict(threshold=1.5)),
+        (dedup.prefix_filter_jaccard_pairs, ["doc_a", "doc_b", "jaccard"],
+         dict(threshold=1.0)),
+        (dedup.prefix_filter_jaccard_pairs, ["doc_a", "doc_b", "jaccard"],
+         dict(threshold=1.5)),
+    ]
+    for fn, cols, kw in cases:
+        got = canon(fn(docs, collapse=True, **kw), cols)
+        want = canon(fn(docs, collapse=False, **kw), cols)
+        assert got == want, (
+            f"{fn.__name__}({kw}): collapse diverges from naive at the "
+            f"boundary (+{len(set(got) - set(want))} "
+            f"-{len(set(want) - set(got))})"
+        )
+    # the inclusive Jaccard boundary is non-degenerate: identical docs
+    # DO pair at exactly threshold=1.0 ...
+    assert (
+        len(canon(dedup.ngram_jaccard_pairs(
+            docs, threshold=1.0), ["doc_a", "doc_b"])) > 0
+    )
+    # ... while the strict minhash boundary emits nothing there.
+    assert canon(dedup.minhash_lsh_pairs(
+        docs, jaccard_threshold=1.0), ["id_a", "id_b"]) == []
+
+
+def test_ngram_dedup_clusters_wrapper_matches_hand_assembly(spark):
+    """ngram_dedup_clusters (the family-level wrapper both production
+    call sites use) must equal the hand-assembled rep_pairs_fn/pairable
+    pair it replaces — the wrapper exists so the two halves derive from
+    one (n, threshold) and cannot drift per call site."""
+    from pyspark.sql import functions as F
+
+    from etl_asana_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon zeta"),
+            (3, "too short"),
+            (4, "too short"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        tuple(r) for r in dedup.ngram_dedup_clusters(
+            docs, n=3, threshold=0.1).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in dedup.dedup_clusters_collapsed(
+            docs,
+            rep_pairs_fn=lambda reps: dedup.ngram_jaccard_pairs(
+                reps, n=3, threshold=0.1, collapse=False
+            ).select("doc_a", "doc_b"),
+            pairable=F.size(F.split(F.col("vec"), r"\s+")) >= 3,
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == 6
+    # the duplicated short docs are singletons; the three near-dup texts
+    # (including the identical pair) merge into one cluster.
+    sizes = {r[0]: (r[1], r[2]) for r in got}
+    assert sizes[3][0] != sizes[4][0]
+    assert sizes[0][0] == sizes[1][0] == sizes[2][0]
+
+
 def test_dedup_clusters_collapsed_equals_member_level_cc(spark):
     """dedup_clusters_collapsed (components over the distinct-text rep
     graph, the q_dedup_clusters production path) must equal member-level
