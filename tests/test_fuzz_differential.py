@@ -1827,3 +1827,105 @@ def test_random_conf_perturbation_parity(spark, duck, sf_dir, seed):
                 spark.conf.unset(axis)
             else:
                 spark.conf.set(axis, old)
+
+
+# ---------------------------------------------------------------------------
+# Text-collapse differential (tier 16) — random text corpora with random copy
+# multiplicities vs random thresholds INCLUDING the self-distance boundary,
+# across all four text pair families and the clusters wrapper. The collapse
+# path (one representative per distinct text, _collapsed_pairs) claims
+# bit-identical output to the naive formulation for ANY corpus and ANY
+# threshold; the round-4 review found the claim broke exactly at the
+# boundary (minhash emitted within-group pairs at jaccard_threshold=1.0
+# where approxSimilarityJoin's strict < filter emits nothing), which the
+# fixed-threshold differential test could not see. Boundary values are
+# first-class draws here, and each family's filter strictness (strict <
+# for MinHash distance, inclusive for Jaccard/Hamming) is whatever the
+# naive side actually does — the differential needs no encoding of it.
+# ---------------------------------------------------------------------------
+
+COLLAPSE_SEEDS = list(range(1600, 1610))
+
+
+def _tier16_corpus(rng):
+    words = [f"w{i}" for i in range(rng.randint(5, 40))]
+    base = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(0, 25)))
+        for _ in range(rng.randint(10, 35))
+    ]
+    # near-dup chains off a random anchor + degenerate shapes
+    if base:
+        anchor = rng.choice(base)
+        base += [anchor + " extra", (anchor + " ") * 2]
+    base += ["", "  ", "one two", "\tone  two\n"]
+    rows, i = [], 0
+    for t in base:
+        mult = rng.randint(2, 6) if rng.random() < 0.4 else 1
+        for _ in range(mult):
+            rows.append((i, t))
+            i += 1
+    rows.append((i, None))
+    rng.shuffle(rows)
+    return rows
+
+
+@pytest.mark.parametrize("seed", COLLAPSE_SEEDS)
+def test_random_text_collapse_parity(spark, seed):
+    import random as _random
+
+    from etl_asana_spark.operators import dedup as _dedup
+
+    rng = _random.Random(seed)
+    docs = spark.createDataFrame(
+        _tier16_corpus(rng), "doc_id long, text string"
+    )
+
+    family = rng.choice(["minhash", "simhash", "ngram", "prefix", "clusters"])
+    if family == "minhash":
+        kw = dict(
+            jaccard_threshold=rng.choice([0.2, 0.5, 0.9, 1.0]),
+            shingle_n=rng.choice([2, 3]),
+        )
+        fn, cols = _dedup.minhash_lsh_pairs, ["id_a", "id_b", "jaccard_dist"]
+    elif family == "simhash":
+        kw = dict(max_hamming=rng.choice([-1, 0, 4, 12]))
+        fn, cols = _dedup.simhash_pairs, ["id_a", "id_b", "hamming"]
+    elif family == "ngram":
+        kw = dict(n=rng.choice([2, 3]),
+                  threshold=rng.choice([0.05, 0.5, 1.0, 1.5]))
+        fn, cols = _dedup.ngram_jaccard_pairs, ["doc_a", "doc_b", "jaccard"]
+    elif family == "prefix":
+        kw = dict(n=rng.choice([2, 3]),
+                  threshold=rng.choice([0.05, 0.5, 1.0, 1.5]))
+        fn, cols = (
+            _dedup.prefix_filter_jaccard_pairs,
+            ["doc_a", "doc_b", "jaccard"],
+        )
+    else:
+        n = rng.choice([2, 3])
+        thr = rng.choice([0.05, 0.3, 1.0])
+        got = sorted(
+            tuple(r)
+            for r in _dedup.ngram_dedup_clusters(
+                docs, n=n, threshold=thr
+            ).collect()
+        )
+        naive_pairs = _dedup.ngram_jaccard_pairs(
+            docs, n=n, threshold=thr, collapse=False
+        ).select("doc_a", "doc_b")
+        want = sorted(
+            tuple(r) for r in _dedup.dedup_clusters(naive_pairs, docs).collect()
+        )
+        assert got == want, f"seed={seed} clusters n={n} thr={thr}"
+        return
+
+    got = sorted(
+        tuple(r) for r in fn(docs, collapse=True, **kw).select(*cols).collect()
+    )
+    want = sorted(
+        tuple(r) for r in fn(docs, collapse=False, **kw).select(*cols).collect()
+    )
+    assert got == want, (
+        f"seed={seed} family={family} kw={kw} "
+        f"(+{len(set(got) - set(want))} -{len(set(want) - set(got))})"
+    )
