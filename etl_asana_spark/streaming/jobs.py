@@ -90,9 +90,23 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_engine_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # NO maxFilesPerTrigger: a bounded replay over HISTORICAL files must be
+    # layout-invariant. Part-file boundaries carry no event-time meaning
+    # (any writer interleaves timestamps across files, and the file source
+    # lists by modification time, not event order), so draining file-by-file
+    # advances the watermark between micro-batches and drops
+    # later-listed/earlier-timestamped rows — the answer would depend on how
+    # many files the table happens to be split across (found by
+    # scripts/fragmentation_rehearsal.py: 4 of 7 drains lost rows on a
+    # 90-part events table). AvailableNow with no per-trigger cap processes
+    # every available file in ONE batch: nothing is mid-stream-late, the
+    # final watermark is max(ts) - delay, and the drained result equals the
+    # batch twin for ANY physical layout. Per-trigger caps belong on LIVE
+    # tailing (arrival order ≈ event order); genuinely incremental
+    # multi-batch semantics stay covered by the mtime-pinned staged-arrival
+    # tests (tests/test_watermark_late_data.py, test_streaming.py).
     stream = (
         spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", 1)
         .parquet(_events_stream_dir(sf_dir))
     )
     # Same ts normalization as the batch registry (nanos-long or NTZ → LTZ);
@@ -253,6 +267,15 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
     hash across executors; eviction is watermark-driven, so state size is
     bounded by (active users in the gap window), not history length.
     """
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return _run_to_memory(sessionized(ev, gap_minutes), "update")
+
+
+def sessionized(ev: DataFrame, gap_minutes: int) -> DataFrame:
+    """The applyInPandasWithState sessionization plan over an already-
+    watermarked event stream — factored from ``sessionize_stream`` so tests
+    can drive the state function through an mtime-pinned multi-batch source
+    (the arrival pattern that exposed the un-armable-timeout crash)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
@@ -291,12 +314,26 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
                     if t - last_us > gap_us and n > 0:
                         emit(start_us, last_us, n)
                         start_us, n = t, 0
-                    last_us = t
+                    # max(): a late-but-undropped row merging into live
+                    # state (Spark only guarantees drops AFTER eviction)
+                    # must not regress the session's end backwards
+                    last_us = max(last_us, t)
                     n += 1
-                state.update((start_us, last_us, n))
-                state.setTimeoutTimestamp(
-                    last_us // 1000 + gap_minutes * 60 * 1000
-                )
+                timeout_ms = last_us // 1000 + gap_minutes * 60 * 1000
+                if timeout_ms < state.getCurrentWatermarkMs():
+                    # The watermark already passed this session's close
+                    # time while it was in flight (a multi-batch run where
+                    # the watermark jumped past last+gap before this key's
+                    # rows arrived): the timeout is un-armable
+                    # (setTimeoutTimestamp raises on < watermark) and would
+                    # have fired on the next trigger anyway — the session
+                    # is final, emit it now and clear state. Strictness
+                    # matches EventTimeTimeout: fire iff watermark > timeout.
+                    emit(start_us, last_us, n)
+                    state.remove()
+                else:
+                    state.update((start_us, last_us, n))
+                    state.setTimeoutTimestamp(timeout_ms)
         if out:
             yield pd.DataFrame(
                 {
@@ -307,8 +344,7 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
                 }
             )
 
-    ev = _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
-    sessions = ev.groupBy("user_id").applyInPandasWithState(
+    return ev.groupBy("user_id").applyInPandasWithState(
         sessionize,
         outputStructType="user_id bigint, session_start timestamp, "
                          "session_end timestamp, n_events bigint",
@@ -316,7 +352,6 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    return _run_to_memory(sessions, "update")
 
 
 def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,14 +18,25 @@ from .registry import TABLE_NAMES
 
 
 def duckdb_connect(sf_dir: str):
-    """DuckDB connection with the driver's ten table views registered."""
+    """DuckDB connection with the driver's ten table views registered.
+
+    A table may be a single parquet FILE (the driver's testdata shape) or a
+    DIRECTORY of part files (how Spark itself — and any 100 TB-scale writer —
+    lays tables out); directories are registered through a glob so the oracle
+    reads the same multi-file tables the engine does.
+    """
+    import os
+
     import duckdb
 
     con = duckdb.connect()
     for name in TABLE_NAMES:
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            f"SELECT * FROM read_parquet('{path}')"
         )
     return con
 

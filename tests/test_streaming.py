@@ -341,3 +341,97 @@ def test_session_timeout_boundary_is_strictly_greater(spark):
     ).collect()
     got = [(r.user_id, r.session_end, r.n_events) for r in past]
     assert got == [(1, datetime(2024, 1, 1, 10, 5), 2)]
+
+
+def test_bounded_drain_is_layout_invariant(spark, sf_dir, tmp_path):
+    """Round-4 regression (found by scripts/fragmentation_rehearsal.py): a
+    bounded replay's answer must not depend on how many part files the
+    events table is split across. The old ``maxFilesPerTrigger=1`` drain
+    advanced the watermark between per-file micro-batches, so part files
+    listed later but holding earlier timestamps had their rows dropped as
+    late — 4 of 7 streaming keys lost rows on a 90-part table. This stages
+    the WORST layout (latest timestamps in the first-listed file, so the
+    watermark jumps immediately) and requires the drain to equal the
+    single-file reference exactly."""
+    import os
+    import time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from etl_asana_spark.streaming import jobs
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "descending")]))
+    table_dir = tmp_path / "frag" / "events.parquet"
+    table_dir.mkdir(parents=True)
+    now = int(time.time())
+    n = t.num_rows
+    bounds = [0, n // 3, (2 * n) // 3, n]
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        part = table_dir / f"part-{i:05d}.parquet"
+        pq.write_table(t.slice(lo, hi - lo), part)
+        # file source lists by mtime: descending-ts slice i arrives i-th,
+        # so every later arrival is entirely "late" vs the first file
+        os.utime(part, (now - 300 + i, now - 300 + i))
+
+    got = jobs.tumbling_counts_stream(spark, str(tmp_path / "frag")).toPandas()
+    ref = catalog.queries()["q_stream_tumbling"](spark, sf_dir).toPandas()
+    assert len(got) > 0
+    assert canonical_rows(got) == canonical_rows(ref)
+
+
+def test_session_unarmable_timeout_emits_final_session(spark, tmp_path):
+    """Round-4 regression (found by scripts/fragmentation_rehearsal.py): in
+    a genuinely incremental multi-batch run, a user's rows can arrive after
+    the watermark has already passed ``last_ts + gap`` (the file source
+    delivers files in mtime order; late rows are only GUARANTEED dropped
+    after eviction, and this state never existed to evict). Arming the
+    timeout then raises ``setTimeoutTimestamp: timeout < watermark`` and
+    kills the whole query. The session is simply final: it must be emitted
+    immediately and the state cleared."""
+    import os
+    import time
+    from datetime import datetime
+
+    from etl_asana_spark.streaming import jobs
+
+    base = tmp_path / "sessmb"
+    base.mkdir()
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    now = int(time.time())
+
+    def stage(name, rows, mtime):
+        p = base / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(p))
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: the watermark clock — after it, wm = 12:00 - 10 min = 11:50
+    stage("b1", [(1, datetime(2024, 1, 1, 12, 0), 99, "view", 1.0, "{}")],
+          now - 200)
+    # batch 2: user 1's whole session, 10:00–10:05; timeout would be
+    # 10:35 < 11:50 → un-armable, previously a query-killing crash
+    stage("b2", [(2, datetime(2024, 1, 1, 10, 0), 1, "view", 1.0, "{}"),
+                 (3, datetime(2024, 1, 1, 10, 5), 1, "view", 1.0, "{}")],
+          now - 100)
+
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(base) + "/*")
+        .withWatermark("ts", "10 minutes")
+    )
+    out = jobs._run_to_memory(jobs.sessionized(ev, gap_minutes=30), "update")
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in out.collect()}
+    # user 1's final session emitted despite the un-armable timeout; user
+    # 99's open session stays in (un-emitted) state — its timeout 12:30 is
+    # still ahead of the final watermark
+    assert got == {(1, datetime(2024, 1, 1, 10, 0),
+                    datetime(2024, 1, 1, 10, 5), 2)}

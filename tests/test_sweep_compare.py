@@ -116,3 +116,34 @@ def test_testing_compare_frames_strict_on_mixed_dtype_frames():
     assert compare_frames(a, b), "int-vs-float drift hidden by float sibling"
     assert compare_frames(b, a)
     assert compare_frames(a, a.copy()) == []
+
+
+def test_duckdb_oracle_reads_directory_shaped_tables(tmp_path):
+    """Round-4: the fragmentation rehearsal rewrites each table as a
+    DIRECTORY of part files (the 100 TB-scale layout any Spark writer
+    produces). The oracle must read the same multi-file table the engine
+    does — previously ``read_parquet('<dir>.parquet')`` on a directory
+    raised in DuckDB, so every fragmented-layout sweep died before
+    comparing anything."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_asana_spark.registry import TABLE_NAMES
+    from etl_asana_spark.testing import duckdb_connect
+
+    for name in TABLE_NAMES:
+        if name == "region":
+            d = tmp_path / "region.parquet"
+            d.mkdir()
+            pq.write_table(pa.table({"r_regionkey": [0, 1]}),
+                           d / "part-00000.parquet")
+            pq.write_table(pa.table({"r_regionkey": [2]}),
+                           d / "part-00001.parquet")
+        else:
+            pq.write_table(pa.table({"x": [1]}), tmp_path / f"{name}.parquet")
+
+    con = duckdb_connect(str(tmp_path))
+    assert con.execute(
+        "SELECT count(*), sum(r_regionkey) FROM region"
+    ).fetchone() == (3, 3)
+    con.close()
