@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from etl_asana_spark.functions import parity
 from etl_asana_spark.registry import load_tables
-from etl_asana_spark.testing import compare_frames
+from etl_asana_spark.testing import canonical_rows, compare_frames
 
 
 @dataclass(frozen=True)
@@ -1929,3 +1929,105 @@ def test_random_text_collapse_parity(spark, seed):
         f"seed={seed} family={family} kw={kw} "
         f"(+{len(set(got) - set(want))} -{len(set(want) - set(got))})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming fragmentation differential (tier 17) — a bounded drain's answer
+# must be invariant to the events table's physical layout: part-file count,
+# row order within/across parts, and file mtime (listing) order are all
+# meaningless at 100 TB scale, where every table arrives as many task-written
+# part files. Guards the round-4 fix that removed the per-file trigger from
+# bounded replays (file-by-file draining advanced the watermark between
+# micro-batches and dropped later-listed/earlier-timestamped rows).
+# ---------------------------------------------------------------------------
+
+
+def _tier17_events(rng):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 5, 1, 8, 0)
+    rows = []
+    for i in range(rng.randrange(150, 400)):
+        rows.append((
+            i,
+            base + timedelta(seconds=rng.randrange(0, 6 * 3600)),
+            rng.randrange(1, 12),
+            rng.choice(["view", "click", "purchase"]),
+            round(rng.uniform(0, 50), 2),
+            "{}",
+        ))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [1700, 1701, 1702])
+def test_fuzz_stream_drain_layout_invariance(spark, tmp_path, seed):
+    import os
+    import time
+
+    from etl_asana_spark.streaming import jobs
+
+    rng = random.Random(seed)
+    rows = _tier17_events(rng)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.parquet(str(ref_dir / "events.parquet"))
+
+    # hostile layout: shuffled rows, ragged part slices, random mtime order
+    frag_table = tmp_path / "frag" / "events.parquet"
+    frag_table.mkdir(parents=True)
+    rng.shuffle(rows)
+    n_parts = rng.randrange(2, 8)
+    cuts = sorted(rng.sample(range(1, len(rows)), n_parts - 1))
+    bounds = [0, *cuts, len(rows)]
+    mtimes = list(range(n_parts))
+    rng.shuffle(mtimes)
+    now = int(time.time())
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        part = frag_table / f"p{i}"
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.parquet(
+            str(part)
+        )
+        for root, _, files in os.walk(part):
+            for f in files:
+                os.utime(os.path.join(root, f),
+                         (now - 300 + mtimes[i], now - 300 + mtimes[i]))
+
+    # parquet dir-of-dirs: flatten each slice's part file up one level so the
+    # table dir is a plain directory of parquet files
+    import shutil
+
+    for i in range(n_parts):
+        part = frag_table / f"p{i}"
+        for f in os.listdir(part):
+            if f.endswith(".parquet"):
+                st = os.stat(part / f)
+                shutil.move(str(part / f), str(frag_table / f"part-{i:04d}.parquet"))
+                os.utime(frag_table / f"part-{i:04d}.parquet",
+                         (st.st_atime, st.st_mtime))
+        shutil.rmtree(part)
+
+    if rng.random() < 0.5:
+        window = rng.choice(["17 minutes", "45 minutes", "1 hour"])
+        wm = rng.choice(["5 minutes", "30 minutes"])
+        got = jobs.tumbling_counts_stream(
+            spark, str(tmp_path / "frag"), window=window, watermark=wm
+        ).toPandas()
+        want = jobs.tumbling_counts_stream(
+            spark, str(ref_dir), window=window, watermark=wm
+        ).toPandas()
+        label = f"tumbling {window}/{wm}"
+    else:
+        gap = rng.choice([7, 30, 90])
+        got = jobs.sessionize_stream(
+            spark, str(tmp_path / "frag"), gap_minutes=gap
+        ).toPandas()
+        want = jobs.sessionize_stream(
+            spark, str(ref_dir), gap_minutes=gap
+        ).toPandas()
+        label = f"session gap={gap}"
+
+    assert canonical_rows(got) == canonical_rows(want), f"seed={seed} {label}"
