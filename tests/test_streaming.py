@@ -435,3 +435,97 @@ def test_session_unarmable_timeout_emits_final_session(spark, tmp_path):
     # still ahead of the final watermark
     assert got == {(1, datetime(2024, 1, 1, 10, 0),
                     datetime(2024, 1, 1, 10, 5), 2)}
+
+
+def test_checkpoint_restart_is_incremental_and_exactly_once(spark, tmp_path):
+    """The production shape of incremental sync (SURVEY §3.3): a CRON of
+    bounded AvailableNow runs sharing ONE checkpoint + file sink. Run 2
+    must resume from the checkpointed file log — processing only files
+    that arrived since run 1, never re-emitting a window run 1 already
+    appended — and the union of both runs must equal one single run over
+    all files (live-tailing arrival: mtime order == event-time order, so
+    nothing is late at a run boundary)."""
+    import os
+    import time
+    from datetime import datetime
+
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    now = int(time.time())
+
+    def stage(name, rows, mtime):
+        p = src / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(p))
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(p, (mtime, mtime))
+
+    def run_available_now():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(str(src) + "/*")
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("bucket"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def sink_rows():
+        return sorted(
+            (r.bucket, r.n)
+            for r in spark.read.parquet(str(sink)).collect()
+        )
+
+    # run 1: two hours of data; watermark ends at 11:50 → the 09:00 and
+    # 10:00 windows close and are appended
+    stage("b1", [(1, datetime(2024, 1, 1, 9, 30), 1, "view", 1.0, "{}"),
+                 (2, datetime(2024, 1, 1, 9, 45), 1, "view", 1.0, "{}")],
+          now - 300)
+    stage("b2", [(3, datetime(2024, 1, 1, 10, 20), 2, "view", 1.0, "{}"),
+                 (4, datetime(2024, 1, 1, 12, 0), 2, "view", 1.0, "{}")],
+          now - 200)
+    run_available_now()
+    after_run1 = sink_rows()
+    assert after_run1 == [
+        (datetime(2024, 1, 1, 9, 0), 2),
+        (datetime(2024, 1, 1, 10, 0), 1),
+    ]
+
+    # new file lands between runs: closes the 12:00 window (watermark
+    # 13:50), opens 14:00
+    stage("b3", [(5, datetime(2024, 1, 1, 12, 30), 1, "view", 1.0, "{}"),
+                 (6, datetime(2024, 1, 1, 14, 0), 3, "view", 1.0, "{}")],
+          now - 100)
+
+    # run 2, SAME checkpoint + sink: only b3 is new; the 09:00/10:00
+    # windows were emitted AND evicted in run 1 — recovery must not
+    # re-read b1/b2 or re-append those rows
+    run_available_now()
+    after_run2 = sink_rows()
+    assert after_run2 == [
+        (datetime(2024, 1, 1, 9, 0), 2),
+        (datetime(2024, 1, 1, 10, 0), 1),
+        (datetime(2024, 1, 1, 12, 0), 2),
+    ]
+
+    # and the two-run union equals one fresh single run over all files
+    fresh_sink, fresh_ckpt = tmp_path / "sink2", tmp_path / "ckpt2"
+    sink, ckpt = fresh_sink, fresh_ckpt
+    run_available_now()
+    assert sink_rows() == after_run2
