@@ -529,3 +529,80 @@ def test_checkpoint_restart_is_incremental_and_exactly_once(spark, tmp_path):
     sink, ckpt = fresh_sink, fresh_ckpt
     run_available_now()
     assert sink_rows() == after_run2
+
+
+def test_sessionize_state_survives_checkpoint_restart(spark, tmp_path):
+    """Stateful restart recovery: an OPEN session's state (start, last, n)
+    must round-trip through the state store across two bounded runs
+    sharing one checkpoint. Run 1 leaves user 1's session open; run 2
+    delivers more of the same session (within the gap), then a far-future
+    row whose watermark times the session out — the emitted session must
+    span BOTH runs' events, proving run 2 merged into recovered state
+    rather than starting fresh."""
+    import os
+    import time
+    from datetime import datetime
+
+    from etl_asana_spark.streaming import jobs
+
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    now = int(time.time())
+
+    def stage(name, rows, mtime):
+        p = src / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(p))
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(p, (mtime, mtime))
+
+    sink = tmp_path / "sink"
+
+    def run_available_now():
+        ev = (
+            spark.readStream.schema(schema)
+            .parquet(str(src) + "/*")
+            .withWatermark("ts", "10 minutes")
+        )
+
+        # memory sinks cannot recover from a checkpoint; foreachBatch can
+        def append(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(str(sink))
+
+        q = (
+            jobs.sessionized(ev, gap_minutes=30)
+            .writeStream.foreachBatch(append)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if not sink.exists():
+            return []
+        return spark.read.parquet(str(sink)).collect()
+
+    # run 1: user 1's session opens (10:00, 10:10); timeout arms at 10:40,
+    # watermark only reaches 10:00 — nothing emits, state persists
+    stage("b1", [(1, datetime(2024, 1, 1, 10, 0), 1, "view", 1.0, "{}"),
+                 (2, datetime(2024, 1, 1, 10, 10), 1, "view", 1.0, "{}")],
+          now - 300)
+    assert run_available_now() == []
+
+    # run 2, same checkpoint: event 3 continues the session (10:25, within
+    # the 30-min gap of recovered last=10:10); event 4 pushes the final
+    # watermark to 11:50 > 10:55 timeout → the session emits, spanning
+    # both runs
+    stage("b2", [(3, datetime(2024, 1, 1, 10, 25), 1, "view", 1.0, "{}"),
+                 (4, datetime(2024, 1, 1, 12, 0), 99, "view", 1.0, "{}")],
+          now - 100)
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in run_available_now()}
+    assert got == {(1, datetime(2024, 1, 1, 10, 0),
+                    datetime(2024, 1, 1, 10, 25), 3)}
