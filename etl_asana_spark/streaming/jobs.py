@@ -314,10 +314,14 @@ def sessionized(ev: DataFrame, gap_minutes: int) -> DataFrame:
                     if t - last_us > gap_us and n > 0:
                         emit(start_us, last_us, n)
                         start_us, n = t, 0
-                    # max(): a late-but-undropped row merging into live
-                    # state (Spark only guarantees drops AFTER eviction)
-                    # must not regress the session's end backwards
+                    # max()/min(): a late-but-undropped row merging into
+                    # live state (Spark only guarantees drops AFTER
+                    # eviction) must not regress the session's end
+                    # backwards — and symmetrically must WIDEN the start,
+                    # else the row is counted in n_events while falling
+                    # outside the emitted [session_start, session_end].
                     last_us = max(last_us, t)
+                    start_us = min(start_us, t)
                     n += 1
                 timeout_ms = last_us // 1000 + gap_minutes * 60 * 1000
                 if timeout_ms < state.getCurrentWatermarkMs():

@@ -56,7 +56,11 @@ def rewrite(src: str, dst: str, *, shuffle: bool, seed: int = 4242) -> None:
     os.makedirs(dst, exist_ok=True)
     for name in TABLES:
         t = pq.read_table(f"{src}/{name}.parquet")
-        rng = random.Random((seed, name).__hash__())
+        # Cross-process-stable seed: tuple.__hash__ salts str hashing per
+        # process (PYTHONHASHSEED), which made a failing layout impossible to
+        # reproduce by re-running with the same seed. random.Random(str) goes
+        # through SHA-512 and is stable everywhere.
+        rng = random.Random(f"{seed}:{name}")
         if shuffle:
             idx = list(range(t.num_rows))
             rng.shuffle(idx)

@@ -606,3 +606,57 @@ def test_sessionize_state_survives_checkpoint_restart(spark, tmp_path):
            for r in run_available_now()}
     assert got == {(1, datetime(2024, 1, 1, 10, 0),
                     datetime(2024, 1, 1, 10, 25), 3)}
+
+
+def test_sessionize_late_row_widens_session_start(spark, tmp_path):
+    """Round-5 ADVICE regression: a late-but-undropped row with
+    ``t < start_us`` merging into live state was counted in ``n_events``
+    while ``session_start`` stayed put — the emitted row claimed 3 events
+    inside an interval that only contains 2. The start side must mirror the
+    end side's monotonicity rule: ``start_us = min(start_us, t)``."""
+    import os
+    import time
+    from datetime import datetime
+
+    from etl_asana_spark.streaming import jobs
+
+    base = tmp_path / "sesslate"
+    base.mkdir()
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    now = int(time.time())
+
+    def stage(name, rows, mtime):
+        p = base / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(p))
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: session opens at 10:10-10:15; watermark after = 10:05
+    stage("b1", [(1, datetime(2024, 1, 1, 10, 10), 1, "view", 1.0, "{}"),
+                 (2, datetime(2024, 1, 1, 10, 15), 1, "view", 1.0, "{}")],
+          now - 300)
+    # batch 2: LATE row at 10:07 — older than live start 10:10 but newer
+    # than the 10:05 watermark, so Spark does not drop it; it merges into
+    # the open session and must WIDEN session_start to 10:07
+    stage("b2", [(3, datetime(2024, 1, 1, 10, 7), 1, "view", 1.0, "{}")],
+          now - 200)
+    # batch 3: watermark clock → wm 11:50 > timeout 10:45, session emits
+    stage("b3", [(4, datetime(2024, 1, 1, 12, 0), 99, "view", 1.0, "{}")],
+          now - 100)
+
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(base) + "/*")
+        .withWatermark("ts", "10 minutes")
+    )
+    out = jobs._run_to_memory(jobs.sessionized(ev, gap_minutes=30), "update")
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in out.collect()}
+    assert got == {(1, datetime(2024, 1, 1, 10, 7),
+                    datetime(2024, 1, 1, 10, 15), 3)}
