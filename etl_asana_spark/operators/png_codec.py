@@ -75,6 +75,14 @@ def encode_png(
     for y in range(height):
         row = pixels[y * stride : (y + 1) * stride]
         raw.append(filter_type)
+        if filter_type == 0:
+            # Fast path: filter None stores the scanline verbatim — no
+            # per-byte loop. This is the re-encode path of the resize
+            # kernel (224×224×3 ≈ 150 KB per image), where the byte loop
+            # was the measured hot spot.
+            raw.extend(row)
+            prev = row
+            continue
         for i in range(stride):
             left = row[i - bpp] if i >= bpp else 0
             up = prev[i]
@@ -225,12 +233,19 @@ def resize_nearest(
     """Nearest-neighbor resample of raw pixel rows — the pure-Python resize
     kernel (PIL's ``Image.resize`` default is also nearest)."""
     stride = width * bpp
+    # Column sample offsets are identical for every output row; distinct
+    # source rows number at most ``height`` — build each resampled row once
+    # and reuse it (an upscale repeats source rows new_h/height times, so
+    # the cache turns an O(new_w * new_h) pixel loop into O(new_w * height)).
+    col_offs = [min(x * width // new_w, width - 1) * bpp for x in range(new_w)]
+    row_cache: dict[int, bytes] = {}
     out = bytearray()
     for y in range(new_h):
         sy = min(y * height // new_h, height - 1)
-        base = sy * stride
-        for x in range(new_w):
-            sx = min(x * width // new_w, width - 1)
-            o = base + sx * bpp
-            out.extend(pixels[o : o + bpp])
+        row = row_cache.get(sy)
+        if row is None:
+            base = sy * stride
+            row = b"".join(pixels[base + o : base + o + bpp] for o in col_offs)
+            row_cache[sy] = row
+        out.extend(row)
     return bytes(out)

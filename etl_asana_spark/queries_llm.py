@@ -487,9 +487,17 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     result frame with pandas ``sort_values`` and ndarray cells crash it —
     the r03 gate red. Library users call ``extract_features`` directly and
     keep the typed array contract; only the registered comparison surface
-    flattens it."""
+    flattens it.
+
+    Since round 5 the registered fixture is :func:`attach_png_payload` —
+    REAL PNG bytes — so the gate exercises the stdlib decode tier
+    end-to-end in this PIL-less container, not the stub (row-count
+    contract unchanged: one feature row per document). Decode parallelism
+    is partition count, so the single-file documents table is repartitioned
+    across the cluster before the Python kernels."""
     t = load_tables(spark, sf_dir)
-    media = multimodal.attach_binary_payload(t["documents"])
+    docs = t["documents"].repartition(spark.sparkContext.defaultParallelism)
+    media = multimodal.attach_png_payload(docs)
     feats = multimodal.extract_features(media)
     return feats.select(
         "doc_id",
@@ -504,19 +512,24 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_multimodal_resize")
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#75 resize stage: binary in → binary out at 224×224 (stub kernel,
-    real Arrow-batched plumbing; rows-only)."""
+    """#75 resize stage: binary in → binary out at 224×224 (rows-only).
+    PNG fixtures since round 5: the stdlib tier genuinely decodes,
+    nearest-neighbor resamples, and re-encodes every payload."""
     t = load_tables(spark, sf_dir)
-    media = multimodal.attach_binary_payload(t["documents"])
+    docs = t["documents"].repartition(spark.sparkContext.defaultParallelism)
+    media = multimodal.attach_png_payload(docs)
     return multimodal.resize_media(media, 224, 224)
 
 
 @register("q_multimodal_frames")
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#75 frame sampling: one payload row → 4 evenly-spaced frame rows
-    (one-to-many mapInPandas fan-out, executor-side; rows-only)."""
+    (one-to-many mapInPandas fan-out, executor-side; rows-only). PNG
+    fixtures since round 5 (the frame kernel itself still stub-slices —
+    video decode genuinely requires an ffmpeg binding, absent here)."""
     t = load_tables(spark, sf_dir)
-    media = multimodal.attach_binary_payload(t["documents"])
+    docs = t["documents"].repartition(spark.sparkContext.defaultParallelism)
+    media = multimodal.attach_png_payload(docs)
     return multimodal.sample_frames(media, n_frames=4)
 
 

@@ -119,9 +119,12 @@ def test_multimodal_features_shape_and_determinism(spark, sf_dir):
     rows = out.collect()
     docs = load_tables(spark, sf_dir)["documents"]
     assert len(rows) == docs.count()
-    n_chars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
     for r in rows:
-        assert r["n_bytes"] == n_chars[r["doc_id"]]  # ASCII text: bytes == chars
+        # Round-5: the registered fixture is real PNG bytes, so n_bytes is
+        # the encoded payload size (strictly larger than the pixel rows it
+        # carries: 8-byte signature + IHDR/IDAT/IEND framing).
+        assert r["media_type"] == "image/png"
+        assert r["n_bytes"] > 8
         feat = [int(v) / 1e6 for v in r["feat"].split("|")]
         assert len(feat) == 8
         assert all(-1e-6 <= x <= 1.0 + 1e-6 for x in feat)
@@ -241,6 +244,35 @@ def test_multimodal_frame_sampling_fanout(spark, sf_dir):
     assert (out["frame_bytes"] > 0).all()
     per_doc = out.groupby("doc_id").size()
     assert (per_doc == 4).all()
+
+
+def test_registered_multimodal_keys_dispatch_png_tier(spark, sf_dir):
+    """Round-5 gate-surface pin: the REGISTERED q_multimodal* keys must
+    exercise the real stdlib PNG decode tier in this PIL-less container,
+    not the stub. Two tier-discriminating invariants:
+
+    - the PNG decode tier returns the TRUE image width as the kernel's
+      first tuple element (the ``checksum`` column), which equals the
+      fixture metadata width; the stub returns a byte-statistics hash
+      ``% 1920`` that is independent of the 4..16-pixel fixture widths;
+    - the resize key's output payloads must PARSE as 224×224 PNGs — the
+      stub emits byte-length-scaled slices that carry no PNG signature."""
+    from etl_asana_spark.operators import png_codec
+
+    qs = catalog.queries()
+    feats = qs["q_multimodal"](spark, sf_dir).collect()
+    assert len(feats) > 0
+    for r in feats:
+        assert r["media_type"] == "image/png"
+        assert r["checksum"] == r["width"], (
+            "stub tier ran for doc %s" % r["doc_id"]
+        )
+        assert 4 <= r["width"] <= 16 and 3 <= r["height"] <= 9
+
+    resized = qs["q_multimodal_resize"](spark, sf_dir).limit(8).collect()
+    for r in resized:
+        w, h, bpp, _ = png_codec.decode_png(bytes(r["payload"]))
+        assert (w, h, bpp) == (224, 224, 3)
 
 
 def test_multimodal_kernel_dispatch_prefers_real_decoder(monkeypatch):
