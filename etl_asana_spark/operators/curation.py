@@ -82,13 +82,18 @@ def pack_sequences(
 
     The pretraining batch-construction step: short documents are packed
     together so every training row is near the context length. Exact global
-    first-fit is inherently sequential, so the engine packs per partition —
-    docs are range-partitioned and sorted by id (deterministic membership
-    AND order, so reruns give identical sequences), each partition packs its
-    run independently, and ``seq_id`` namespaces by partition. Packing
-    efficiency loss vs global is at most one underfull tail sequence per
-    partition — negligible when partitions hold thousands of docs, which is
-    the 100 TB operating point.
+    first-fit is inherently sequential, so the engine packs per bucket —
+    docs are grouped on ``id % parts`` and sorted by id inside each group
+    (round-5: bucket arithmetic replaced ``repartitionByRange``, whose
+    RESERVOIR-SAMPLED boundaries depended on the input's physical layout —
+    the packing is now a pure function of (ids, token counts, parts),
+    invariant to file count and row order, and exactly reproducible by a
+    SQL oracle). Each group packs independently under ``applyInPandas``;
+    ``seq_id`` namespaces by bucket. Packing efficiency loss vs global
+    first-fit is at most one underfull tail sequence per bucket —
+    negligible when buckets hold thousands of docs, which is the 100 TB
+    operating point (scale ``parts`` with the corpus; a group must fit one
+    executor's pandas heap).
 
     Docs longer than ``max_tokens`` get a sequence of their own (real
     pipelines chunk them upstream; packing must not drop them).
@@ -96,42 +101,34 @@ def pack_sequences(
     import pandas as pd
 
     n_parts = parts or max(docs.rdd.getNumPartitions(), 1)
-    arranged = (
-        docs.select(id_col, token_col)
-        .repartitionByRange(n_parts, F.col(id_col))
-        .sortWithinPartitions(id_col)
+    bucketed = docs.select(
+        id_col, token_col, F.pmod(F.col(id_col), F.lit(n_parts)).alias("_bucket")
     )
 
-    def pack(batches):
-        pid = None
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        bucket = int(pdf["_bucket"].iloc[0])
         seqs: list[tuple[list[int], int]] = []
         cur_ids: list[int] = []
         cur_tok = 0
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            if pid is None:
-                pid = int(pdf[id_col].iloc[0])  # namespace: first id in part
-            for did, tok in zip(pdf[id_col], pdf[token_col]):
-                if tok != tok or tok is None:  # NULL token count (NaN in
-                    continue  # pandas): doc is outside the packing domain
-                tok = int(tok)
-                if cur_ids and cur_tok + tok > max_tokens:
-                    seqs.append((cur_ids, cur_tok))
-                    cur_ids, cur_tok = [], 0
-                cur_ids.append(int(did))
-                cur_tok += tok
+        for did, tok in zip(pdf[id_col], pdf[token_col]):
+            if tok != tok or tok is None:  # NULL token count (NaN in
+                continue  # pandas): doc is outside the packing domain
+            tok = int(tok)
+            if cur_ids and cur_tok + tok > max_tokens:
+                seqs.append((cur_ids, cur_tok))
+                cur_ids, cur_tok = [], 0
+            cur_ids.append(int(did))
+            cur_tok += tok
         if cur_ids:
             seqs.append((cur_ids, cur_tok))
-        if not seqs:
-            return
-        yield pd.DataFrame(
+        return pd.DataFrame(
             {
-                "seq_id": [pid * 1_000_000 + i for i in range(len(seqs))],
+                "seq_id": [bucket * 1_000_000 + i for i in range(len(seqs))],
                 "doc_ids": [ids for ids, _ in seqs],
                 "n_docs": [len(ids) for ids, _ in seqs],
                 "total_tokens": [t for _, t in seqs],
             }
         )
 
-    return arranged.mapInPandas(pack, schema=PACKED_SCHEMA)
+    return bucketed.groupBy("_bucket").applyInPandas(pack, schema=PACKED_SCHEMA)

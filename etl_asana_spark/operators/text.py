@@ -114,6 +114,24 @@ def shingle_hashes(tokens_col: str, n: int = 3) -> Column:
     return F.transform(shingles(tokens_col, n), lambda s: F.xxhash64(s))
 
 
+def poly_hash(col: Column | str, base: int = 131, mod: int = 1 << 40) -> Column:
+    """Engine-neutral polynomial rolling hash over the string's code points
+    (``h → (h·base + codepoint) mod 2⁴⁰``), the textbook Rabin-Karp form.
+
+    Stays in whole-stage codegen via the ``aggregate`` HOF, and — unlike
+    ``xxhash64`` — is exactly reproducible in DuckDB (``list_reduce`` +
+    ``unicode``), which is what lets the fingerprint key carry a full SQL
+    oracle. The modulus keeps every intermediate below 2⁴⁷ so ANSI
+    overflow checks can never fire. Prefer :func:`doc_fingerprint`'s
+    JVM-native ``xxhash64`` when cross-engine equality is not required —
+    it is one codegen call per value instead of a per-character fold."""
+    return F.aggregate(
+        F.split(_c(col), ""),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * F.lit(base) + F.ascii(c)) % F.lit(mod),
+    )
+
+
 def doc_fingerprint(text_col: Column | str, tokens_col: str, n: int = 3) -> dict[str, Column]:
     """Document fingerprints (rolling-hash family): full-text 64-bit hash,
     plus min/max over the shingle-hash stream (1-permutation MinHash)."""

@@ -426,16 +426,56 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_text_fingerprint")
+@register(
+    "q_text_fingerprint",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN []
+                    ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          FOR i IN generate_series(1, len(t) - 2)] END AS shingles
+        FROM toks
+    ), hashed AS (
+        SELECT doc_id,
+               list_transform(shingles, s ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(s, ''),
+                                      c -> CAST(unicode(c) AS BIGINT))),
+                       (a, x) -> (a * 131 + x) % 1099511627776)) AS hs
+        FROM sh
+    )
+    SELECT t.doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(t.text, ''),
+                              c -> CAST(unicode(c) AS BIGINT))),
+               (a, x) -> (a * 131 + x) % 1099511627776) AS text_hash,
+           list_min(h.hs) AS min_shingle_hash,
+           list_max(h.hs) AS max_shingle_hash
+    FROM toks t JOIN hashed h USING (doc_id)
+    """,
+)
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprints (xxhash64 full text + min/max shingle hash) —
-    no DuckDB xxhash64 twin → rows-only; determinism tested."""
+    """Document fingerprints: polynomial rolling hash of the full text plus
+    min/max over the shingle-hash stream (1-permutation MinHash).
+
+    SQL-oracle-checked since round 5: the round-4 version hashed with
+    ``xxhash64`` (JVM-only, no DuckDB twin → rows-only); the registered key
+    now uses the engine-neutral Rabin-Karp fold (operators.text.poly_hash),
+    which DuckDB replays character-for-character. The xxhash64 family
+    remains the library fast path (operators.text.doc_fingerprint)."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"].select(
         "doc_id", "text", text.ws_tokens("text").alias("toks")
     )
-    fps = text.doc_fingerprint("text", "toks", n=3)
-    return docs.select("doc_id", *[c.alias(name) for name, c in fps.items()])
+    hs = F.transform(text.shingles("toks", 3), lambda s: text.poly_hash(s))
+    return docs.select(
+        "doc_id",
+        text.poly_hash("text").alias("text_hash"),
+        F.array_min(hs).alias("min_shingle_hash"),
+        F.array_max(hs).alias("max_shingle_hash"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -753,11 +793,43 @@ def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_pack_sequences")
+@register(
+    "q_pack_sequences",
+    oracle="""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS tok, doc_id % 8 AS b
+        FROM documents
+    ), r AS (
+        SELECT b, doc_id, tok,
+               row_number() OVER (PARTITION BY b ORDER BY doc_id) AS rn
+        FROM docs
+    ), rec AS (
+        SELECT b, rn, doc_id, tok, tok AS cur, 0 AS seq
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.b, r.rn, r.doc_id, r.tok,
+               CASE WHEN rec.cur + r.tok <= 512
+                    THEN rec.cur + r.tok ELSE r.tok END,
+               CASE WHEN rec.cur + r.tok <= 512
+                    THEN rec.seq ELSE rec.seq + 1 END
+        FROM rec JOIN r ON r.b = rec.b AND r.rn = rec.rn + 1
+    )
+    SELECT CAST(b * 1000000 + seq AS BIGINT) AS seq_id,
+           string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY rn) AS doc_ids,
+           CAST(COUNT(*) AS INT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens
+    FROM rec GROUP BY b, seq
+    """,
+)
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: greedy first-fit of docs into ≤512-token training
-    rows, per range partition with deterministic order (rows-only; exact
-    packing is order-dependent, invariants tested in tests/test_llm_ops.py).
+    rows, per deterministic ``doc_id % 8`` bucket in ascending-id order.
+
+    SQL-oracle-checked since round 5: the round-4 version range-partitioned
+    on sampled boundaries (layout-dependent, inexpressible in SQL); the
+    bucket form is a pure function of the inputs, so DuckDB replays the
+    exact greedy scan with a recursive CTE (running-capacity reset is the
+    one packing step window functions cannot express).
 
     ``doc_ids`` is serialized to a '|'-joined string at the query boundary
     (driver's canonicalizer can't sort list cells — the q_multimodal r03

@@ -11,9 +11,10 @@ oracle as a ``wm`` CTE. Float sums go through the fixed-point ``dsum``
 accumulator (functions/parity.py) so the stateful partial-merge order cannot
 perturb low bits.
 
-Only ``q_stream_source_sync`` stays rows-only: it drains the custom
-sync-token DataSource over an NDJSON fixture, which the oracle's
-pre-registered parquet views cannot see.
+Since round 5 every streaming key carries a SQL oracle:
+``q_stream_source_sync`` drains the custom sync-token DataSource over a
+committed NDJSON fixture, which DuckDB reads directly via ``read_json``
+(the q_ingest_json pattern).
 """
 
 from __future__ import annotations
@@ -214,10 +215,21 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.stream_stream_join(spark, sf_dir)
 
 
-@register("q_stream_source_sync")
+@register(
+    "q_stream_source_sync",
+    oracle=f"""
+    SELECT type, COUNT(*) AS n_stories
+    FROM read_json('{jobs.STORIES_FIXTURE}', format='newline_delimited',
+                    columns={{'type': 'VARCHAR'}})
+    GROUP BY type
+    """,
+)
 def q_stream_source_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python streaming DataSource: the Events-API sync-token poll
     loop as a first-class readStream format (offset dict = sync token,
-    checkpointed by Spark). Rows-only; totals are property-checked against
-    the direct fixture read in tests/test_streaming.py."""
+    checkpointed by Spark). SQL-oracle-checked since round 5: a fully
+    drained sync feed is exactly the batch aggregate of the fixture, which
+    DuckDB reads via ``read_json`` (the q_ingest_json pattern, driver-proven
+    in r02) — the fixture is committed, so the oracle never races the
+    engine's lazy fixture generation."""
     return jobs.sync_token_source_stream(spark)

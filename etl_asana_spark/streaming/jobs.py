@@ -28,10 +28,14 @@ from pyspark.sql import functions as F
 
 from ..functions.parity import dsum
 from ..scratch import fresh_dir
-
 from ..session import ensure_engine_confs
+from ..sources.fixtures import FIXTURES_DIR
 
 _STAGE_DIRS: dict[str, str] = {}
+
+#: The sync-token source's committed change feed — module-level so the
+#: registered key's DuckDB oracle can embed the same absolute path.
+STORIES_FIXTURE = str(FIXTURES_DIR / "stories.ndjson")
 
 #: State-store partition count for the bounded demo/test runs. Stateful
 #: operators create one state store per shuffle partition per micro-batch;
@@ -442,12 +446,11 @@ def sync_token_source_stream(spark: SparkSession) -> DataFrame:
     checkpoint Spark keeps for this source IS the reference's sync token —
     recovery replays readBetweenOffsets deterministically."""
     from ..sources.datasource import register_asana_stream_source
-    from ..sources.fixtures import FIXTURES_DIR
 
     register_asana_stream_source(spark)
     feed = (
         spark.readStream.format("asana_events")
-        .option("path", str(FIXTURES_DIR / "stories.ndjson"))
+        .option("path", STORIES_FIXTURE)
         .option("batch_lines", "100")  # four polls per drain: real pagination
         .load()
     )
