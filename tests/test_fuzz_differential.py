@@ -2031,3 +2031,120 @@ def test_fuzz_stream_drain_layout_invariance(spark, tmp_path, seed):
         label = f"session gap={gap}"
 
     assert canonical_rows(got) == canonical_rows(want), f"seed={seed} {label}"
+
+
+# ---------------------------------------------------------------------------
+# Sequence-packing differential (tier 18) — pack_sequences must equal a
+# pure-Python greedy reference on random (id, n_tokens) corpora, for any
+# upstream partitioning. Guards the round-5 rewrite that replaced sampled
+# range boundaries with doc_id % parts bucketing: the packing is now a pure
+# function of (ids, token counts, parts) and the SQL oracle replays it — so
+# any Spark-side deviation from the plain greedy scan is a gate red.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [1800, 1801, 1802, 1803])
+def test_fuzz_pack_sequences_vs_python_reference(spark, seed):
+    from etl_asana_spark.operators.curation import pack_sequences
+
+    rng = random.Random(seed)
+    n_docs = rng.randrange(30, 220)
+    max_tokens = rng.choice([64, 120, 512])
+    parts = rng.choice([1, 3, 8])
+    # sparse, shuffled, duplicate-free ids; token counts span sub- and
+    # OVERSIZED-doc cases (an oversized doc must ride alone, not vanish)
+    ids = rng.sample(range(0, 5000), n_docs)
+    toks = {i: rng.choice([1, 5, 17, max_tokens - 1, max_tokens,
+                           max_tokens + rng.randrange(1, 200)]) for i in ids}
+
+    def reference():
+        seqs = []
+        for b in sorted({i % parts for i in ids}):
+            cur_ids: list[int] = []
+            cur_tok = 0
+            n_seq = 0
+            for did in sorted(i for i in ids if i % parts == b):
+                t = toks[did]
+                if cur_ids and cur_tok + t > max_tokens:
+                    seqs.append((b * 1_000_000 + n_seq, tuple(cur_ids),
+                                 len(cur_ids), cur_tok))
+                    n_seq += 1
+                    cur_ids, cur_tok = [], 0
+                cur_ids.append(did)
+                cur_tok += t
+            if cur_ids:
+                seqs.append((b * 1_000_000 + n_seq, tuple(cur_ids),
+                             len(cur_ids), cur_tok))
+        return sorted(seqs)
+
+    rows = [(i, toks[i]) for i in ids]
+    rng.shuffle(rows)
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(
+        rng.choice([1, 5, 13])
+    )
+    got = sorted(
+        (r["seq_id"], tuple(r["doc_ids"]), r["n_docs"], r["total_tokens"])
+        for r in pack_sequences(docs, max_tokens=max_tokens, parts=parts).collect()
+    )
+    assert got == reference(), (
+        f"seed={seed} n_docs={n_docs} max={max_tokens} parts={parts}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash differential (tier 19) — poly_hash must be the identical pure
+# function of the string's code points in all THREE engines (Spark codegen
+# HOF fold, DuckDB list_reduce, plain Python), including astral-plane
+# characters (emoji), combining marks, and whitespace/punctuation runs.
+# Guards the round-5 q_text_fingerprint oracle upgrade: the SQL oracle
+# re-implements the fold, so any per-character drift (split semantics,
+# codepoint function, modulus overflow) is a silent corpus-wide mismatch.
+# ---------------------------------------------------------------------------
+
+_TIER19_ALPHABET = (
+    "abcXYZ 019 .,;!?-_'\"éüñß 汉字 кирилл αβγ \U0001F600\U0001F680"
+    "\U0001D54Á \t"
+)
+
+
+@pytest.mark.parametrize("seed", [1900, 1901, 1902, 1903])
+def test_fuzz_poly_hash_three_engine_agreement(spark, duck, seed):
+    from etl_asana_spark.operators.text import poly_hash
+
+    rng = random.Random(seed)
+    texts = [
+        "".join(rng.choice(_TIER19_ALPHABET) for _ in range(rng.randrange(1, 80)))
+        for _ in range(40)
+    ]
+
+    M = 1 << 40
+
+    def py_hash(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 131 + ord(ch)) % M
+        return h
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got_spark = {
+        r["i"]: r["h"]
+        for r in df.select("i", poly_hash("text").alias("h")).collect()
+    }
+    duck_expr = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(t.text, ''), "
+        "c -> CAST(unicode(c) AS BIGINT))), "
+        "(a, x) -> (a * 131 + x) % 1099511627776)"
+    )
+    got_duck = dict(
+        duck.execute(
+            f"SELECT t.i, {duck_expr} AS h FROM "
+            "(SELECT UNNEST(range(?)) AS i, UNNEST(?) AS text) t",
+            [len(texts), texts],
+        ).fetchall()
+    )
+    for i, t in enumerate(texts):
+        want = py_hash(t)
+        assert got_spark[i] == want, f"seed={seed} spark i={i} {t!r}"
+        assert got_duck[i] == want, f"seed={seed} duckdb i={i} {t!r}"
