@@ -122,6 +122,19 @@ def pack_sequences(
             cur_tok += tok
         if cur_ids:
             seqs.append((cur_ids, cur_tok))
+        if not seqs:
+            # Typed empty frame: a bare ``pd.DataFrame({.. : []})`` makes
+            # float64 numpy columns, which Arrow cannot convert to the
+            # declared ``array<long>`` (an all-NULL-token group — every doc
+            # outside the packing domain — hits this).
+            return pd.DataFrame(
+                {
+                    "seq_id": pd.Series(dtype="int64"),
+                    "doc_ids": pd.Series(dtype="object"),
+                    "n_docs": pd.Series(dtype="int64"),
+                    "total_tokens": pd.Series(dtype="int64"),
+                }
+            )
         return pd.DataFrame(
             {
                 "seq_id": [bucket * 1_000_000 + i for i in range(len(seqs))],

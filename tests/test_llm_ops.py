@@ -394,6 +394,23 @@ def test_sequence_packing_invariants(spark, sf_dir):
     assert a == b  # deterministic despite upstream partitioning
 
 
+def test_sequence_packing_all_null_token_group_is_empty(spark):
+    """Round-5 regression (caught by the nullcols degenerate sweep): a group
+    whose every doc has a NULL token count packs to ZERO sequences, and the
+    typed empty frame must still convert to the declared array<long> schema
+    (a bare empty pd.DataFrame makes float64 columns Arrow can't convert)."""
+    from etl_asana_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, 7)], "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(docs, max_tokens=10, parts=2).collect()
+    # doc 3 (bucket 1) packs alone; bucket 0's docs are all outside the
+    # packing domain and contribute nothing
+    assert [(r["seq_id"], list(r["doc_ids"]), r["n_docs"], r["total_tokens"])
+            for r in out] == [(1_000_000, [3], 1, 7)]
+
+
 def test_quantization_error_bound(spark, sf_dir):
     """int8 absmax quantization: per-element unit error ≤ 1/254 + eps, and
     dequantized cosine stays ≈1 vs the original vector."""
