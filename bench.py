@@ -54,6 +54,8 @@ EXTRA_KEYS = (
     "q_sim_cosine_topk",          # brute-force cosine top-k (HOF path)
     "q_stream_tumbling",          # bounded streaming drain: source listing +
                                   # state store + watermark emission overhead
+    "q_multimodal",               # PNG encode → Arrow-batched stdlib decode →
+                                  # feature extract (round-5 real-media tier)
 )
 
 

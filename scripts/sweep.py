@@ -129,12 +129,17 @@ def main() -> int:
     # SWEEP_SHUFFLE overrides the shuffle-partition count: running the whole
     # sweep at an odd count (e.g. 7) proves results are partitioning-
     # invariant — the fixed-point aggregation discipline's whole point.
+    # SWEEP_CPUS (local[n]) and SWEEP_DRIVER_MEM are further rehearsal axes:
+    # a local[2] run proves nothing depends on 32-way task parallelism, and a
+    # 2g run proves the catalog fits a constrained heap (spill, not OOM).
     n_shuffle = os.environ.get("SWEEP_SHUFFLE", "32")
+    n_cpus = os.environ.get("SWEEP_CPUS", "32")
+    driver_mem = os.environ.get("SWEEP_DRIVER_MEM", "8g")
     spark = (
-        SparkSession.builder.master("local[32]")
+        SparkSession.builder.master(f"local[{n_cpus}]")
         .config("spark.sql.shuffle.partitions", n_shuffle)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -198,6 +203,8 @@ def main() -> int:
     gate_scale = (
         os.path.basename(sf_dir.rstrip("/")) == GATE_SCALE_DIRNAME
         and n_shuffle == "32"
+        and n_cpus == "32"
+        and driver_mem == "8g"
     )
     if not only and gate_scale:
         # Full sweep AT THE GATE SCALE: record measured per-key cost —
