@@ -101,7 +101,9 @@ def pack_sequences(
     import pandas as pd
 
     n_parts = parts or max(docs.rdd.getNumPartitions(), 1)
-    bucketed = docs.select(
+    # NULL ids are outside the packing domain (a doc with no id cannot be
+    # referenced from doc_ids — and would otherwise form a NULL bucket).
+    bucketed = docs.filter(F.col(id_col).isNotNull()).select(
         id_col, token_col, F.pmod(F.col(id_col), F.lit(n_parts)).alias("_bucket")
     )
 

@@ -402,11 +402,13 @@ def test_sequence_packing_all_null_token_group_is_empty(spark):
     from etl_asana_spark.operators.curation import pack_sequences
 
     docs = spark.createDataFrame(
-        [(1, None), (2, None), (3, 7)], "doc_id long, n_tokens long"
+        [(1, None), (2, None), (3, 7), (None, 5)],
+        "doc_id long, n_tokens long",
     )
     out = pack_sequences(docs, max_tokens=10, parts=2).collect()
-    # doc 3 (bucket 1) packs alone; bucket 0's docs are all outside the
-    # packing domain and contribute nothing
+    # doc 3 (bucket 1) packs alone; bucket 0's docs and the NULL-id row are
+    # all outside the packing domain and contribute nothing (a NULL id
+    # would otherwise form a NULL bucket and crash the namespace int())
     assert [(r["seq_id"], list(r["doc_ids"]), r["n_docs"], r["total_tokens"])
             for r in out] == [(1_000_000, [3], 1, 7)]
 
