@@ -1186,3 +1186,30 @@ def test_dedup_clusters_collapsed_equals_member_level_cc(spark):
     )
     assert got == want
     assert len(got) == len(rows)
+
+
+def test_png_resize_matches_numpy_reference_random_dims():
+    """Round-5: resize_nearest gained a by-source-row cache and encode_png a
+    filter-0 fast path — property-scan both against a numpy nearest-neighbor
+    reference over random dims (up- and down-scales, all color types) with
+    an encode→decode round-trip at a random scanline filter."""
+    import random
+
+    import numpy as np
+
+    from etl_asana_spark.operators import png_codec as pc
+
+    rng = random.Random(99)
+    for _ in range(60):
+        ct, bpp = rng.choice([(0, 1), (2, 3), (6, 4)])
+        w, h = rng.randint(1, 40), rng.randint(1, 30)
+        nw, nh = rng.randint(1, 50), rng.randint(1, 40)
+        pix = bytes(rng.randrange(256) for _ in range(w * h * bpp))
+        got = pc.resize_nearest(w, h, bpp, pix, nw, nh)
+        a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, bpp)
+        ys = np.minimum(np.arange(nh) * h // nh, h - 1)
+        xs = np.minimum(np.arange(nw) * w // nw, w - 1)
+        assert got == a[ys][:, xs].tobytes(), (ct, (w, h), (nw, nh))
+        ft = rng.randrange(5)
+        data = pc.encode_png(nw, nh, got, color_type=ct, filter_type=ft)
+        assert pc.decode_png(data) == (nw, nh, bpp, got), (ct, ft)
