@@ -156,6 +156,32 @@ def _key_generations() -> dict[str, int]:
         return {}
 
 
+def _oracle_generations(root: str | None = None) -> dict[str, int]:
+    """Round in which each key's CURRENT oracle landed, for keys whose oracle
+    arrived (or materially changed) AFTER the key had already been
+    gate-checked (``scripts/oracle_generations.json``).
+
+    Why this exists (r05 verdict item 1): ``_driver_check_history`` counts a
+    rows-only ``no_oracle`` record as *passed*, so a key that was
+    gate-checked rows-only in round N and gained a full SQL oracle in round
+    M > N would keep its round-N "passed" position in the rotation and the
+    new oracle could wait many rounds for driver-side hash evidence. Keys
+    listed here with a generation NEWER than their last driver pass are
+    re-queued with the never-verified pool (their stronger check has never
+    run externally). Curated by hand when an oracle is added or semantically
+    changed for an already-checked key; a later driver pass at round ≥ the
+    oracle generation supersedes the entry (it becomes inert, no cleanup
+    needed).
+    """
+    repo_root = root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with open(os.path.join(repo_root, "scripts", "oracle_generations.json")) as fh:
+            data = json.load(fh)
+        return {k: int(v) for k, v in data.items()}
+    except (OSError, ValueError):
+        return {}
+
+
 def _rotated(keys: list[str]) -> list[str]:
     """Order keys least-recently-driver-verified first (stable within ties).
 
@@ -168,7 +194,12 @@ def _rotated(keys: list[str]) -> list[str]:
     (``scripts/key_generations.json``) and sorts keys whose LATEST driver
     check failed first of all (the fix must be externally re-proven next
     round), then never-verified keys — oldest generation first, then
-    cheapest — then previously-passed keys oldest-round first. Coverage thus
+    cheapest — then previously-passed keys oldest-round first. A key whose
+    oracle is NEWER than its last driver pass
+    (``scripts/oracle_generations.json``) counts as never-verified: its
+    strongest check has no external evidence yet, so an oracle upgrade
+    re-queues the key instead of letting it coast on a stale rows-only
+    pass. Coverage thus
     ACCUMULATES across rounds: every round's prefix is spent on the keys
     with the least external evidence, a failure re-sorts to the very front
     for re-verification, and a newly added key queues BEHIND every key that
@@ -187,11 +218,19 @@ def _rotated(keys: list[str]) -> list[str]:
     passed, failed = _driver_check_history()
     costs = _key_costs()
     gens = _key_generations()
+    oracle_gens = _oracle_generations()
     order = {k: i for i, k in enumerate(keys)}
+
+    def _pass_round(k: str) -> int:
+        rnd = passed.get(k, -1)
+        # An oracle newer than the last pass voids that pass for scheduling:
+        # the pass predates the check the key would get today.
+        return -1 if oracle_gens.get(k, 0) > rnd else rnd
+
     return sorted(
         keys,
         key=lambda k: (
-            -2 if k in failed else passed.get(k, -1),
+            -2 if k in failed else _pass_round(k),
             gens.get(k, 999),
             costs.get(k, 2.0),
             order[k],

@@ -18,12 +18,15 @@ import etl_asana_spark.catalog as catalog
 
 
 def _order(monkeypatch, keys, passed, costs, gens, failed=frozenset(),
-           static=False):
+           static=False, oracle_gens=None):
     monkeypatch.setattr(
         catalog, "_driver_check_history", lambda: (passed, set(failed))
     )
     monkeypatch.setattr(catalog, "_key_costs", lambda: costs)
     monkeypatch.setattr(catalog, "_key_generations", lambda: gens)
+    monkeypatch.setattr(
+        catalog, "_oracle_generations", lambda: dict(oracle_gens or {})
+    )
     if static:
         monkeypatch.setenv("SPARK_GRAFT_STATIC_ORDER", "1")
     else:
@@ -112,6 +115,54 @@ def test_fail_then_pass_counts_as_passed(tmp_path):
     assert "crasher" not in passed
     assert passed.get("counted") == 2        # no_oracle + rows counts
     assert "counted" not in failed
+
+
+def test_oracle_upgrade_requeues_key(monkeypatch):
+    # r05 verdict item 1: a key gate-checked rows-only in round 1 whose SQL
+    # oracle landed in round 5 must re-enter the never-verified pool — its
+    # strongest check has never run externally. Without the oracle-generation
+    # override it would keep its round-1 "passed" slot and sort behind every
+    # round-2+ pass, outside the ~50-key gate prefix.
+    got = _order(
+        monkeypatch,
+        ["upgraded", "waiting", "r2_pass"],
+        passed={"upgraded": 1, "r2_pass": 2},
+        costs={"upgraded": 5.0, "waiting": 0.1, "r2_pass": 0.1},
+        gens={"upgraded": 1, "waiting": 1, "r2_pass": 1},
+        oracle_gens={"upgraded": 5},
+    )
+    # never-verified pool: waiting (gen 1, cheap) then upgraded (gen 1,
+    # costly) — both ahead of the genuinely-passed r2 key.
+    assert got == ["waiting", "upgraded", "r2_pass"]
+
+
+def test_oracle_generation_superseded_by_newer_pass(monkeypatch):
+    # Once the driver hash-passes the key at round >= the oracle generation,
+    # the entry is inert: the key sorts by its (new) pass round again.
+    got = _order(
+        monkeypatch,
+        ["upgraded", "old_pass"],
+        passed={"upgraded": 6, "old_pass": 2},
+        costs={},
+        gens={"upgraded": 1, "old_pass": 1},
+        oracle_gens={"upgraded": 5},
+    )
+    assert got == ["old_pass", "upgraded"]
+
+
+def test_oracle_generations_snapshot_is_sane():
+    # Every entry in the live snapshot must name a registered key that HAS
+    # an oracle (the file exists to re-queue oracle upgrades; an entry for a
+    # rows-only or unknown key is a typo).
+    catalog.load_all()
+    ogens = catalog._oracle_generations()
+    assert ogens, "snapshot missing or unreadable"
+    unknown = sorted(set(ogens) - set(catalog._QUERIES))
+    assert not unknown, f"oracle_generations.json names unknown keys: {unknown}"
+    no_oracle = sorted(k for k in ogens if k not in catalog._ORACLES)
+    assert not no_oracle, (
+        f"oracle_generations.json names keys without oracles: {no_oracle}"
+    )
 
 
 def test_static_order_flag(monkeypatch):
