@@ -21,7 +21,9 @@ partitioning) — correct at test scale, dead at 100 TB. Instead:
    bucket, so no single-reducer stage exists anywhere in the plan.
 
 Same output as the single-partition window — asserted by the SQL oracle of
-``q_shuffle_epoch`` (row_number over the global ORDER BY).
+``q_shuffle_epoch`` (row_number over the global ORDER BY), and bucket-count
+invariance is property-tested (the permutation is a pure function of
+(seed, key); ``n_buckets`` only changes the plan's parallelism).
 """
 
 from __future__ import annotations
@@ -40,10 +42,21 @@ def deterministic_permutation(
     df: DataFrame,
     key: str,
     seed: str,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Attach ``shuffle_rank`` (1-based, dense, gap-free): the row's position
-    in the seeded pseudo-random order. Requires ``key`` values be unique."""
+    in the seeded pseudo-random order. Requires ``key`` values be unique.
+
+    ``n_buckets`` defaults to 4× the session's default parallelism (floor
+    32, cap 65536 — the radix width): the r05 verdict flagged the old fixed
+    32 as putting 1/32 of the table through one window partition regardless
+    of cluster size, so the default now scales with the session while the
+    md5-uniform bucketing keeps each window partition ~equal-sized. The
+    OUTPUT is invariant to ``n_buckets`` (bucketing is monotone in the
+    hash; only the plan's parallelism changes)."""
+    sc = df.sparkSession.sparkContext
+    if n_buckets is None:
+        n_buckets = min(max(4 * sc.defaultParallelism, 32), 65536)
     prefix = F.conv(F.substring(F.col("_h"), 1, 4), 16, 10).cast("bigint")
     keyed = df.withColumn("_h", epoch_hash(F.col(key), seed)).withColumn(
         "_bkt", (prefix * n_buckets / F.lit(65536)).cast("bigint")
@@ -56,17 +69,23 @@ def deterministic_permutation(
     for bkt in sorted(counts):
         offsets[bkt] = acc
         acc += counts[bkt]
-    offset_col = (
-        F.coalesce(
-            *[
-                F.when(F.col("_bkt") == bkt, F.lit(off))
-                for bkt, off in sorted(offsets.items())
-            ]
-        )
-        if offsets
-        else F.lit(0)
+    # Offsets ride in on a BROADCAST join, not a WHEN-chain: at the scaled
+    # default (thousands of buckets on a big cluster) a coalesce of one
+    # literal branch per bucket is a megabyte expression tree that codegen
+    # chokes on; a 2-column broadcast table is O(n_buckets) bytes once.
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(
+        [(int(b), int(o)) for b, o in sorted(offsets.items())] or [(0, 0)],
+        "_bkt bigint, _off bigint",
     )
     w = Window.partitionBy("_bkt").orderBy("_h", key)
-    return keyed.withColumn(
-        "shuffle_rank", (offset_col + F.row_number().over(w)).cast("bigint")
-    ).drop("_h", "_bkt")
+    return (
+        keyed.join(F.broadcast(offsets_df), "_bkt", "left")
+        .withColumn(
+            "shuffle_rank",
+            (F.coalesce(F.col("_off"), F.lit(0)) + F.row_number().over(w)).cast(
+                "bigint"
+            ),
+        )
+        .drop("_h", "_bkt", "_off")
+    )

@@ -171,10 +171,10 @@ def q_golden_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), feats AS (
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-               ROUND(CAST(len(list_filter(string_split(text, ' '),
+               CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_words,
+               ROUND(CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
                          t -> t IN ('the','of','and','to','in','is','that','for')))
-                     AS DOUBLE) / len(string_split(text, ' ')), 8) AS stopword_ratio
+                     AS DOUBLE) / len(regexp_split_to_array(text, '\s+')), 8) AS stopword_ratio
         FROM en
     )
     SELECT doc_id, n_chars, n_words, stopword_ratio

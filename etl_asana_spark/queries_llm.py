@@ -67,7 +67,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_ngram",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t
+        SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
         FROM documents WHERE lang = 'fr'
     ),
     sh AS (
@@ -243,7 +243,7 @@ def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
     FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
         FROM documents WHERE lang = 'en'
     )
     GROUP BY token
@@ -266,7 +266,7 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_tfidf",
     oracle="""
     WITH tokens AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
         FROM documents WHERE lang = 'es'
     ),
     tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
@@ -308,9 +308,9 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(text) AS n_chars_measured,
            n_chars AS n_chars_declared,
            length(text) = n_chars AS length_consistent,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_words,
            ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                 / len(string_split(text, ' ')), 8) AS avg_word_len
+                 / len(regexp_split_to_array(text, '\s+')), 8) AS avg_word_len
     FROM documents
     """,
 )
@@ -335,12 +335,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_words,
            ROUND(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
                  AS DOUBLE) / length(text), 8) AS punct_ratio,
-           ROUND(CAST(len(list_filter(string_split(text, ' '),
+           ROUND(CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
                      t -> t IN ('the','of','and','to','in','is','that','for')))
-                 AS DOUBLE) / len(string_split(text, ' ')), 8) AS stopword_ratio
+                 AS DOUBLE) / len(regexp_split_to_array(text, '\s+')), 8) AS stopword_ratio
     FROM documents WHERE lang = 'en'
     """,
 )
@@ -390,7 +390,7 @@ def _stopword_values_sql() -> str:
     oracle=f"""
     WITH stop(lang_cand, w) AS (VALUES {_stopword_values_sql()}),
     toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents
     ),
     hits AS (
         SELECT t.doc_id, s.lang_cand, COUNT(*) AS score
@@ -430,7 +430,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_fingerprint",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+        SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS t FROM documents
     ), sh AS (
         SELECT doc_id,
                CASE WHEN len(t) < 3 THEN []
@@ -630,10 +630,10 @@ def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_hist_tokens",
     oracle="""
-    SELECT CAST(floor(len(string_split(text, ' ')) / 10) * 10 AS BIGINT) AS bucket_lo,
+    SELECT CAST(floor(len(regexp_split_to_array(text, '\s+')) / 10) * 10 AS BIGINT) AS bucket_lo,
            COUNT(*) AS n_docs,
-           CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_words,
-           CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_words
+           CAST(MIN(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS min_words,
+           CAST(MAX(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS max_words
     FROM documents
     GROUP BY 1
     """,
@@ -688,7 +688,7 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE pairs AS (
         WITH toks AS (
-            SELECT doc_id, string_split(text, ' ') AS t
+            SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
             FROM documents
         ),
         sh AS (
@@ -744,7 +744,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH stats AS (
         SELECT source,
-               CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS src_tokens
+               CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS DOUBLE) AS src_tokens
         FROM documents GROUP BY source
     ), totals AS (
         SELECT CAST(SUM(src_tokens) AS DOUBLE) AS total,
@@ -752,7 +752,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM stats
     )
     SELECT d.doc_id, d.source,
-           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+           CAST(len(regexp_split_to_array(d.text, '\s+')) AS BIGINT) AS n_tokens
     FROM documents d
     JOIN stats s ON s.source = d.source
     CROSS JOIN totals t
@@ -797,7 +797,7 @@ def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pack_sequences",
     oracle="""
     WITH RECURSIVE docs AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS tok, doc_id % 8 AS b
+        SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS tok, doc_id % 8 AS b
         FROM documents
     ), r AS (
         SELECT b, doc_id, tok,
@@ -862,13 +862,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
              FOR i IN generate_series(1, len(t) - 2)]
         ) AS s
-        FROM (SELECT bench_id, string_split(text, ' ') AS t FROM bench)
+        FROM (SELECT bench_id, regexp_split_to_array(text, '\s+') AS t FROM bench)
     ), corpus_sh AS (
         SELECT DISTINCT doc_id, unnest(
             [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
              FOR i IN generate_series(1, len(t) - 2)]
         ) AS s
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents)
     )
     SELECT c.doc_id, b.bench_id, COUNT(*) AS shared_ngrams
     FROM corpus_sh c JOIN bench_sh b ON c.s = b.s
@@ -951,7 +951,7 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
              FOR i IN generate_series(1, len(t) - 2)]
         ) AS s
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents)
     ), freq AS (
         SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY doc_id, s
     )
@@ -985,7 +985,7 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_chunk_docs",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
     )
     SELECT doc_id,
            CAST(u.i - 1 AS INT) AS chunk_idx,
@@ -1109,7 +1109,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_inverted_index",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
         FROM documents WHERE lang = 'en'
     )
     SELECT token,
@@ -1153,7 +1153,7 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dup_ngram_fraction",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t
+        SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
         FROM documents WHERE lang = 'es'
     ),
     sh AS (
@@ -1296,7 +1296,7 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lloyd_cte_sql(k: int = 8, n_iter: int = 5, d: int = 64) -> str:
+def _lloyd_cte_sql(k: int = 8, n_iter: int = 5) -> str:
     """DuckDB replay of operators.similarity.kmeans_lloyd as a WITH prefix:
     ``n_iter`` unrolled assign→update rounds (first-k-ids init,
     (dist2, cluster) tie-break, empty clusters keep their previous
@@ -1307,10 +1307,16 @@ def _lloyd_cte_sql(k: int = 8, n_iter: int = 5, d: int = 64) -> str:
     k=16/2 iters, sf0.01 and sf0.1) while cross-engine float-mean drift is
     ~1e-15 — eight orders of magnitude of headroom, so the integer
     ASSIGNMENTS are engine-stable even though centroid low bits are not
-    (which is why no oracle-checked surface exposes dist2)."""
+    (which is why no oracle-checked surface exposes dist2).
+
+    Dimensionality is derived IN the SQL (``len(...)`` of the vector being
+    scanned, r05 advice): a hardcoded ``generate_series(1, 64)`` would
+    silently sum over a stale range if the embeddings fixture changed width
+    (out-of-range list index yields NULL and list_sum skips NULLs — wrong
+    answer, not an error)."""
     dist = (
         lambda a, b: f"list_sum([({a}[i]-{b}[i])**2 "
-        f"FOR i IN generate_series(1,{d})])"
+        f"FOR i IN generate_series(1,len({a}))])"
     )
     parts = [f"""v AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -1330,9 +1336,10 @@ def _lloyd_cte_sql(k: int = 8, n_iter: int = 5, d: int = 64) -> str:
         FROM v, {prev} c
     ) WHERE rn = 1
 ), m{it} AS (
-    SELECT cluster, i, avg(e[i]) AS m
-    FROM a{it}, generate_series(1, {d}) AS g(i)
-    GROUP BY cluster, i
+    SELECT cluster, i, avg(x) AS m FROM (
+        SELECT cluster, unnest(e) AS x, generate_subscripts(e, 1) AS i
+        FROM a{it}
+    ) GROUP BY cluster, i
 ), n{it} AS (
     SELECT cluster, list(m ORDER BY i) AS centroid FROM m{it} GROUP BY cluster
 ), c{it} AS (
@@ -1509,7 +1516,7 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_prefix",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t
+        SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
         FROM documents WHERE lang = 'fr'
     ),
     sh AS (
@@ -1806,10 +1813,10 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH feats AS (
         SELECT doc_id, lang,
-               len(string_split(text, ' ')) AS n_words,
+               len(regexp_split_to_array(text, '\s+')) AS n_words,
                CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                   / len(string_split(text, ' ')) AS mean_word_len,
-               len(list_filter(string_split(text, ' '),
+                   / len(regexp_split_to_array(text, '\s+')) AS mean_word_len,
+               len(list_filter(regexp_split_to_array(text, '\s+'),
                    t -> t IN ('the','of','and','to','in','is','that','for')))
                    AS n_stop
         FROM documents WHERE lang = 'en'
@@ -1868,7 +1875,7 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_vocab_oov",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
         FROM documents WHERE lang = 'en'
     ),
     vocab AS (
@@ -1926,7 +1933,7 @@ def q_text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dsir_weights",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\s+')) AS token
         FROM documents
     ),
     stats AS (
@@ -2022,7 +2029,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scrub_dup_spans",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t
+        SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
         FROM documents WHERE lang = 'de'
     ),
     sh AS (
@@ -2220,7 +2227,7 @@ def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_entropy",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
         FROM documents
     ),
     tf AS (

@@ -325,8 +325,8 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(levenshtein(a.name, b.name) AS INT) AS dist
     FROM names a
     JOIN names b
-      ON (string_split(a.name, ' ')[1] = string_split(b.name, ' ')[1]
-          OR string_split(a.name, ' ')[2] = string_split(b.name, ' ')[2])
+      ON (regexp_split_to_array(a.name, '\s+')[1] = regexp_split_to_array(b.name, '\s+')[1]
+          OR regexp_split_to_array(a.name, '\s+')[2] = regexp_split_to_array(b.name, '\s+')[2])
      AND a.name < b.name
     WHERE levenshtein(a.name, b.name) <= 3
     """,

@@ -71,19 +71,33 @@ def main() -> int:
         flush=True,
     )
     t0 = time.perf_counter()
+    # Each child's stdout goes to a TEMP FILE, not a pipe (r05 advice): with
+    # pipes drained sequentially via communicate(), a child whose output
+    # exceeded the ~64 KB pipe buffer would block mid-run until the first
+    # child finished — silently serializing the very contention window this
+    # rehearsal exists to exercise.
+    import tempfile
+
+    logs = [
+        tempfile.TemporaryFile(mode="w+", prefix=f"sweep{i}_")
+        for i in range(len(halves))
+    ]
     procs = [
         subprocess.Popen(
             [sys.executable, sweep, sf_dir, *half],
             cwd=repo,
-            stdout=subprocess.PIPE,
+            stdout=log,
             stderr=subprocess.STDOUT,
             text=True,
         )
-        for half in halves
+        for half, log in zip(halves, logs)
     ]
     codes = []
-    for i, p in enumerate(procs):
-        out, _ = p.communicate()
+    for i, (p, log) in enumerate(zip(procs, logs)):
+        p.wait()
+        log.seek(0)
+        out = log.read()
+        log.close()
         codes.append(p.returncode)
         tail = [ln for ln in out.splitlines() if ln.startswith(("FAIL", "PASS"))]
         n_fail = sum(ln.startswith("FAIL") for ln in tail)

@@ -1,6 +1,11 @@
 """Driver-t2 mirror sweep: run EVERY catalog key against its DuckDB oracle.
 
-Usage:  python scripts/sweep.py [sf_dir] [key ...]
+Usage:  python scripts/sweep.py [--no-write] [sf_dir] [key ...]
+
+``--no-write`` makes the sweep strictly read-only: the measured per-key cost
+snapshot (scripts/key_costs.json) is NOT min-merged back to disk. Audit /
+judge runs use this so a verification sweep can never dirty the tree (r05
+verdict item 7).
 
 Mirrors the driver's correctness gate more faithfully than tests/test_parity:
 - canonicalization goes through pandas ``sort_values`` over all columns (the
@@ -118,9 +123,16 @@ def frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str | Non
     return None
 
 
+def parse_args(argv: list[str]) -> tuple[str, set[str], bool]:
+    """(sf_dir, only-keys, no_write) from CLI args; flag position-free."""
+    no_write = "--no-write" in argv
+    rest = [a for a in argv if a != "--no-write"]
+    sf_dir = rest[0] if rest else "/root/testdata/sf0.01"
+    return sf_dir, set(rest[1:]), no_write
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    sf_dir, only, no_write = parse_args(sys.argv[1:])
 
     import os
 
@@ -206,7 +218,7 @@ def main() -> int:
         and n_cpus == "32"
         and driver_mem == "8g"
     )
-    if not only and gate_scale:
+    if not only and gate_scale and not no_write:
         # Full sweep AT THE GATE SCALE: record measured per-key cost —
         # sweeps at other scales must not contaminate the snapshot (an
         # sf0.001 minimum would distort the sf0.01 gate-cost ordering).

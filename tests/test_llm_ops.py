@@ -1213,3 +1213,45 @@ def test_png_resize_matches_numpy_reference_random_dims():
         ft = rng.randrange(5)
         data = pc.encode_png(nw, nh, got, color_type=ct, filter_type=ft)
         assert pc.decode_png(data) == (nw, nh, bpp, got), (ct, ft)
+
+
+def test_lloyd_cte_oracle_is_dimension_independent():
+    """r05 advice: the Lloyd-fixpoint oracle CTE hardcoded d=64; with a
+    different embedding width it would silently sum distances over a stale
+    generate_series range (out-of-range list index -> NULL, list_sum skips
+    NULLs) instead of failing loudly. The CTE now derives the dimension from
+    len(vector) in SQL — proven here by replaying it on a d=3 corpus the
+    fixture never shipped and matching a from-scratch numpy Lloyd that
+    implements the same documented rules (first-k-ids init, (dist2, cluster)
+    tie-break, empty clusters keep their centroid)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from etl_asana_spark.queries_llm import _lloyd_cte_sql
+
+    rng = np.random.default_rng(7)
+    n, d, k, n_iter = 40, 3, 3, 3
+    x = rng.normal(size=(n, d)).round(3)
+
+    cents = x[:k].copy()  # init: first k by vec_id
+    for _ in range(n_iter):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        asg = d2.argmin(axis=1)  # argmin takes the lowest index on ties
+        for c in range(k):
+            if (asg == c).any():
+                cents[c] = x[asg == c].mean(axis=0)
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    expected = d2.argmin(axis=1)
+
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame({"vec_id": range(n), "embedding": [list(r) for r in x]}),
+    )
+    got = con.execute(
+        _lloyd_cte_sql(k=k, n_iter=n_iter)
+        + "\nSELECT vec_id, cluster FROM asg ORDER BY vec_id"
+    ).fetchdf()
+    con.close()
+    assert got["cluster"].tolist() == expected.tolist()

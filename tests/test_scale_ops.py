@@ -310,3 +310,38 @@ def test_mode_is_argmax_of_group_counts(spark, sf_dir):
     for seg, (mode, n) in got.items():
         assert mode == expect[seg]
         assert n == max(counts[seg].values())
+
+
+def test_epoch_shuffle_bucket_count_invariance(spark, sf_dir):
+    """r05 verdict item 6: ``n_buckets`` went from fixed 32 to
+    parallelism-scaled. The permutation must be a pure function of
+    (seed, key) — identical ranks (dense, gap-free) at 1, 7, the old
+    default 32, the radix cap 65536, and the new parallelism-derived
+    default — bucketing only changes the plan's parallelism."""
+    from etl_asana_spark.operators.shuffle import deterministic_permutation
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    base = {r["doc_id"]: r["shuffle_rank"]
+            for r in deterministic_permutation(docs, "doc_id", "e1").collect()}
+    ranks = sorted(base.values())
+    assert ranks == list(range(1, len(ranks) + 1))
+    for nb in (1, 7, 32, 65536):
+        got = {r["doc_id"]: r["shuffle_rank"]
+               for r in deterministic_permutation(
+                   docs, "doc_id", "e1", n_buckets=nb).collect()}
+        assert got == base, f"n_buckets={nb} changed the permutation"
+
+
+def test_epoch_shuffle_default_buckets_scale_with_session(spark, sf_dir):
+    """The default must track the session's parallelism (floor 32, radix cap
+    65536), and offsets must ride a broadcast join — not a per-bucket
+    WHEN-chain that codegen chokes on at cluster-scale bucket counts."""
+    from etl_asana_spark.operators.shuffle import deterministic_permutation
+
+    expected = min(max(4 * spark.sparkContext.defaultParallelism, 32), 65536)
+    assert expected >= 32
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    df = deterministic_permutation(docs, "doc_id", "e1")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -147,3 +147,16 @@ def test_duckdb_oracle_reads_directory_shaped_tables(tmp_path):
         "SELECT count(*), sum(r_regionkey) FROM region"
     ).fetchone() == (3, 3)
     con.close()
+
+
+def test_no_write_flag_parses_position_free(sweep):
+    # r05 verdict item 7: a judge/audit sweep must be able to run strictly
+    # read-only. The flag must parse anywhere in argv and never be taken as
+    # the sf_dir or a key name.
+    assert sweep.parse_args([]) == ("/root/testdata/sf0.01", set(), False)
+    assert sweep.parse_args(["--no-write"]) == (
+        "/root/testdata/sf0.01", set(), True)
+    assert sweep.parse_args(["/x/sf0.01", "q_topk", "--no-write"]) == (
+        "/x/sf0.01", {"q_topk"}, True)
+    assert sweep.parse_args(["--no-write", "/x/sf0.01", "q_a", "q_b"]) == (
+        "/x/sf0.01", {"q_a", "q_b"}, True)
