@@ -76,8 +76,21 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         return round(best, 4)
 
+    # Bench-isolation record (r05 verdict items 2-3: two extras regressed
+    # with zero code change; absolute numbers move with machine state).
+    # loadavg BEFORE the run says what else the box was doing; the 1-min
+    # value at start is the contention the first timings saw.
+    load_before = os.getloadavg()
+
     timings = {k: timed(k) for k in BENCH_KEYS if k in queries}
     extras = {k: timed(k) for k in EXTRA_KEYS if k in queries}
+
+    # Phase attribution for the bounded streaming drain (fixed setup vs
+    # micro-batch work) — written by the drain that the last timed
+    # q_stream_tumbling run executed.
+    from etl_asana_spark.streaming import jobs as streaming_jobs
+
+    stream_drain = dict(streaming_jobs.LAST_DRAIN_STATS)
 
     # Informational: the full corpus-curation composition (quality gate →
     # exact dedup → fuzzy dedup → PII scrub → split) end-to-end at sf0.1 —
@@ -97,6 +110,13 @@ def main() -> None:
         best = min(best, time.perf_counter() - start)
     extras["pipeline_curation"] = round(best, 4)
 
+    # ONE instrumented pass (funnel counts force per-stage materialization)
+    # for stage attribution — separate from the timed runs above, whose
+    # number stays the uninstrumented end-to-end count().
+    docs = load_tables(spark, sf_dir)["documents"]
+    staged = pipelines.curate_corpus(docs, count_funnel=True)
+    curation_stages = staged.stage_seconds or {}
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -106,6 +126,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extra_queries": extras,
+                "stream_drain": stream_drain,
+                "curation_stages": curation_stages,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "sf": sf,
             }
         )

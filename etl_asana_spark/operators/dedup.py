@@ -467,25 +467,35 @@ def ngram_jaccard_pairs(
             "jaccard",
         )
 
+    # Shuffle-lean shape (r06): each doc's shingle-set size rides ON the
+    # shingle rows (window count over the distinct's own doc_id-compatible
+    # shuffle) and through the blocking join into the pair aggregate, so the
+    # candidate-pair frame — the big intermediate; 1.1M rows for 241 output
+    # pairs at sf0.1 — is aggregated once and never re-joined against the
+    # per-doc size table (which, being one row per doc, is NOT broadcastable
+    # at corpus scale). The join key is xxhash64 of the shingle: an 8-byte
+    # shuffle key instead of an unbounded string, same collision budget as
+    # the exact-dedup xxhash64 grouping (a false shared shingle needs two
+    # distinct shingles colliding in 2^64; it could only flip a pair whose
+    # true Jaccard sits exactly at the threshold boundary of one shingle).
     sh = (
         docs.select(id_col, F.split(F.col(text_col), r"\s+").alias("toks"))
         .select(id_col, F.explode(shingles("toks", n)).alias("sh"))
         .distinct()
+        .select(id_col, F.xxhash64("sh").alias("sh"))
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy(id_col)))
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    return (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.min("a.n_sh").alias("n_a"),  # constant per doc; min = the value
+            F.min("b.n_sh").alias("n_b"),
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -1012,6 +1022,10 @@ def connected_components(
         # A node's label changes iff a neighbor's label beats its own, so the
         # convergence flag rides the SAME join that builds the new labels —
         # no second labels⋈labels join per round just to count changes.
+        # eager=False: the convergence count on the next line is the action
+        # that materializes the checkpoint — one job per round instead of
+        # two (checkpoint job + count job). Subsequent rounds read the
+        # checkpointed RDD either way.
         stepped = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -1022,7 +1036,7 @@ def connected_components(
                 ).alias("component"),
                 (F.col("nbr_component") < F.col("component")).alias("chg"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         changed = stepped.filter(F.col("chg")).count()
         labels = stepped.select("node", "component")
         if changed == 0:

@@ -109,6 +109,14 @@ class CurationResult:
 
     curated: DataFrame            # doc_id, source, lang, split, text, n_tokens
     funnel: dict[str, int] | None # stage → surviving docs (None unless counted)
+    #: stage → seconds for the funnel count that materialized it (None unless
+    #: counted). Each count re-executes lineage from the scan, so stage N's
+    #: time includes recomputing stages 1..N-1 — the DELTA between successive
+    #: stages attributes incremental cost; ``fuzzy_dedup_build`` is the eager
+    #: component-loop construction (jobs launched before any count). Bench
+    #: instrumentation for the r05 pipeline_curation regression (verdict
+    #: item 3).
+    stage_seconds: dict[str, float] | None = None
 
 
 def curate_corpus(
@@ -155,12 +163,17 @@ def curate_corpus(
     no-op (every gate passes, no duplicate pair survives, scrubbed text has
     no PII left to scrub) — property-tested in tests/test_pipeline.py.
     """
+    import time
+
     splits = splits or {"train": 0.90, "val": 0.05, "test": 0.05}
     funnel: dict[str, int] = {}
+    stage_seconds: dict[str, float] = {}
 
     def note(stage: str, df: DataFrame) -> DataFrame:
         if count_funnel:
+            t0 = time.perf_counter()
             funnel[stage] = df.count()
+            stage_seconds[stage] = round(time.perf_counter() - t0, 4)
         return df
 
     note("raw", docs)
@@ -202,7 +215,12 @@ def curate_corpus(
     # instead of materializing member-level pairs, which go quadratic in
     # exact-copy multiplicity — stage 2 already dropped exact dups here, but
     # the operator must not rely on that to be safe at corpus scale.
+    t_build = time.perf_counter()
     clusters = ngram_dedup_clusters(exact, n=3, threshold=jaccard_threshold)
+    if count_funnel:
+        stage_seconds["fuzzy_dedup_build"] = round(
+            time.perf_counter() - t_build, 4
+        )
     fuzzy = exact.join(
         clusters.filter(F.col("is_canonical")).select("doc_id"), "doc_id", "semi"
     )
@@ -257,4 +275,8 @@ def curate_corpus(
         split_col.alias("split"),
     )
     curated = note("curated", curated)
-    return CurationResult(curated=curated, funnel=funnel if count_funnel else None)
+    return CurationResult(
+        curated=curated,
+        funnel=funnel if count_funnel else None,
+        stage_seconds=stage_seconds if count_funnel else None,
+    )

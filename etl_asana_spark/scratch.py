@@ -45,9 +45,26 @@ def scratch_dir(purpose: str, key: str = "") -> str:
     return d
 
 
+def _fresh_base() -> str | None:
+    """Base for never-reused state (streaming checkpoints): RAM-backed when
+    possible. Checkpoint WAL commits fsync; on an ext4 /tmp those fsyncs are
+    disk-latency-bound and VARIABLE (the r05 q_stream_tumbling bench swung
+    55% with zero code change — fixed drain overhead, not data). tmpfs
+    removes that axis. Checkpoint state here is tiny (offsets/commit logs +
+    bounded aggregation state), so RAM residency is safe; on a real cluster
+    the checkpoint location is an explicit durable URI, not this helper.
+    ``SPARK_GRAFT_SCRATCH_BASE`` overrides; unset + no /dev/shm → tempfile
+    default."""
+    base = os.environ.get("SPARK_GRAFT_SCRATCH_BASE")
+    if base:
+        return base
+    shm = "/dev/shm"
+    return shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else None
+
+
 def fresh_dir(purpose: str) -> str:
     """A never-reused directory (checkpoints), still cleaned at exit."""
-    d = tempfile.mkdtemp(prefix=f"{purpose}_")
+    d = tempfile.mkdtemp(prefix=f"{purpose}_", dir=_fresh_base())
     _FRESH.append(d)
     return d
 

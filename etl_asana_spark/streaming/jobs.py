@@ -149,12 +149,25 @@ def _retry_drain(run_once):
             )
 
 
+#: Phase timings of the most recent bounded drain in this process — written
+#: by ``_run_to_memory`` so the bench can attribute a drain's wall time to
+#: fixed setup (query start: checkpoint dir creation + source listing +
+#: planning) vs micro-batch execution (awaitTermination) vs the engine's own
+#: per-phase durationMs. Diagnostic surface for the r05 q_stream_tumbling
+#: bench regression (55% swing, zero code change): if the swing is real it
+#: shows up here as setup/walCommit time, not addBatch time.
+LAST_DRAIN_STATS: dict[str, object] = {}
+
+
 def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     """Run a streaming plan to completion (AvailableNow) into a memory sink."""
+    import time
+
     spark = df.sparkSession
 
     def drain() -> DataFrame:
         name = f"sink_{uuid.uuid4().hex[:12]}"
+        t0 = time.perf_counter()
         with _stream_shuffle(spark):
             query = (
                 df.writeStream.format("memory")
@@ -164,7 +177,19 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
+            t_started = time.perf_counter()
             query.awaitTermination()
+        t_done = time.perf_counter()
+        prog = query.lastProgress or {}
+        dur = prog.get("durationMs") or {}
+        LAST_DRAIN_STATS.clear()
+        LAST_DRAIN_STATS.update(
+            {
+                "start_s": round(t_started - t0, 4),
+                "await_s": round(t_done - t_started, 4),
+                "last_batch_ms": {k: dur[k] for k in sorted(dur)},
+            }
+        )
         return spark.table(name)
 
     return _retry_drain(drain)
