@@ -320,6 +320,121 @@ def pca_reduce(
     )
 
 
+def pca_power_reduce(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PCA-style reduction: ``n_iter``-step deflated power
+    iteration on the population covariance, components λ̂-sorted.
+
+    The oracle-checkable twin of :func:`pca_reduce` (the same move that
+    made k-means SQL-checkable in round 5): the algorithm is a PURE
+    FUNCTION of the data — fixed basis-vector inits, a fixed iteration
+    count, Rayleigh-quotient deflation, zero-norm guard keeps the previous
+    vector — so DuckDB can replay it CTE-for-CTE
+    (queries_llm._pca_power_cte_sql). On a quasi-degenerate spectrum (the
+    testdata's uniform random embeddings: a Marchenko-Pastur bulk with
+    eigengap ratios ~0.99) the individual vectors are NOT converged
+    eigenvectors at any affordable iteration count — power iteration
+    needs O(1/gap) steps — but each component's projected variance equals
+    its Rayleigh quotient exactly, so sorting components by λ̂ descending
+    (ties by init index; gaps ≥3e-5 on this corpus vs ~2e-15 cross-engine
+    drift, margin-probed) restores the decreasing-variance contract.
+    ``pca_reduce`` (MLlib/LAPACK) stays the library path when a converged
+    eigenbasis matters and external checkability does not.
+
+    Scale shape: the data-sized work is ONE pass — per-row outer products
+    built map-side by a transform×transform expression and partially
+    aggregated before the shuffle, so the exchange carries d²·partitions
+    rows, never n·d². Driver state is the d×d Gramian (the "model is
+    tiny, ship it to the data" pattern shared with kmeans_lloyd); the
+    d-term projection is generated JVM codegen, no Python anywhere.
+    """
+    import numpy as np
+
+    x = embeddings.filter(F.col(vec_col).isNotNull())
+    d_row = x.select(F.max(F.size(vec_col)).alias("d")).first()
+    d = d_row["d"]
+    if d is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, reduced array<double>"
+        )
+    x = x.filter(F.size(vec_col) == d)
+    e = F.col(vec_col).cast("array<double>")
+
+    # G(i,j) partial-aggregated sums + per-dim sums + count, one scan. Only
+    # the upper triangle (j ≥ i) is built — the Gramian is symmetric, so the
+    # explode carries d(d+1)/2 structs per row instead of d² and the driver
+    # mirrors. Indices are 1-based (SQL sequence), shifted on collect.
+    prods = F.expr(
+        "flatten(transform(sequence(1, __d), i -> "
+        "transform(sequence(i, __d), j -> "
+        "struct(i AS i, j AS j, element_at(__e, i) * element_at(__e, j) AS p))))"
+    )
+    gsum = (
+        x.select(e.alias("__e"), F.lit(d).alias("__d"))
+        .select(F.explode(prods).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.p").alias("s"))
+        .collect()
+    )
+    msum = (
+        x.select(F.posexplode(e).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    n = msum[0]["n"] if msum else 0
+    if n == 0:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, reduced array<double>"
+        )
+    mu = np.zeros(d)
+    for r in msum:
+        mu[r["i"]] = r["s"] / n
+    g = np.zeros((d, d))
+    for r in gsum:
+        g[r["i"] - 1, r["j"] - 1] = r["s"] / n
+        g[r["j"] - 1, r["i"] - 1] = r["s"] / n
+    cov = g - np.outer(mu, mu)
+
+    comps = []
+    cd = cov.copy()
+    for j in range(k):
+        v = np.zeros(d)
+        v[j % d] = 1.0
+        for _ in range(n_iter):
+            w = cd @ v
+            nw = float(np.sqrt((w * w).sum()))
+            v = w / nw if nw > 0 else v
+        w = cd @ v
+        lam = float(v @ w)
+        comps.append((lam, j, v))
+        cd = cd - lam * np.outer(v, v)
+    comps.sort(key=lambda c: (-c[0], c[1]))
+
+    # Generated JVM projection: reduced[c] = Σ_i (e[i] - μ_i)·V[i,c], a
+    # left-to-right d-term sum per component (the oracle mirrors this with
+    # an ordered SUM; the 6-dp fixed-point boundary absorbs order drift).
+    def dot(vec: "np.ndarray") -> F.Column:
+        terms = [
+            (F.element_at(e, i + 1) - F.lit(float(mu[i]))) * F.lit(float(vec[i]))
+            for i in range(d)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    return x.select(
+        id_col,
+        F.array(*[dot(c[2]) for c in comps]).alias("reduced"),
+    )
+
+
 def kmeans_lloyd(
     embeddings: DataFrame,
     k: int = 8,

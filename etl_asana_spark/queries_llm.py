@@ -213,20 +213,133 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(t["embeddings"], _query_vec(t), k=5, nprobe=8)
 
 
-@register("q_emb_pca")
+def _pca_power_cte_sql(k: int = 8, n_iter: int = 20) -> str:
+    """DuckDB replay of operators.similarity.pca_power_reduce: population
+    covariance of the non-NULL max-width embeddings, then ``k`` deflated
+    power-iteration components (basis-vector inits, fixed ``n_iter`` steps,
+    zero-norm guard keeps the previous vector, Rayleigh-quotient deflation),
+    λ̂-sorted — ending in CTEs ``x``/``cell``/``mu`` and ``comps(c, i, val)``.
+
+    Sound for the same reason the Lloyd CTE is (scripts/margin_probe.py):
+    both engines run the IDENTICAL deterministic iteration, so outputs agree
+    to summation-order drift (~2e-15 measured end-to-end), while the 6-dp
+    fixed-point boundary margins (≥1.7e-10) and the λ̂-sort gaps (≥3e-5) are
+    orders of magnitude wider. No sign convention is needed — sign flips are
+    a cross-SOLVER artifact, and there is only one solver here. Every CTE is
+    MATERIALIZED: DuckDB inlines CTEs by default, and an inlined iteration
+    chain re-expands exponentially (the un-materialized form exhausted file
+    handles re-opening the parquet per reference). Dimensionality comes from
+    the data (``dims``), never a hardcoded range (r05 advice on the Lloyd
+    CTE); precondition d ≥ k (the probe asserts it)."""
+    parts = [
+        """x AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+      AND len(embedding) = (SELECT max(len(embedding)) FROM embeddings)
+), cell AS MATERIALIZED (
+    SELECT vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS val FROM x
+), dims AS MATERIALIZED (
+    SELECT DISTINCT i FROM cell
+), mu AS MATERIALIZED (
+    SELECT i, avg(val) AS m FROM cell GROUP BY i
+), cov0 AS MATERIALIZED (
+    SELECT g.i, g.j, g.v - ma.m * mb.m AS v
+    FROM (SELECT a.i, b.i AS j, avg(a.val * b.val) AS v
+          FROM cell a JOIN cell b USING (vec_id) GROUP BY a.i, b.i) g
+    JOIN mu ma ON ma.i = g.i JOIN mu mb ON mb.i = g.j
+)"""
+    ]
+    prev_c = "cov0"
+    lam_rows = []
+    for comp in range(k):
+        v = f"v{comp}_0"
+        parts.append(f"""{v} AS MATERIALIZED (
+    SELECT i, CASE WHEN i = {comp + 1} THEN 1.0 ELSE 0.0 END AS val FROM dims
+)""")
+        for it in range(1, n_iter + 1):
+            w, nv = f"w{comp}_{it}", f"v{comp}_{it}"
+            parts.append(f"""{w} AS MATERIALIZED (
+    SELECT c.i, sum(c.v * p.val) AS val
+    FROM {prev_c} c JOIN {v} p ON p.i = c.j GROUP BY c.i
+)""")
+            parts.append(f"""{nv} AS MATERIALIZED (
+    SELECT w.i,
+           CASE WHEN n.nrm = 0 THEN p.val ELSE w.val / n.nrm END AS val
+    FROM {w} w
+    JOIN {v} p ON p.i = w.i
+    CROSS JOIN (SELECT sqrt(sum(val*val)) AS nrm FROM {w}) n
+)""")
+            v = nv
+        parts.append(f"""lam{comp} AS MATERIALIZED (
+    SELECT sum(w.val * p.val) AS lam
+    FROM (SELECT c.i, sum(c.v * p2.val) AS val
+          FROM {prev_c} c JOIN {v} p2 ON p2.i = c.j GROUP BY c.i) w
+    JOIN {v} p ON p.i = w.i
+)""")
+        lam_rows.append((comp, v))
+        if comp < k - 1:
+            nxt = f"cov{comp + 1}"
+            parts.append(f"""{nxt} AS MATERIALIZED (
+    SELECT c.i, c.j, c.v - l.lam * a.val * b.val AS v
+    FROM {prev_c} c
+    JOIN {v} a ON a.i = c.i
+    JOIN {v} b ON b.i = c.j
+    CROSS JOIN lam{comp} l
+)""")
+            prev_c = nxt
+    union = "\nUNION ALL\n".join(
+        f"    SELECT {c} AS comp, l.lam, v.i, v.val FROM {vn} v CROSS JOIN lam{c} l"
+        for c, vn in lam_rows
+    )
+    parts.append(f"""comps AS MATERIALIZED (
+    SELECT dense_rank() OVER (ORDER BY lam DESC, comp) - 1 AS c, i, val
+    FROM (
+{union}
+    )
+)""")
+    return "WITH " + ",\n".join(parts)
+
+
+@register(
+    "q_emb_pca",
+    oracle=_pca_power_cte_sql(k=8, n_iter=20)
+    + """
+, proj AS (
+    SELECT cl.vec_id, cp.c, sum((cl.val - mu.m) * cp.val) AS p
+    FROM cell cl
+    JOIN mu ON mu.i = cl.i
+    JOIN comps cp ON cp.i = cl.i
+    GROUP BY cl.vec_id, cp.c
+)
+SELECT vec_id,
+       string_agg(CAST(CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
+                  '|' ORDER BY c) AS reduced
+FROM proj GROUP BY vec_id
+""",
+)
 def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA reduction of the 64-dim embeddings to 8 dims (rows-only: the
-    eigenbasis sign/float path is engine-specific). The pre-indexing
-    compression step for ANN at scale; variance ordering and neighborhood
-    preservation are property-tested in tests/test_llm_ops.py.
+    """PCA-style reduction of the 64-dim embeddings to 8 dims.
+
+    SQL-oracle-checked since round 6 (previously rows-only): the registered
+    key now runs ``pca_power_reduce`` — a 20-step deflated power iteration
+    that is a pure deterministic function of the data, replayed
+    CTE-for-CTE by the oracle (``_pca_power_cte_sql``; same upgrade path
+    as q_text_fingerprint's xxhash64→poly_hash and q_emb_kmeans' Lloyd
+    CTE in round 5). ``pca_reduce`` (MLlib/LAPACK, solver-specific
+    eigenbasis) remains the library path. Decreasing projected variance
+    holds by construction (components are λ̂-sorted; the projected
+    variance of a unit direction IS its Rayleigh quotient) and stays
+    property-tested in tests/test_llm_ops.py; numeric soundness of the
+    oracle (fixed-point margins vs cross-engine drift, λ̂-sort gaps) is
+    probed by scripts/margin_probe.py.
 
     ``reduced`` is serialized to a fixed-point '|'-joined string at the
     query boundary (driver's canonicalizer can't sort ndarray cells — the
-    q_multimodal r03 failure class, caught here by the strengthened local
-    sweep before the gate reached this key). ``pca_reduce`` itself keeps
+    q_multimodal r03 failure class). ``pca_power_reduce`` itself keeps
     the typed array contract."""
     t = load_tables(spark, sf_dir)
-    reduced = similarity.pca_reduce(t["embeddings"], k=8)
+    reduced = similarity.pca_power_reduce(t["embeddings"], k=8, n_iter=20)
     return reduced.select(
         "vec_id",
         fixed_point_join("reduced").alias("reduced"),
