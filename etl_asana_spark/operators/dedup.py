@@ -288,6 +288,145 @@ def minhash_lsh_pairs(
     )
 
 
+#: Portable-MinHash constants (engine-neutral, reproducible in SQL).
+#: P is the Mersenne prime 2^31-1: with shingle hashes reduced mod P and
+#: coefficients < P, every product in h_i(x) = (a_i·x + b_i) mod P stays
+#: below 2^62 — exact in BIGINT on both engines, no 128-bit arithmetic.
+#: The (a, b) rows are the classic LCG multiplier/increment constants
+#: (glibc, MSVC, Borland, SunOS, VAX) — arbitrary but published, fixed,
+#: and engine-independent; one permutation per MLlib hash table mirrored.
+_MINHASH_P = 2147483647
+_MINHASH_COEFFS = (
+    (1103515245, 12345),
+    (1140671485, 12820163),
+    (214013, 2531011),
+    (16843009, 826366247),
+    (69069, 1234567),
+)
+
+
+def minhash_portable_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+    collapse: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with an ENGINE-NEUTRAL hash family — the
+    SQL-oracle-checkable twin of :func:`minhash_lsh_pairs` (same upgrade
+    path as the round-5 poly_hash fingerprint: the registered key runs
+    this; the xxhash64/MLlib pipeline stays the library fast path).
+
+    Shingle base hashes are Rabin-Karp ``poly_hash mod P`` (P = 2^31-1);
+    the five permutations are ``(a_i·x + b_i) mod P`` with fixed published
+    constants; a doc's signature is the five mins over its DISTINCT
+    shingle-hash set. Candidates share ≥1 signature slot (five equi-joins,
+    the OR-amplification MLlib's ``numHashTables=5`` performs); the exact
+    Jaccard verify runs MAP-SIDE on each candidate row via
+    ``array_intersect`` of the carried hash sets — no verification
+    shuffle. DuckDB replays every step (the q_dedup_minhash oracle), so
+    the output is hash-checkable: the division inter/union sees identical
+    integers on both engines.
+
+    Semantics match the xxhash64 family: whitespace-RUN tokenization
+    (boundary empties dropped — ``_run_split_size`` is the shared
+    diagnostic), pairs with jaccard_dist STRICTLY below 1 - threshold
+    (``approxSimilarityJoin``'s filter), identical texts always candidates
+    (equal signatures). A base-hash collision (two distinct shingles
+    colliding mod P, ~n²/2^32 per doc pair) perturbs the ESTIMATE exactly
+    like any MinHash collision and identically on both engines — parity
+    is unaffected. Scale shape: signatures are array HOFs (no explode
+    until banding), banding shuffles five (slot, value) keys per doc,
+    linear in distinct texts under ``collapse=True``.
+    """
+    from .text import shingles
+
+    if collapse:
+        return _collapsed_pairs(
+            docs, id_col, text_col,
+            naive_fn=lambda reps: minhash_portable_pairs(
+                reps, id_col, text_col, jaccard_threshold, shingle_n,
+                collapse=False,
+            ),
+            pairable=_run_split_size("vec") >= shingle_n,
+            payload=F.lit(0.0), payload_name="jaccard_dist",
+            emit_intra=jaccard_threshold < 1.0,
+        )
+
+    from .text import poly_hash
+
+    p = F.lit(_MINHASH_P)
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            id_col,
+            F.array_distinct(
+                F.transform(shingles("__toks", shingle_n), lambda s: poly_hash(s) % p)
+            ).alias("__hs"),
+        )
+        .filter(F.size("__hs") > 0)
+    )
+    sigs = base.select(
+        id_col,
+        "__hs",
+        *[
+            F.array_min(
+                F.transform("__hs", lambda x: (x * F.lit(a) + F.lit(b)) % p)
+            ).alias(f"__mh{i}")
+            for i, (a, b) in enumerate(_MINHASH_COEFFS)
+        ],
+    )
+    bands = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("slot"),
+                        F.col(f"__mh{i}").alias("val"),
+                    )
+                    for i in range(len(_MINHASH_COEFFS))
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.slot", "b.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.slot") == F.col("b.slot"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = sigs.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__hs_a"))
+    hb = sigs.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hs_b"))
+    inter = F.size(F.array_intersect("__hs_a", "__hs_b"))
+    union = F.size("__hs_a") + F.size("__hs_b") - inter
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.lit(1.0) - inter.cast("double") / union.cast("double"), 8
+            ).alias("jaccard_dist"),
+        )
+        .filter(F.col("jaccard_dist") < 1.0 - jaccard_threshold)
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -343,6 +482,122 @@ def simhash_signatures(
         """
     )
     return docs.select(id_col, sig.alias("simhash"))
+
+
+def simhash_portable_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """40-bit SimHash over poly-hash shingle hashes — the ENGINE-NEUTRAL
+    twin of :func:`simhash_signatures` (which stays the 64-bit xxhash64
+    library fast path).
+
+    Token hashes are Rabin-Karp ``poly_hash`` folds; a shingle hash folds
+    its three token hashes with the same (·131 mod 2^40) step — every
+    intermediate < 2^47, exact in BIGINT on both engines, so DuckDB can
+    replay the signature bit-for-bit (the q_dedup_simhash oracle). The
+    signature width follows the hash width: 40 vote counters, sign bits
+    packed into one BIGINT. Same aggregation shape as the 64-bit form (ONE
+    aggregate carrying all counters; a finish lambda packs), same
+    domain rule (< 3 run-split tokens → NULL signature, cannot pair),
+    same frequency weighting (duplicate shingles vote per occurrence)."""
+    mod = 1 << 40
+    th = (
+        f"transform(filter(split({text_col}, '\\\\s+'), t -> t != ''),"
+        f" t -> aggregate(split(t, ''), 0L,"
+        f" (a, c) -> (a * 131L + ascii(c)) % {mod}L))"
+    )
+    shingle_hashes = f"""
+        slice(
+          zip_with(
+            zip_with({th}, slice({th}, 2, size({th})),
+                     (a, b) -> (a * 131L + b) % {mod}L),
+            slice({th}, 3, size({th})),
+            (ab, c) -> (ab * 131L + c) % {mod}L),
+          1, size({th}) - 2)
+    """
+    sig = F.expr(
+        f"""
+        CASE WHEN size({th}) >= 3 THEN
+          aggregate(
+            CAST(({shingle_hashes}) AS ARRAY<BIGINT>),
+            array_repeat(0, 40),
+            (acc, h) -> zip_with(acc, sequence(0, 39),
+                        (c, i) -> c + IF((shiftright(h, i) & 1L) = 1L, 1, -1)),
+            acc -> aggregate(
+                     zip_with(acc, sequence(0, 39),
+                              (v, i) -> IF(v >= 0, shiftleft(1L, i), 0L)),
+                     0L, (a, b) -> a | b))
+        ELSE CAST(NULL AS BIGINT) END
+        """
+    )
+    return docs.select(id_col, sig.alias("simhash"))
+
+
+def simhash_portable_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    collapse: bool = True,
+) -> DataFrame:
+    """:func:`simhash_pairs` over the portable 40-bit signatures: 4×10-bit
+    band candidates (pigeonhole: Hamming ≤ 3 always shares a band — same
+    guarantee as the 64-bit family's 4×16), Hamming verification via
+    ``bit_count(xor)``, linear in distinct texts under ``collapse=True``.
+    Registered as q_dedup_simhash since round 6 so the key carries a full
+    DuckDB oracle; thresholds read against the 40-bit space (the default
+    max_hamming=8 is looser at width 40 than at 64 — more of the corpus
+    counts as near-dup, which the precision property test bounds)."""
+    if collapse:
+        return _collapsed_pairs(
+            docs, id_col, text_col,
+            naive_fn=lambda reps: simhash_portable_pairs(
+                reps, id_col, text_col, max_hamming, collapse=False
+            ),
+            pairable=_run_split_size("vec") >= 3,
+            payload=F.lit(0).cast("int"), payload_name="hamming",
+            emit_intra=max_hamming >= 0,
+        )
+    sigs = simhash_portable_signatures(docs, id_col, text_col).filter(
+        F.col("simhash").isNotNull()
+    )
+    bands = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned("simhash", 10 * i)
+                        .bitwiseAND(F.lit(0x3FF).cast("long"))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def simhash_pairs(

@@ -46,21 +46,148 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_dedup_minhash")
+def _minhash_oracle_sql(threshold: float = 0.5, n: int = 3) -> str:
+    """DuckDB replay of operators.dedup.minhash_portable_pairs: poly_hash
+    shingle hashes mod P, the five fixed LCG permutations, min-signature,
+    OR-banded candidates as a UNION of equi-joins, map-side exact-Jaccard
+    verify via list_intersect. Coefficients are single-sourced from
+    operators.dedup._MINHASH_COEFFS so engine and oracle can never drift."""
+    from .operators.dedup import _MINHASH_COEFFS, _MINHASH_P
+
+    ph = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(string_split(s, ''),"
+        " c -> CAST(unicode(c) AS BIGINT))),"
+        " (a, x) -> (a * 131 + x) % 1099511627776)"
+    )
+    mhs = ",\n           ".join(
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {_MINHASH_P}))"
+        f" AS mh{i}"
+        for i, (a, b) in enumerate(_MINHASH_COEFFS)
+    )
+    cands = "\n        UNION\n".join(
+        f"        SELECT a.doc_id AS id_a, b.doc_id AS id_b\n"
+        f"        FROM sig a JOIN sig b\n"
+        f"          ON a.mh{i} = b.mh{i} AND a.doc_id < b.doc_id"
+        for i in range(len(_MINHASH_COEFFS))
+    )
+    sh_expr = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           tk -> tk <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+    ), sig AS (
+        SELECT doc_id, hs, {mhs}
+        FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       [{sh_expr} FOR i IN generate_series(1, len(t) - {n - 1})],
+                       s -> {ph} % {_MINHASH_P})) AS hs
+            FROM toks WHERE len(t) >= {n}
+        )
+    ), cand AS (
+{cands}
+    )
+    SELECT id_a, id_b,
+           ROUND(1.0 - CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                 / (len(sa.hs) + len(sb.hs)
+                    - len(list_intersect(sa.hs, sb.hs))), 8) AS jaccard_dist
+    FROM cand
+    JOIN sig sa ON sa.doc_id = cand.id_a
+    JOIN sig sb ON sb.doc_id = cand.id_b
+    WHERE 1.0 - CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+          / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
+          < {1.0 - threshold}
+    """
+
+
+@register("q_dedup_minhash", oracle=_minhash_oracle_sql(threshold=0.5))
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#69 MinHash LSH near-dup pairs (3-word shingles, Jaccard ≥ 0.5,
-    seed=42). Approximate → rows-only; precision property-checked vs exact
-    shingle Jaccard in tests."""
+    """#69 MinHash LSH near-dup pairs (3-word shingles, Jaccard ≥ 0.5).
+
+    SQL-oracle-checked since round 6 (previously rows-only): the
+    registered key runs ``minhash_portable_pairs`` — Rabin-Karp shingle
+    hashes mod 2^31-1 and five fixed LCG permutations instead of MLlib's
+    JVM-seeded MinHashLSH — which DuckDB replays hash-for-hash
+    (``_minhash_oracle_sql``; the same upgrade path as
+    q_text_fingerprint's xxhash64→poly_hash in round 5).
+    ``minhash_lsh_pairs`` (MLlib, xxhash64) stays the library fast path;
+    its precision remains property-checked vs exact shingle Jaccard in
+    tests, and the two families' candidate recall is compared there too."""
     t = load_tables(spark, sf_dir)
-    return dedup.minhash_lsh_pairs(t["documents"], jaccard_threshold=0.5)
+    return dedup.minhash_portable_pairs(t["documents"], jaccard_threshold=0.5)
 
 
-@register("q_dedup_simhash")
+def _simhash_oracle_sql(max_hamming: int = 8) -> str:
+    """DuckDB replay of operators.dedup.simhash_portable_pairs: poly-hash
+    token folds → 3-token shingle folds (·131 mod 2^40 throughout) →
+    per-bit frequency votes → 40-bit packed signature → 4×10-bit band
+    candidates (UNION of equi-joins) → Hamming ≤ ``max_hamming`` via
+    bit_count(xor)."""
+    mod = 1 << 40
+    ph = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(string_split(tk, ''),"
+        " c -> CAST(unicode(c) AS BIGINT))),"
+        f" (a, x) -> (a * 131 + x) % {mod})"
+    )
+    cands = "\n        UNION\n".join(
+        f"        SELECT a.doc_id AS id_a, b.doc_id AS id_b\n"
+        f"        FROM sig a JOIN sig b\n"
+        f"          ON (a.s >> {10 * i}) & 1023 = (b.s >> {10 * i}) & 1023\n"
+        f"         AND a.doc_id < b.doc_id"
+        for i in range(4)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               t -> t <> ''),
+                   tk -> {ph}) AS th
+        FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+        SELECT doc_id,
+               unnest([((th[i] * 131 + th[i + 1]) % {mod} * 131 + th[i + 2])
+                       % {mod}
+                       FOR i IN generate_series(1, len(th) - 2)]) AS h
+        FROM toks WHERE len(th) >= 3
+    ), votes AS (
+        SELECT doc_id, i,
+               SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM sh CROSS JOIN generate_series(0, 39) AS g(i)
+        GROUP BY doc_id, i
+    ), sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS s
+        FROM votes GROUP BY doc_id
+    ), cand AS (
+{cands}
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa.s, sb.s)) AS INT) AS hamming
+    FROM cand
+    JOIN sig sa ON sa.doc_id = cand.id_a
+    JOIN sig sb ON sb.doc_id = cand.id_b
+    WHERE bit_count(xor(sa.s, sb.s)) <= {max_hamming}
+    """
+
+
+@register("q_dedup_simhash", oracle=_simhash_oracle_sql(max_hamming=8))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (banded candidates + Hamming ≤ 8). xxhash64
-    has no DuckDB twin → rows-only; invariants tested."""
+    """SimHash near-dup pairs (banded candidates + Hamming ≤ 8).
+
+    SQL-oracle-checked since round 6 (previously rows-only): the
+    registered key runs ``simhash_portable_pairs`` — 40-bit signatures
+    over Rabin-Karp poly-hash shingle folds instead of xxhash64 — which
+    DuckDB replays bit-for-bit (``_simhash_oracle_sql``; same upgrade
+    path as q_dedup_minhash this round and q_text_fingerprint in r5).
+    ``simhash_pairs`` (64-bit xxhash64) stays the library fast path;
+    Hamming invariants for both families remain property-tested."""
     t = load_tables(spark, sf_dir)
-    return dedup.simhash_pairs(t["documents"], max_hamming=8)
+    return dedup.simhash_portable_pairs(t["documents"], max_hamming=8)
 
 
 @register(

@@ -1020,7 +1020,9 @@ def test_text_dedup_collapse_equals_naive_on_duplicate_heavy_corpus(spark):
 
     for fn, cols, kw in [
         (dedup.minhash_lsh_pairs, ["id_a", "id_b", "jaccard_dist"], {}),
+        (dedup.minhash_portable_pairs, ["id_a", "id_b", "jaccard_dist"], {}),
         (dedup.simhash_pairs, ["id_a", "id_b", "hamming"], {}),
+        (dedup.simhash_portable_pairs, ["id_a", "id_b", "hamming"], {}),
         (dedup.ngram_jaccard_pairs, ["doc_a", "doc_b", "jaccard"],
          dict(threshold=0.5)),
         # prefix filtering: collapse changes the df-based candidate
@@ -1255,3 +1257,90 @@ def test_lloyd_cte_oracle_is_dimension_independent():
     ).fetchdf()
     con.close()
     assert got["cluster"].tolist() == expected.tolist()
+
+
+def test_minhash_portable_pairs_are_true_near_dups(spark, sf_dir):
+    """The r06 registered q_dedup_minhash (portable poly_hash family) must
+    keep the xxhash64 family's precision contract: every emitted pair is a
+    true shingle-set near-dup (collision slack around the 0.5 threshold),
+    ordered id_a < id_b, and the pair set stays a near-dup TAIL rather
+    than a vocabulary clique."""
+    t = load_tables(spark, sf_dir)
+    pairs = catalog.queries()["q_dedup_minhash"](spark, sf_dir).collect()
+    assert pairs  # the corpus plants a near-dup tail; empty = lost recall
+
+    def shingle_set(text):
+        toks = text.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    docs = {
+        r["doc_id"]: shingle_set(r["text"])
+        for r in t["documents"].select("doc_id", "text").collect()
+    }
+    n_docs = len(docs)
+    for row in pairs:
+        a, b = docs[row["id_a"]], docs[row["id_b"]]
+        true_j = len(a & b) / len(a | b)
+        assert true_j >= 0.4, (row, true_j)
+        assert row["id_a"] < row["id_b"]
+        assert 0.0 <= row["jaccard_dist"] < 0.5
+    assert len(pairs) < 0.02 * n_docs * (n_docs - 1) / 2
+
+
+def test_simhash_portable_signature_and_pair_invariants(spark, sf_dir):
+    """The r06 registered q_dedup_simhash (portable 40-bit poly-hash
+    family) keeps the 64-bit family's contracts: deterministic signatures
+    in [0, 2^40), identical text -> identical signature, sub-shingle docs
+    get NULL and never pair, emitted Hamming within [0, 8], and the pair
+    set is a near-dup tail, not a vocabulary clique."""
+    t = load_tables(spark, sf_dir)
+    s1 = dedup.simhash_portable_signatures(t["documents"]).collect()
+    s2 = dedup.simhash_portable_signatures(t["documents"]).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    for r in s1:
+        if r["simhash"] is not None:
+            assert 0 <= r["simhash"] < (1 << 40)
+    dup = t["documents"].select("doc_id", F.lit("alpha beta gamma").alias("text"))
+    assert len({r["simhash"] for r in
+                dedup.simhash_portable_signatures(dup).collect()}) == 1
+    short = spark.createDataFrame(
+        [(1, "hello"), (2, "two words"), (3, "three whole tokens")],
+        "doc_id bigint, text string",
+    )
+    by_id = {r["doc_id"]: r["simhash"]
+             for r in dedup.simhash_portable_signatures(short).collect()}
+    assert by_id[1] is None and by_id[2] is None and by_id[3] is not None
+    assert dedup.simhash_portable_pairs(short).collect() == []
+    pairs = catalog.queries()["q_dedup_simhash"](spark, sf_dir).collect()
+    for row in pairs:
+        assert 0 <= row["hamming"] <= 8
+        assert row["id_a"] < row["id_b"]
+    n_docs = t["documents"].count()
+    assert len(pairs) < 0.05 * n_docs * (n_docs - 1) / 2
+
+
+def test_poly_hash_cross_engine_exact_on_unicode(spark):
+    """The poly_hash primitive now underpins THREE oracled keys
+    (fingerprint r5; minhash + simhash r6), so its cross-engine equality
+    must hold beyond ASCII: Spark's split('')/ascii() iterates full
+    codepoints (not UTF-16 units) exactly like DuckDB's
+    string_split('')/unicode() — pinned here on combining marks, CJK,
+    emoji, a supplementary-plane char, an embedded NUL, and RTL text."""
+    import duckdb
+
+    from etl_asana_spark.operators.text import poly_hash
+
+    tests = ["hello", "héllo", "日本語", "😀🎉", "𐍈 gothic", "a\x00b", "مرحبا"]
+    df = spark.createDataFrame([(s,) for s in tests], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", poly_hash("s").alias("h")).collect()}
+    con = duckdb.connect()
+    for s in tests:
+        expected = con.execute(
+            "SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),"
+            " list_transform(string_split(?, ''),"
+            " c -> CAST(unicode(c) AS BIGINT))),"
+            " (a, x) -> (a * 131 + x) % 1099511627776)",
+            [s],
+        ).fetchone()[0]
+        assert got[s] == expected, (s, got[s], expected)
+    con.close()
