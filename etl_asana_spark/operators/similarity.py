@@ -278,6 +278,168 @@ def ivf_topk(
     )
 
 
+#: Portable sign-projection LSH constants (engine-neutral): hyperplane
+#: entries are ±1 decided by bit 16 of an LCG over the (table, dim) index —
+#: arbitrary but fixed, published constants, reproducible in pure SQL.
+_ANN_LCG_A, _ANN_LCG_B, _ANN_LCG_M = 1103515245, 12345, 1 << 31
+_ANN_TABLES = 3
+_ANN_BUCKET_LEN = 2.0
+
+
+def _ann_sign(table: int, i: Column) -> Column:
+    """±1.0 hyperplane entry for (table, 1-based dim index) — the LCG bit."""
+    idx = (F.lit(table * 1009) + i).cast("long")  # long: A·idx > 2^31
+    v = (
+        F.lit(_ANN_LCG_A).cast("long") * idx + F.lit(_ANN_LCG_B).cast("long")
+    ) % F.lit(_ANN_LCG_M).cast("long")
+    return F.when(
+        F.shiftright(v, 16).bitwiseAND(F.lit(1).cast("long")) == F.lit(1),
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+
+
+def _ann_bucket(vec: Column, table: int) -> Column:
+    """floor(⟨x/‖x‖, w_t⟩ / bucket_len): the quantized-projection bucket.
+    NULL for zero vectors (try_divide) — a NULL bucket never joins."""
+    proj = F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(1), F.size(vec)),
+            lambda xi, i: xi * _ann_sign(table, i),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return F.floor(
+        F.try_divide(proj, norm * F.lit(_ANN_BUCKET_LEN))
+    ).cast("long")
+
+
+def ann_portable_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via DETERMINISTIC quantized sign projections — the
+    SQL-oracle-checkable twin of :func:`ann_brp_lsh` (which stays the MLlib
+    library path; its JVM-seeded gaussian hyperplanes have no SQL twin).
+
+    Same shape as BucketedRandomProjectionLSH at the same parameters
+    (3 tables, bucket length 2.0): per table, bucket =
+    floor(⟨x/‖x‖, w⟩ / L) with w a ±1 hyperplane whose entries come from
+    an LCG over (table, dim) — a pure integer function both engines
+    evaluate identically — and candidates share the query's bucket in ANY
+    table. Candidates are then scored with EXACT cosine and ranked
+    (cos desc, id) — identical semantics to approxSimilarityJoin on
+    normalized vectors, where 1 − dist²/2 IS the cosine. Soundness of the
+    oracle (floor-bucket margins, top-k rank gaps vs summation-order
+    drift) is probed by scripts/margin_probe.py; on this corpus margins
+    are ≥1.3e-4 vs ~1e-15 drift. Uniform random embeddings are the
+    documented worst case for pruning (neighbors scatter; candidate
+    fraction is high here, and falls on clustered real-world data).
+
+    Scale shape: 3 array-HOF projections per row map-side, a 3-key bucket
+    shuffle join against the (broadcast) query buckets, exact scoring only
+    on candidates, TakeOrderedAndProject for the top-k."""
+    base = embeddings.filter(F.col(vec_col).isNotNull())
+    e = F.col(vec_col).cast("array<double>")
+    pb = base.select(
+        id_col,
+        e.alias("__e"),
+        *[_ann_bucket(e, t).alias(f"__b{t}") for t in range(_ANN_TABLES)],
+    )
+    qv = F.col("query_vec").cast("array<double>")
+    pq = query.filter(F.col("query_vec").isNotNull()).select(
+        "query_id",
+        qv.alias("__q"),
+        *[_ann_bucket(qv, t).alias(f"__qb{t}") for t in range(_ANN_TABLES)],
+    )
+    match = None
+    for t in range(_ANN_TABLES):
+        cond = F.col(f"__b{t}") == F.col(f"__qb{t}")
+        match = cond if match is None else (match | cond)
+    from ..functions.vector import cosine
+
+    cand = pb.join(F.broadcast(pq), match).select(
+        "query_id", id_col, cosine("__e", "__q").alias("__cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc(id_col))
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", id_col, F.round("__cos", 8).alias("cos_approx"))
+    )
+
+
+def ivf_portable_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with the DETERMINISTIC Lloyd quantizer — the
+    SQL-oracle-checkable twin of :func:`ivf_topk` (MLlib KMeans stays the
+    library path; its seeded init has no SQL twin).
+
+    The coarse quantizer is :func:`kmeans_lloyd` at (k=16, 2 iters) — the
+    exact configuration q_dedup_semantic already margin-probes — so the
+    oracle reuses the Lloyd-fixpoint CTE for cell assignment, ranks cells
+    by centroid cosine to the query (ties by cluster id), scores only the
+    ``nprobe`` probed cells' members with exact cosine, and takes top-k.
+    Ranking margins (cell boundary at nprobe, member boundary at k) are
+    probed by scripts/margin_probe.py. Same scale shape as ivf_topk:
+    centroid state is k·dim driver-side, probing is a broadcast join,
+    scoring touches only probed members."""
+    from ..functions.vector import cosine
+
+    assigned, cents = kmeans_lloyd(
+        embeddings, k=n_centroids, n_iter=n_iter, id_col=id_col,
+        vec_col=vec_col, _return_model=True,
+    )
+    spark = embeddings.sparkSession
+    if not cents:
+        return spark.createDataFrame(
+            [], f"query_id bigint, {id_col} bigint, cos double"
+        )
+    cent_df = spark.createDataFrame(cents, "cluster int, centroid array<double>")
+    q_cells = query.filter(F.col("query_vec").isNotNull()).crossJoin(
+        F.broadcast(cent_df)
+    ).select(
+        "query_id", "query_vec", "cluster",
+        cosine("query_vec", "centroid").alias("cell_cos"),
+    )
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cell_cos"), F.asc("cluster")
+    )
+    probed = (
+        q_cells.withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= nprobe)
+        .select("query_id", "query_vec", "cluster")
+    )
+    cand = assigned.join(F.broadcast(probed), "cluster").select(
+        "query_id", id_col, cosine("v", "query_vec").alias("__cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc(id_col))
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", id_col, F.round("__cos", 8).alias("cos"))
+    )
+
+
 def pca_reduce(
     embeddings: DataFrame,
     k: int = 8,
@@ -441,6 +603,7 @@ def kmeans_lloyd(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _return_model: bool = False,
 ) -> DataFrame:
     """DataFrame-native Lloyd k-means: the iterative-ML pattern on Spark.
 
@@ -455,7 +618,10 @@ def kmeans_lloyd(
     lowest-id vectors), so reruns converge identically modulo float-mean
     low bits; empty clusters keep their previous centroid.
 
-    Returns (id, cluster, dist2) for the final centroids.
+    Returns (id, cluster, dist2) for the final centroids. With
+    ``_return_model=True`` (internal: the portable IVF quantizer) returns
+    ``(assignment_df_with_vectors, [(cluster, centroid), ...])`` instead —
+    same fit, the centroids just aren't discarded.
     """
     spark = embeddings.sparkSession
     # NULL vectors have no cluster (the init collect and the argmin both
@@ -513,6 +679,8 @@ def kmeans_lloyd(
         newmap = {r["cluster"]: list(r["centroid"]) for r in means}
         cents = [(c, newmap.get(c, old)) for c, old in cents]
 
+    if _return_model:
+        return assign(spark.createDataFrame(cents, schema)), cents
     return assign(spark.createDataFrame(cents, schema)).select(
         id_col, "cluster", "dist2"
     )

@@ -11,26 +11,52 @@ a few hundred KB), so the sketch broadcasts. Guarantees: estimates NEVER
 undercount (hash collisions only add), and overcount ≤ εN with
 ε ≈ e/width at failure probability e^-depth — both asserted in tests.
 
-Hashes are ``xxhash64(value, i)`` — deterministic across runs/partitions,
-so sketch builds are reproducible (no engine-portable oracle, though:
-DuckDB has no xxhash64 → the catalog entry is rows-only)."""
+Hashes: the default is ``xxhash64(value, i)`` — deterministic across
+runs/partitions so builds are reproducible, but JVM-only.
+``portable=True`` (r06) swaps in the LCG row family
+``((a_i·(x mod P) + b_i) mod P) mod width`` over INTEGER keys — exact in
+BIGINT and replayable in DuckDB, which is what gives q_agg_cms_topk a full
+SQL oracle. Same guarantees either way (pairwise-independence-style
+hashing is all CMS needs; the ε/δ bounds are asserted for both in tests).
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Portable integer-hash rows (shared LCG constants; P = 2^31-1 keeps
+#: every product < 2^62). Single-sourced into the q_agg_cms_topk oracle.
+CMS_P = 2147483647
+CMS_COEFFS = (
+    (1103515245, 12345),
+    (1140671485, 12820163),
+    (214013, 2531011),
+    (16843009, 826366247),
+)
 
-def _bucket(col: Column, i: int, width: int) -> Column:
-    return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(width))
+
+def _bucket(col: Column, i: int, width: int, portable: bool) -> Column:
+    if not portable:
+        return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(width))
+    a, b = CMS_COEFFS[i]
+    x = F.pmod(col.cast("long"), F.lit(CMS_P).cast("long"))
+    return F.pmod(
+        (F.lit(a).cast("long") * x + F.lit(b).cast("long"))
+        % F.lit(CMS_P).cast("long"),
+        F.lit(width).cast("long"),
+    )
 
 
-def _pairs(col: Column, depth: int, width: int) -> Column:
+def _pairs(col: Column, depth: int, width: int, portable: bool = False) -> Column:
+    if portable and depth > len(CMS_COEFFS):
+        raise ValueError(f"portable CMS supports depth <= {len(CMS_COEFFS)}")
     return F.explode(
         F.array(
             *[
                 F.struct(
-                    F.lit(i).alias("i"), _bucket(col, i, width).alias("bucket")
+                    F.lit(i).alias("i"),
+                    _bucket(col, i, width, portable).alias("bucket"),
                 )
                 for i in range(depth)
             ]
@@ -39,11 +65,16 @@ def _pairs(col: Column, depth: int, width: int) -> Column:
 
 
 def cms_build(
-    df: DataFrame, col: str, *, depth: int = 4, width: int = 8192
+    df: DataFrame, col: str, *, depth: int = 4, width: int = 8192,
+    portable: bool = False,
 ) -> DataFrame:
-    """Sketch table (i, bucket, cnt) for the values of ``col``."""
+    """Sketch table (i, bucket, cnt) for the values of ``col``.
+    ``portable=True`` hashes with the integer LCG family (NULL keys are
+    outside the sketch domain there — a NULL bucket counts nothing and
+    matches nothing, mirrored by the SQL oracle's IS NOT NULL)."""
+    base = df.filter(F.col(col).isNotNull()) if portable else df
     return (
-        df.select(_pairs(F.col(col), depth, width).alias("p"))
+        base.select(_pairs(F.col(col), depth, width, portable).alias("p"))
         .groupBy(F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -64,11 +95,12 @@ def cms_estimate(
     *,
     depth: int = 4,
     width: int = 8192,
+    portable: bool = False,
 ) -> DataFrame:
     """Point estimates for ``keys[col]``: min over the depth counters.
     The sketch side is tiny — broadcast it, never shuffle the keys."""
     probes = keys.select(
-        F.col(col), _pairs(F.col(col), depth, width).alias("p")
+        F.col(col), _pairs(F.col(col), depth, width, portable).alias("p")
     ).select(col, F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket"))
     return (
         probes.join(F.broadcast(sketch), ["i", "bucket"], "left")

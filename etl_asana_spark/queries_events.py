@@ -196,7 +196,42 @@ def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_cms_topk")
+def _cms_oracle_sql(depth: int = 4, width: int = 8192, topk: int = 10) -> str:
+    """DuckDB replay of the portable count-min sketch: per hash row i,
+    bucket = ((a_i·(x mod P) + b_i) mod P) mod width, counter counts,
+    estimate = min over the key's depth counters. Coefficients are
+    single-sourced from operators.sketch so engine and oracle cannot
+    drift."""
+    from .operators.sketch import CMS_COEFFS, CMS_P
+
+    rows = "\n        UNION ALL\n".join(
+        f"        SELECT user_id, {i} AS i,"
+        f" (({a} * (user_id % {CMS_P}) + {b}) % {CMS_P}) % {width} AS bucket"
+        f" FROM events WHERE user_id IS NOT NULL"
+        for i, (a, b) in enumerate(CMS_COEFFS[:depth])
+    )
+    return f"""
+    WITH pairs AS (
+{rows}
+    ), sketch AS (
+        SELECT i, bucket, COUNT(*) AS cnt FROM pairs GROUP BY i, bucket
+    ), exact_top AS (
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+        ORDER BY n_events DESC, user_id LIMIT {topk}
+    ), est AS (
+        SELECT p.user_id, MIN(s.cnt) AS cms_estimate
+        FROM (SELECT DISTINCT user_id, i, bucket FROM pairs
+              WHERE user_id IN (SELECT user_id FROM exact_top)) p
+        JOIN sketch s USING (i, bucket)
+        GROUP BY p.user_id
+    )
+    SELECT t.user_id, t.n_events, e.cms_estimate
+    FROM exact_top t JOIN est e USING (user_id)
+    """
+
+
+@register("q_agg_cms_topk", oracle=_cms_oracle_sql())
 def q_agg_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters with a count-min sketch (operators/sketch.py): build
     the 4×8192 counter table over event user_ids, then estimate the exact
@@ -204,12 +239,17 @@ def q_agg_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact you keep: a few hundred KB answers "how hot is key X" for any
     key without rescanning, and daily sketches merge into weekly by
     counter-sum (cms_merge) — same rollup shape as q_agg_hll_rollup.
-    Rows-only (DuckDB has no xxhash64); the never-undercounts and εN
-    overcount guarantees are asserted in tests/test_llm_ops.py."""
+
+    SQL-oracle-checked since round 6 (previously rows-only): the
+    registered key builds with ``portable=True`` — the integer LCG hash
+    family instead of xxhash64 — which DuckDB replays counter-for-counter
+    (``_cms_oracle_sql``). The xxhash64 build stays the library default;
+    the never-undercounts and εN overcount guarantees are asserted for
+    both hash families in tests/test_llm_ops.py."""
     from .operators import sketch
 
     ev = load_tables(spark, sf_dir)["events"]
-    cms = sketch.cms_build(ev, "user_id")
+    cms = sketch.cms_build(ev, "user_id", portable=True)
     exact_top = (
         ev.groupBy("user_id")
         .agg(F.count("*").alias("n_events"))
@@ -217,7 +257,9 @@ def q_agg_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     return exact_top.join(
-        sketch.cms_estimate(cms, exact_top.select("user_id"), "user_id"),
+        sketch.cms_estimate(
+            cms, exact_top.select("user_id"), "user_id", portable=True
+        ),
         "user_id",
     ).select("user_id", "n_events", "cms_estimate")
 

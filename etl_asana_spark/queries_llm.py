@@ -318,26 +318,86 @@ def q_sim_cosine_topk_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("cos", 8).alias("cos"))
 
 
-@register("q_sim_ann")
+def _ann_oracle_sql(k: int = 5) -> str:
+    """DuckDB replay of operators.similarity.ann_portable_topk: per-table
+    ±1-LCG hyperplane projections on the normalized vector, floor-bucketed;
+    candidates share the query's bucket in any table; exact cosine ranks
+    the candidates. Constants single-sourced from operators.similarity."""
+    from .operators.similarity import (
+        _ANN_BUCKET_LEN,
+        _ANN_LCG_A,
+        _ANN_LCG_B,
+        _ANN_LCG_M,
+        _ANN_TABLES,
+    )
+
+    def sgn(t: str) -> str:
+        return (
+            f"CASE WHEN (({_ANN_LCG_A} * ({t} * 1009 + i) + {_ANN_LCG_B})"
+            f" % {_ANN_LCG_M} >> 16) & 1 = 1 THEN 1.0 ELSE -1.0 END"
+        )
+
+    def bucket(vec: str, t: int) -> str:
+        return f"""CASE WHEN sqrt(list_sum(list_transform({vec}, x -> x * x))) = 0
+             THEN NULL
+             ELSE CAST(floor(
+                 list_sum([{vec}[i] * {sgn(str(t))}
+                           FOR i IN generate_series(1, len({vec}))])
+                 / (sqrt(list_sum(list_transform({vec}, x -> x * x)))
+                    * {_ANN_BUCKET_LEN})) AS BIGINT) END"""
+
+    b_base = ",\n               ".join(
+        f"{bucket('e', t)} AS b{t}" for t in range(_ANN_TABLES)
+    )
+    b_q = ",\n               ".join(
+        f"{bucket('qv', t)} AS qb{t}" for t in range(_ANN_TABLES)
+    )
+    or_match = " OR ".join(f"pb.b{t} = pq.qb{t}" for t in range(_ANN_TABLES))
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), q AS MATERIALIZED (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id = 0
+    ), pb AS MATERIALIZED (
+        SELECT vec_id, e,
+               {b_base}
+        FROM base
+    ), pq AS MATERIALIZED (
+        SELECT qv,
+               {b_q}
+        FROM q
+    )
+    SELECT 0 AS query_id, vec_id,
+           ROUND(list_sum([e[i] * qv[i] FOR i IN generate_series(1, len(e))])
+                 / (sqrt(list_sum(list_transform(e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(qv, x -> x * x)))), 8)
+               AS cos_approx
+    FROM pb, pq
+    WHERE {or_match}
+    ORDER BY list_sum([e[i] * qv[i] FOR i IN generate_series(1, len(e))])
+             / (sqrt(list_sum(list_transform(e, x -> x * x)))
+                * sqrt(list_sum(list_transform(qv, x -> x * x)))) DESC,
+             vec_id
+    LIMIT {k}
+    """
+
+
+@register("q_sim_ann", oracle=_ann_oracle_sql(k=5))
 def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#71 ANN top-5 via random-hyperplane LSH (seed=42) — sub-linear scale
-    path. Rows-only: the candidate set depends on the seeded hyperplane
-    projections, which no SQL oracle can replay; recall vs exact is
-    checked in tests."""
-    t = load_tables(spark, sf_dir)
-    return similarity.ann_brp_lsh(t["embeddings"], _query_vec(t), k=5)
+    """#71 ANN top-5 via quantized sign-projection LSH.
 
-
-@register("q_sim_ivf")
-def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-5 (KMeans coarse quantizer, 16 cells, seed=42). nprobe=8:
-    uniform-random vectors are IVF's worst case (neighbors scatter across
-    cells) — measured recall on this corpus: 2/5 @ nprobe=4, 4/5 @ 8, 5/5
-    @ 10. Clustered real-world embeddings do far better at low nprobe.
-    Rows-only: the probed cells come from the seeded k-means quantizer,
-    which no SQL oracle can replay."""
+    SQL-oracle-checked since round 6 (previously rows-only): the
+    registered key runs ``ann_portable_topk`` — deterministic ±1-LCG
+    hyperplanes instead of MLlib's JVM-seeded gaussians, same table
+    count/bucket length — which DuckDB replays projection-for-projection
+    (``_ann_oracle_sql``). ``ann_brp_lsh`` (MLlib) stays the library
+    path; recall vs exact top-k remains property-tested for both.
+    Soundness (floor-bucket margins, rank gaps vs drift) is probed by
+    scripts/margin_probe.py."""
     t = load_tables(spark, sf_dir)
-    return similarity.ivf_topk(t["embeddings"], _query_vec(t), k=5, nprobe=8)
+    return similarity.ann_portable_topk(t["embeddings"], _query_vec(t), k=5)
 
 
 def _pca_power_cte_sql(k: int = 8, n_iter: int = 20) -> str:
@@ -1618,6 +1678,58 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return similarity.kmeans_lloyd(t["embeddings"], k=8, n_iter=5).select(
         "vec_id", "cluster"
+    )
+
+
+def _ivf_oracle_sql(k: int = 5, nprobe: int = 8, n_iter: int = 2) -> str:
+    """DuckDB replay of operators.similarity.ivf_portable_topk: the Lloyd
+    CTE (16 cells, 2 iters — the margin-probed q_dedup_semantic config)
+    assigns cells; cells rank by centroid cosine to the query; only the
+    ``nprobe`` probed cells' members are scored exactly."""
+    cos = (
+        lambda a, b: f"list_sum([{a}[i] * {b}[i]"
+        f" FOR i IN generate_series(1, len({a}))])"
+        f" / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+    )
+    return (
+        _lloyd_cte_sql(k=16, n_iter=n_iter)
+        + f"""
+, qv AS MATERIALIZED (
+    SELECT CAST(embedding AS DOUBLE[]) AS q
+    FROM embeddings WHERE vec_id = 0
+), cellrank AS MATERIALIZED (
+    SELECT c.cluster,
+           row_number() OVER (ORDER BY {cos('c.centroid', 'q')} DESC,
+                              c.cluster) AS rk
+    FROM c{n_iter} c, qv
+)
+SELECT 0 AS query_id, a.vec_id, ROUND({cos('a.e', 'q')}, 8) AS cos
+FROM asg a
+JOIN cellrank cr ON cr.cluster = a.cluster AND cr.rk <= {nprobe}, qv
+ORDER BY {cos('a.e', 'q')} DESC, a.vec_id
+LIMIT {k}
+"""
+    )
+
+
+@register("q_sim_ivf", oracle=_ivf_oracle_sql(k=5, nprobe=8))
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 (deterministic Lloyd coarse quantizer, 16 cells, nprobe=8).
+
+    SQL-oracle-checked since round 6 (previously rows-only): the
+    registered key runs ``ivf_portable_topk``, whose quantizer is the
+    from-scratch deterministic ``kmeans_lloyd`` — the same fit the
+    q_dedup_semantic oracle already replays via the Lloyd-fixpoint CTE —
+    so the full probe-and-score pipeline is DuckDB-replayable
+    (``_ivf_oracle_sql``). ``ivf_topk`` (MLlib KMeans, seeded init) stays
+    the library path. Uniform-random vectors remain IVF's worst case
+    (neighbors scatter across cells); recall vs exact top-k is
+    property-tested, and ranking-boundary margins are probed by
+    scripts/margin_probe.py."""
+    t = load_tables(spark, sf_dir)
+    return similarity.ivf_portable_topk(
+        t["embeddings"], _query_vec(t), k=5, nprobe=8
     )
 
 

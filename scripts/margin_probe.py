@@ -24,10 +24,13 @@ back to rows-only before the gate sees them.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CONFIGS = [
     ("q_emb_kmeans", 8, 5, None),
@@ -74,7 +77,91 @@ def probe(sf_dir: str) -> bool:
         ok &= min_margin > 1e-9
         print(line)
     ok &= probe_pca(sf_dir, X)
+    ok &= probe_ann(sf_dir, X)
+    ok &= probe_ivf(sf_dir, X)
     return ok
+
+
+def _rank_gap(scores: np.ndarray, k: int) -> float:
+    """Gap between the k-th and (k+1)-th score descending — the only
+    boundary where cross-engine drift could change a top-k answer set."""
+    s = np.sort(scores)[::-1]
+    return float(s[k - 1] - s[k]) if len(s) > k else np.inf
+
+
+def probe_ann(sf_dir: str, X: np.ndarray, k: int = 5) -> bool:
+    """Soundness margins for the q_sim_ann portable oracle (r06):
+    floor-bucket margins of the quantized sign projections, the candidate
+    top-k rank gap, and the 8-dp rounding margin of the emitted scores."""
+    from etl_asana_spark.operators.similarity import (
+        _ANN_BUCKET_LEN, _ANN_LCG_A, _ANN_LCG_B, _ANN_LCG_M, _ANN_TABLES,
+    )
+
+    n, d = X.shape
+    q = X[0]
+    w = np.array(
+        [
+            [
+                1.0
+                if (((_ANN_LCG_A * (t * 1009 + i + 1) + _ANN_LCG_B) % _ANN_LCG_M) >> 16) & 1
+                else -1.0
+                for i in range(d)
+            ]
+            for t in range(_ANN_TABLES)
+        ]
+    )
+    norms = np.sqrt((X * X).sum(axis=1))
+    proj = (X @ w.T) / norms[:, None] / _ANN_BUCKET_LEN
+    floor_margin = float(np.abs(proj - np.round(proj)).min())
+    buckets = np.floor(proj)
+    cand = (buckets == buckets[0]).any(axis=1)
+    cos = (X[cand] @ q) / (norms[cand] * norms[0])
+    gap = _rank_gap(cos, k)
+    units = np.sort(cos)[::-1][:k] * 1e8
+    fp = float(np.abs(units - np.floor(units) - 0.5).min()) * 1e-8
+    print(
+        f"q_sim_ann          {sf_dir}: floor margin {floor_margin:.3e},"
+        f" rank-{k} gap {gap:.3e}, 8dp margin {fp:.3e}"
+    )
+    return floor_margin > 1e-9 and gap > 1e-9 and fp > 1e-12
+
+
+def probe_ivf(
+    sf_dir: str, X: np.ndarray, k: int = 5, nprobe: int = 8,
+    n_cells: int = 16, n_iter: int = 2,
+) -> bool:
+    """Soundness margins for the q_sim_ivf portable oracle (r06): the
+    cell-ranking boundary at nprobe (centroid-cosine gap), the member
+    top-k rank gap, and the 8-dp rounding margin. Cell ASSIGNMENT margins
+    are already covered by the q_dedup_semantic config above (same Lloyd
+    fit)."""
+    n, d = X.shape
+    q = X[0]
+    cents = X[:n_cells].copy()
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        best = d2.argmin(axis=1)
+        for c in range(n_cells):
+            m = best == c
+            if m.any():
+                cents[c] = X[m].mean(axis=0)
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    cnorm = np.sqrt((cents * cents).sum(axis=1))
+    ccos = (cents @ q) / (cnorm * np.sqrt(q @ q))
+    cell_gap = _rank_gap(ccos, nprobe)
+    probed = set(np.argsort(-ccos, kind="stable")[:nprobe])
+    mask = np.array([assign[j] in probed for j in range(n)])
+    norms = np.sqrt((X * X).sum(axis=1))
+    cos = (X[mask] @ q) / (norms[mask] * np.sqrt(q @ q))
+    gap = _rank_gap(cos, k)
+    units = np.sort(cos)[::-1][:k] * 1e8
+    fp = float(np.abs(units - np.floor(units) - 0.5).min()) * 1e-8
+    print(
+        f"q_sim_ivf          {sf_dir}: cell rank-{nprobe} gap {cell_gap:.3e},"
+        f" member rank-{k} gap {gap:.3e}, 8dp margin {fp:.3e}"
+    )
+    return cell_gap > 1e-9 and gap > 1e-9 and fp > 1e-12
 
 
 def probe_pca(sf_dir: str, X: np.ndarray, k: int = 8, t: int = 20) -> bool:

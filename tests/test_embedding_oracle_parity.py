@@ -34,7 +34,13 @@ import pytest
 from etl_asana_spark import catalog
 from etl_asana_spark.testing import compare_frames, duckdb_connect
 
-KEYS = ("q_emb_kmeans", "q_dedup_semantic", "q_emb_pca")
+KEYS = (
+    "q_emb_kmeans",
+    "q_dedup_semantic",
+    "q_emb_pca",
+    "q_sim_ann",   # r06 portable sign-projection LSH
+    "q_sim_ivf",   # r06 deterministic-Lloyd IVF
+)
 D = 32
 
 
