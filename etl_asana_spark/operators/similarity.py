@@ -359,14 +359,43 @@ def ann_portable_topk(
         qv.alias("__q"),
         *[_ann_bucket(qv, t).alias(f"__qb{t}") for t in range(_ANN_TABLES)],
     )
-    match = None
-    for t in range(_ANN_TABLES):
-        cond = F.col(f"__b{t}") == F.col(f"__qb{t}")
-        match = cond if match is None else (match | cond)
+
+    # Candidates: any-table bucket equality, UNPIVOTED to (table, bucket)
+    # rows so the match is a hash equi-join on a compound key — an OR of
+    # per-table equalities would plan as BroadcastNestedLoopJoin (flagged
+    # by plan_audit), harmless for one broadcast query row but a scan per
+    # query at batch-query scale. NULL buckets (zero vectors) produce no
+    # band rows and therefore no candidates.
+    def bandify(df: DataFrame, prefix: str, keep: list[str]) -> DataFrame:
+        return df.select(
+            *keep,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("__t"),
+                            F.col(f"{prefix}{t}").alias("__bk"),
+                        )
+                        for t in range(_ANN_TABLES)
+                    ]
+                )
+            ).alias("__band"),
+        ).select(
+            *keep, F.col("__band.__t").alias("__t"), F.col("__band.__bk").alias("__bk")
+        ).filter(F.col("__bk").isNotNull())
+
+    cand_ids = (
+        bandify(pb, "__b", [id_col])
+        .join(F.broadcast(bandify(pq, "__qb", ["query_id"])), ["__t", "__bk"])
+        .select("query_id", id_col)
+        .distinct()
+    )
     from ..functions.vector import cosine
 
-    cand = pb.join(F.broadcast(pq), match).select(
-        "query_id", id_col, cosine("__e", "__q").alias("__cos")
+    cand = (
+        cand_ids.join(pb.select(id_col, "__e"), id_col)
+        .join(F.broadcast(pq.select("query_id", "__q")), "query_id")
+        .select("query_id", id_col, cosine("__e", "__q").alias("__cos"))
     )
     from pyspark.sql import Window
 
