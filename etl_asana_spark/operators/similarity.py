@@ -556,40 +556,44 @@ def pca_power_reduce(
     x = x.filter(F.size(vec_col) == d)
     e = F.col(vec_col).cast("array<double>")
 
-    # G(i,j) partial-aggregated sums + per-dim sums + count, one scan. Only
-    # the upper triangle (j ≥ i) is built — the Gramian is symmetric, so the
+    # Moment accumulation in ONE scan / one shuffle / one collect. Only the
+    # Gramian's upper triangle (j ≥ i) is built — it is symmetric, so the
     # explode carries d(d+1)/2 structs per row instead of d² and the driver
-    # mirrors. Indices are 1-based (SQL sequence), shifted on collect.
+    # mirrors. The per-dim sums ride along as (i, 0) sentinel structs and
+    # the row count as (0, 0) — j=0 is free because Gramian indices are
+    # 1-based (SQL sequence). Partial agg combines map-side, so the
+    # exchange carries ~d²/2 rows per partition regardless of n.
     prods = F.expr(
-        "flatten(transform(sequence(1, __d), i -> "
-        "transform(sequence(i, __d), j -> "
-        "struct(i AS i, j AS j, element_at(__e, i) * element_at(__e, j) AS p))))"
+        "concat("
+        " flatten(transform(sequence(1, __d), i -> "
+        "  transform(sequence(i, __d), j -> "
+        "   struct(i AS i, j AS j, element_at(__e, i) * element_at(__e, j) AS p)))),"
+        " transform(sequence(1, __d), i -> "
+        "  struct(i AS i, 0 AS j, element_at(__e, i) AS p)),"
+        " array(struct(0 AS i, 0 AS j, CAST(1.0 AS DOUBLE) AS p)))"
     )
-    gsum = (
+    moments = (
         x.select(e.alias("__e"), F.lit(d).alias("__d"))
         .select(F.explode(prods).alias("c"))
         .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
         .agg(F.sum("c.p").alias("s"))
         .collect()
     )
-    msum = (
-        x.select(F.posexplode(e).alias("i", "v"))
-        .groupBy("i")
-        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-        .collect()
-    )
-    n = msum[0]["n"] if msum else 0
+    n = next((int(r["s"]) for r in moments if r["i"] == 0 and r["j"] == 0), 0)
     if n == 0:
         return embeddings.sparkSession.createDataFrame(
             [], f"{id_col} bigint, reduced array<double>"
         )
     mu = np.zeros(d)
-    for r in msum:
-        mu[r["i"]] = r["s"] / n
     g = np.zeros((d, d))
-    for r in gsum:
-        g[r["i"] - 1, r["j"] - 1] = r["s"] / n
-        g[r["j"] - 1, r["i"] - 1] = r["s"] / n
+    for r in moments:
+        if r["i"] == 0:
+            continue
+        if r["j"] == 0:
+            mu[r["i"] - 1] = r["s"] / n
+        else:
+            g[r["i"] - 1, r["j"] - 1] = r["s"] / n
+            g[r["j"] - 1, r["i"] - 1] = r["s"] / n
     cov = g - np.outer(mu, mu)
 
     comps = []
