@@ -435,14 +435,87 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_cd")  # rows-only: HLL estimates are engine-specific
+def _hll_oracle_cte(group_expr: str, group_name: str) -> str:
+    """Shared DuckDB replay of operators.sketch.hll_build + hll_estimate
+    over events.user_id, grouped by ``group_expr AS group_name`` — ends in
+    CTE ``est(group_name, hll_estimate)``. Constants single-sourced from
+    operators.sketch."""
+    from .operators.sketch import (
+        CMS_P, HLL_ALPHA, HLL_H1, HLL_H2, HLL_M,
+    )
+
+    def h(coeffs: tuple[int, int, int]) -> str:
+        a, b, c = coeffs
+        return f"(({a} * ((x * x) % {CMS_P}) + {b} * x + {c}) % {CMS_P})"
+
+    return f"""
+    WITH keyed AS (
+        SELECT {group_expr} AS {group_name}, user_id % {CMS_P} AS x
+        FROM events WHERE user_id IS NOT NULL
+    ), parts AS (
+        SELECT {group_name},
+               {h(HLL_H1)} % {HLL_M} AS bucket,
+               {h(HLL_H2)} AS h2
+        FROM keyed
+    ), regs AS (
+        SELECT {group_name}, bucket,
+               MAX(CASE WHEN h2 = 0 THEN 32
+                        ELSE 32 - length(format('{{:b}}', h2)) END) AS rho
+        FROM parts GROUP BY {group_name}, bucket
+    ), agg AS (
+        SELECT {group_name},
+               SUM(power(2.0, -rho)) AS s_present,
+               COUNT(*) AS n_present
+        FROM regs GROUP BY {group_name}
+    ), est AS (
+        SELECT {group_name},
+               CASE WHEN CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M}.0 * {HLL_M}.0
+                         / (s_present + ({HLL_M} - n_present))
+                         <= 2.5 * {HLL_M}.0
+                     AND {HLL_M} - n_present > 0
+                    THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - n_present))
+                    ELSE CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M}.0 * {HLL_M}.0
+                         / (s_present + ({HLL_M} - n_present))
+               END AS hll_estimate
+        FROM agg
+    )"""
+
+
+@register(
+    "q_agg_approx_cd",
+    oracle=_hll_oracle_cte("event_type", "event_type")
+    + """
+    SELECT e.event_type,
+           ROUND(e.hll_estimate, 4) AS approx_users,
+           c.n_events
+    FROM est e
+    JOIN (SELECT event_type, COUNT(*) AS n_events
+          FROM events GROUP BY event_type) c USING (event_type)
+    """,
+)
 def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#25 Approximate count-distinct (HyperLogLog++). No SQL oracle — the
-    estimate is engine-specific; tests assert tolerance vs the exact count."""
-    t = load_tables(spark, sf_dir)
-    return t["events"].groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.count("*").alias("n_events"),
+    """#25 Approximate count-distinct via HyperLogLog.
+
+    SQL-oracle-checked since round 6 (previously rows-only): the
+    registered key runs the from-scratch portable HLL
+    (operators.sketch.hll_build/hll_estimate — quadratic-LCG register
+    hashes, exact binary-fraction register sums, the standard αm·m²/Σ2^−ρ
+    estimate with linear-counting small-range correction), which DuckDB
+    replays register-for-register. ``approx_count_distinct`` (Spark's
+    internal HLL++) remains the library default for users — its estimator
+    is engine-specific by construction. Tolerance vs exact distinct
+    counts is asserted for the portable family in tests; the ROUND(4)
+    boundary margin is probed by scripts/margin_probe.py."""
+    from .operators import sketch
+
+    ev = load_tables(spark, sf_dir)["events"]
+    regs = sketch.hll_build(ev, "user_id", ["event_type"])
+    est = sketch.hll_estimate(regs, ["event_type"])
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    return est.join(counts, "event_type").select(
+        "event_type",
+        F.round("hll_estimate", 4).alias("approx_users"),
+        "n_events",
     )
 
 

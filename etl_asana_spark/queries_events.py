@@ -176,22 +176,49 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_hll_rollup")
-def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Re-aggregatable distinct counts: per-day HLL sketches of user_id,
-    union-merged into weekly distinct-user estimates. THE scale pattern for
-    distinct counts over rollup hierarchies — at 100 TB you materialize the
-    small daily sketch table once and answer any coarser granularity by
-    merging sketches, never rescanning the fact. (Estimates are
-    engine-specific → rows-only check; accuracy is asserted against exact
-    counts in tests/test_llm_ops.py.)"""
-    ev = load_tables(spark, sf_dir)["events"]
-    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
-    )
+def _hll_rollup_oracle() -> str:
+    from .queries_core import _hll_oracle_cte
+
     return (
-        daily.groupBy(F.date_trunc("week", "day").alias("week"))
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+        _hll_oracle_cte(
+            "date_trunc('week', date_trunc('day', CAST(ts AS TIMESTAMP)))",
+            "week",
+        )
+        + """
+    SELECT week, ROUND(hll_estimate, 4) AS approx_users
+    FROM est ORDER BY week
+    """
+    )
+
+
+@register("q_agg_hll_rollup", oracle=_hll_rollup_oracle())
+def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counts: per-day HLL register tables of
+    user_id, MAX-merged into weekly distinct-user estimates. THE scale
+    pattern for distinct counts over rollup hierarchies — at 100 TB you
+    materialize the small daily register table once and answer any coarser
+    granularity by merging registers, never rescanning the fact.
+
+    SQL-oracle-checked since round 6 (previously rows-only): the
+    registered key rolls up the portable HLL
+    (operators.sketch.hll_build/hll_estimate) whose registers DuckDB
+    replays exactly; the weekly merge is ``groupBy(week, bucket).max(rho)``
+    over the daily rows — the same answer as sketching weeks directly,
+    which is the re-aggregation property (asserted in tests). Spark's
+    ``hll_sketch_agg`` (DataSketches) remains the library fast path with
+    an engine-specific estimator."""
+    from .operators import sketch
+
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = sketch.hll_build(
+        ev.withColumn("day", F.date_trunc("day", "ts")), "user_id", ["day"]
+    )
+    weekly = daily.groupBy(
+        F.date_trunc("week", "day").alias("week"), "bucket"
+    ).agg(F.max("rho").alias("rho"))
+    return (
+        sketch.hll_estimate(weekly, ["week"])
+        .select("week", F.round("hll_estimate", 4).alias("approx_users"))
         .orderBy("week")
     )
 

@@ -79,7 +79,51 @@ def probe(sf_dir: str) -> bool:
     ok &= probe_pca(sf_dir, X)
     ok &= probe_ann(sf_dir, X)
     ok &= probe_ivf(sf_dir, X)
+    ok &= probe_hll(sf_dir)
     return ok
+
+
+def probe_hll(sf_dir: str) -> bool:
+    """ROUND(4)-boundary margins of the portable HLL estimates (r06 keys
+    q_agg_approx_cd / q_agg_hll_rollup). The register sum is exact binary
+    fractions (order-independent), so the only cross-engine wiggle is the
+    small-range ``ln`` (≤1 ulp, ~1e-13 absolute at these magnitudes); the
+    margin must clear that by orders of magnitude."""
+    import math
+
+    from etl_asana_spark.operators.sketch import (
+        CMS_P, HLL_ALPHA, HLL_H1, HLL_H2, HLL_M,
+    )
+
+    rows = duckdb.sql(
+        f"""SELECT grp, list(user_id) FROM (
+              SELECT event_type AS grp, user_id
+              FROM '{sf_dir}/events.parquet' WHERE user_id IS NOT NULL
+              UNION ALL
+              SELECT CAST(date_trunc('week', date_trunc('day',
+                         CAST(ts AS TIMESTAMP))) AS VARCHAR), user_id
+              FROM '{sf_dir}/events.parquet' WHERE user_id IS NOT NULL
+            ) GROUP BY grp"""
+    ).fetchall()
+    min_margin = np.inf
+    for _, uids in rows:
+        x = np.unique(np.asarray(uids, dtype=np.int64)) % CMS_P
+        x2 = (x * x) % CMS_P
+        h1 = (HLL_H1[0] * x2 + HLL_H1[1] * x + HLL_H1[2]) % CMS_P
+        h2 = (HLL_H2[0] * x2 + HLL_H2[1] * x + HLL_H2[2]) % CMS_P
+        bucket = h1 % HLL_M
+        bl = np.where(h2 > 0, np.frompyfunc(int.bit_length, 1, 1)(h2.astype(object)), 0)
+        rho = (32 - bl.astype(int))
+        regs = np.zeros(HLL_M, dtype=np.int64)
+        np.maximum.at(regs, bucket, rho)
+        present = regs[regs > 0]
+        zeros = HLL_M - len(present)
+        raw = HLL_ALPHA * HLL_M * HLL_M / (np.power(2.0, -present.astype(float)).sum() + zeros)
+        est = HLL_M * math.log(HLL_M / zeros) if (raw <= 2.5 * HLL_M and zeros > 0) else raw
+        u = est * 1e4
+        min_margin = min(min_margin, abs(u - math.floor(u) - 0.5) * 1e-4)
+    print(f"q_agg_hll*         {sf_dir}: min ROUND(4) margin {min_margin:.3e}")
+    return min_margin > 1e-9
 
 
 def _rank_gap(scores: np.ndarray, k: int) -> float:

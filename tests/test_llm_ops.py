@@ -674,8 +674,9 @@ def test_semantic_dedup_pairs_subset_of_all_pairs(spark, sf_dir):
 
 
 def test_approx_count_distinct_within_tolerance(spark, sf_dir):
-    """#25: the HLL++ estimate must sit within ~3x the configured rsd (2%)
-    of the exact per-type distinct-user count."""
+    """#25: the estimate must sit within a few sigma of the exact per-type
+    distinct-user count (since r06 the registered key runs the PORTABLE
+    HLL — m=4096, sigma ~1.6% — not Spark's HLL++; same bound)."""
     from etl_asana_spark import catalog
 
     approx = {
@@ -1344,3 +1345,59 @@ def test_poly_hash_cross_engine_exact_on_unicode(spark):
         ).fetchone()[0]
         assert got[s] == expected, (s, got[s], expected)
     con.close()
+
+
+def test_portable_hll_rollup_merge_equals_direct_sketch(spark, sf_dir):
+    """The r06 portable-HLL re-aggregation property: MAX-merging the DAILY
+    register tables up to weeks yields register-identical state — and
+    therefore identical estimates — to sketching each week directly from
+    the fact table. This is the property that lets a 100 TB pipeline keep
+    only the small register table and answer any coarser rollup without
+    rescanning."""
+    from etl_asana_spark.operators import sketch
+
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = sketch.hll_build(
+        ev.withColumn("day", F.date_trunc("day", "ts")), "user_id", ["day"]
+    )
+    merged = (
+        daily.groupBy(F.date_trunc("week", "day").alias("week"), "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    direct = sketch.hll_build(
+        ev.withColumn("week", F.date_trunc("week", F.date_trunc("day", "ts"))),
+        "user_id",
+        ["week"],
+    )
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b
+
+
+def test_portable_hll_estimate_register_sum_is_exact(spark):
+    """Every 2^-rho register term is an exact binary fraction and the
+    whole sum spans < 52 mantissa bits, so the estimate's denominator is
+    order-independent — pinned by comparing against a Fraction-exact
+    reference on a synthetic register table hitting both rho extremes."""
+    from fractions import Fraction
+
+    from etl_asana_spark.operators import sketch
+
+    regs = [(1, i % sketch.HLL_M, (i % 31) + 1) for i in range(3000)]
+    regs += [(1, 4001, 32)]  # the h2 == 0 extreme
+    df = spark.createDataFrame(regs, "g int, bucket long, rho int").groupBy(
+        "g", "bucket"
+    ).agg(F.max("rho").alias("rho"))
+    rows = df.collect()
+    s_exact = sum(Fraction(1, 2 ** r["rho"]) for r in rows)
+    zeros = sketch.HLL_M - len(rows)
+    raw = sketch.HLL_ALPHA * sketch.HLL_M**2 / float(s_exact + zeros)
+    got = sketch.hll_estimate(df, ["g"]).collect()[0]["hll_estimate"]
+    import math
+
+    expected = (
+        sketch.HLL_M * math.log(sketch.HLL_M / zeros)
+        if raw <= 2.5 * sketch.HLL_M and zeros > 0
+        else raw
+    )
+    assert got == expected
