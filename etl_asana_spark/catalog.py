@@ -177,8 +177,13 @@ def _oracle_generations(root: str | None = None) -> dict[str, int]:
     try:
         with open(os.path.join(repo_root, "scripts", "oracle_generations.json")) as fh:
             data = json.load(fh)
+        if not isinstance(data, dict):
+            # A hand-curated file that parses as JSON but isn't an object
+            # must degrade to the no-op like an unreadable file would, not
+            # crash every catalog ordering (r06 review finding).
+            return {}
         return {k: int(v) for k, v in data.items()}
-    except (OSError, ValueError):
+    except (OSError, ValueError, TypeError):
         return {}
 
 

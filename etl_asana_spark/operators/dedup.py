@@ -499,9 +499,17 @@ def simhash_portable_signatures(
     packed into one BIGINT. Same aggregation shape as the 64-bit form (ONE
     aggregate carrying all counters; a finish lambda packs), same
     domain rule (< 3 run-split tokens → NULL signature, cannot pair),
-    same frequency weighting (duplicate shingles vote per occurrence)."""
+    same frequency weighting (duplicate shingles vote per occurrence).
+
+    The token-hash array is HOISTED into its own projection (r06 review):
+    inlined, the per-character fold appears six times in the signature
+    expression (three zip_with/slice references + three size() guards),
+    and while CollapseProject's cost guard keeps the expensive aggregate
+    from fully re-inlining, the hoist still measured ~2× faster at sf0.1
+    — unlike the 64-bit twin, whose repeated xxhash64 is one codegen call.
+    """
     mod = 1 << 40
-    th = (
+    th_expr = (
         f"transform(filter(split({text_col}, '\\\\s+'), t -> t != ''),"
         f" t -> aggregate(split(t, ''), 0L,"
         f" (a, c) -> (a * 131L + ascii(c)) % {mod}L))"
@@ -509,15 +517,15 @@ def simhash_portable_signatures(
     shingle_hashes = f"""
         slice(
           zip_with(
-            zip_with({th}, slice({th}, 2, size({th})),
+            zip_with(__th, slice(__th, 2, size(__th)),
                      (a, b) -> (a * 131L + b) % {mod}L),
-            slice({th}, 3, size({th})),
+            slice(__th, 3, size(__th)),
             (ab, c) -> (ab * 131L + c) % {mod}L),
-          1, size({th}) - 2)
+          1, size(__th) - 2)
     """
     sig = F.expr(
         f"""
-        CASE WHEN size({th}) >= 3 THEN
+        CASE WHEN size(__th) >= 3 THEN
           aggregate(
             CAST(({shingle_hashes}) AS ARRAY<BIGINT>),
             array_repeat(0, 40),
@@ -530,7 +538,9 @@ def simhash_portable_signatures(
         ELSE CAST(NULL AS BIGINT) END
         """
     )
-    return docs.select(id_col, sig.alias("simhash"))
+    return docs.select(id_col, F.expr(th_expr).alias("__th")).select(
+        id_col, sig.alias("simhash")
+    )
 
 
 def simhash_portable_pairs(

@@ -450,7 +450,11 @@ def _hll_oracle_cte(group_expr: str, group_name: str) -> str:
 
     return f"""
     WITH keyed AS (
-        SELECT {group_expr} AS {group_name}, user_id % {CMS_P} AS x
+        -- ((k % P) + P) % P, not bare %: DuckDB's % takes the DIVIDEND's
+        -- sign while the Spark side uses pmod — a negative user_id in a
+        -- regenerated fixture would silently diverge (r06 review finding).
+        SELECT {group_expr} AS {group_name},
+               ((user_id % {CMS_P}) + {CMS_P}) % {CMS_P} AS x
         FROM events WHERE user_id IS NOT NULL
     ), parts AS (
         SELECT {group_name},

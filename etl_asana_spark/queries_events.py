@@ -231,9 +231,13 @@ def _cms_oracle_sql(depth: int = 4, width: int = 8192, topk: int = 10) -> str:
     drift."""
     from .operators.sketch import CMS_COEFFS, CMS_P
 
+    # ((k % P) + P) % P mirrors Spark's pmod: DuckDB's bare % takes the
+    # dividend's sign, so a negative user_id would bucket differently
+    # (r06 review finding).
+    x = f"(((user_id % {CMS_P}) + {CMS_P}) % {CMS_P})"
     rows = "\n        UNION ALL\n".join(
         f"        SELECT user_id, {i} AS i,"
-        f" (({a} * (user_id % {CMS_P}) + {b}) % {CMS_P}) % {width} AS bucket"
+        f" (({a} * {x} + {b}) % {CMS_P}) % {width} AS bucket"
         f" FROM events WHERE user_id IS NOT NULL"
         for i, (a, b) in enumerate(CMS_COEFFS[:depth])
     )

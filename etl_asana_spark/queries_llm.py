@@ -371,14 +371,14 @@ def _ann_oracle_sql(k: int = 5) -> str:
     )
     SELECT 0 AS query_id, vec_id,
            ROUND(list_sum([e[i] * qv[i] FOR i IN generate_series(1, len(e))])
-                 / (sqrt(list_sum(list_transform(e, x -> x * x)))
-                    * sqrt(list_sum(list_transform(qv, x -> x * x)))), 8)
+                 / NULLIF(sqrt(list_sum(list_transform(e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(qv, x -> x * x))), 0), 8)
                AS cos_approx
     FROM pb, pq
     WHERE {or_match}
     ORDER BY list_sum([e[i] * qv[i] FOR i IN generate_series(1, len(e))])
-             / (sqrt(list_sum(list_transform(e, x -> x * x)))
-                * sqrt(list_sum(list_transform(qv, x -> x * x)))) DESC,
+             / NULLIF(sqrt(list_sum(list_transform(e, x -> x * x)))
+                * sqrt(list_sum(list_transform(qv, x -> x * x))), 0) DESC,
              vec_id
     LIMIT {k}
     """
@@ -1686,11 +1686,18 @@ def _ivf_oracle_sql(k: int = 5, nprobe: int = 8, n_iter: int = 2) -> str:
     CTE (16 cells, 2 iters — the margin-probed q_dedup_semantic config)
     assigns cells; cells rank by centroid cosine to the query; only the
     ``nprobe`` probed cells' members are scored exactly."""
+    # NULLIF zero-norm guard: Spark's try_divide yields NULL for a zero
+    # vector. DuckDB 1.0 happens to return NULL for x/0.0 too, but with
+    # ieee_floating_point_ops (default-on in later versions) 0.0/0.0 is
+    # NaN — which sorts ABOVE every value in ORDER BY DESC and would put a
+    # zero vector at the top of the oracle's top-k while Spark ranks it
+    # last. Guard explicitly so parity never depends on the DuckDB
+    # version's division semantics (r06 review finding).
     cos = (
         lambda a, b: f"list_sum([{a}[i] * {b}[i]"
         f" FOR i IN generate_series(1, len({a}))])"
-        f" / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
-        f" * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+        f" / NULLIF(sqrt(list_sum(list_transform({a}, x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x * x))), 0)"
     )
     return (
         _lloyd_cte_sql(k=16, n_iter=n_iter)

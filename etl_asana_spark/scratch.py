@@ -57,14 +57,31 @@ def _fresh_base() -> str | None:
     default."""
     base = os.environ.get("SPARK_GRAFT_SCRATCH_BASE")
     if base:
-        return base
+        # Validate rather than trust: a typo'd override must degrade to
+        # the tempfile default, not make every streaming job raise
+        # FileNotFoundError from mkdtemp (r06 review finding).
+        return base if os.path.isdir(base) and os.access(base, os.W_OK) else None
     shm = "/dev/shm"
-    return shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else None
+    if not (os.path.isdir(shm) and os.access(shm, os.W_OK)):
+        return None
+    # Docker defaults /dev/shm to 64 MB; a checkpoint that outgrows that
+    # would ENOSPC where plain /tmp worked. Only prefer tmpfs when it has
+    # real headroom.
+    try:
+        st = os.statvfs(shm)
+        if st.f_bavail * st.f_frsize < 256 * 1024 * 1024:
+            return None
+    except OSError:
+        return None
+    return shm
 
 
 def fresh_dir(purpose: str) -> str:
     """A never-reused directory (checkpoints), still cleaned at exit."""
-    d = tempfile.mkdtemp(prefix=f"{purpose}_", dir=_fresh_base())
+    try:
+        d = tempfile.mkdtemp(prefix=f"{purpose}_", dir=_fresh_base())
+    except OSError:
+        d = tempfile.mkdtemp(prefix=f"{purpose}_")
     _FRESH.append(d)
     return d
 
