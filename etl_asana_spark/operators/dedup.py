@@ -454,21 +454,24 @@ def simhash_signatures(
     # text, which would both grow phantom shingles AND diverge from
     # unshingleable_count / minhash's whitespace-RUN tokenization (a
     # ' x y' doc must be unshingleable by every family's count).
-    th = (
+    # Token-hash array hoisted into its own projection like the portable
+    # twin (r06): six inline references to the tokenize+hash transform
+    # cost ~2× at sf0.1, measured bit-identical after the hoist.
+    th_expr = (
         f"transform(filter(split({text_col}, '\\\\s+'), t -> t != ''),"
         " t -> xxhash64(t))"
     )
-    shingle_hashes = f"""
+    shingle_hashes = """
         slice(
           zip_with(
-            zip_with({th}, slice({th}, 2, size({th})), (a, b) -> xxhash64(a, b)),
-            slice({th}, 3, size({th})),
+            zip_with(__th, slice(__th, 2, size(__th)), (a, b) -> xxhash64(a, b)),
+            slice(__th, 3, size(__th)),
             (ab, c) -> xxhash64(ab, c)),
-          1, size({th}) - 2)
+          1, size(__th) - 2)
     """
     sig = F.expr(
         f"""
-        CASE WHEN size({th}) >= 3 THEN
+        CASE WHEN size(__th) >= 3 THEN
           aggregate(
             CAST(({shingle_hashes}) AS ARRAY<BIGINT>),
             array_repeat(0, 64),
@@ -481,7 +484,9 @@ def simhash_signatures(
         ELSE CAST(NULL AS BIGINT) END
         """
     )
-    return docs.select(id_col, sig.alias("simhash"))
+    return docs.select(id_col, F.expr(th_expr).alias("__th")).select(
+        id_col, sig.alias("simhash")
+    )
 
 
 def simhash_portable_signatures(
