@@ -220,28 +220,44 @@ def test_embed_dedup_plan_has_no_nested_loop(spark, sf_dir):
 
 
 def test_multimodal_resize_binary_roundtrip(spark, sf_dir):
-    """Resize keeps binary-out schema, fixed target dims, non-empty payloads."""
-    qs = catalog.queries()
-    out = qs["q_multimodal_resize"](spark, sf_dir)
+    """The LIBRARY path keeps binary-out schema, fixed target dims,
+    non-empty payloads; the REGISTERED key (round 7: sha256-hashed payload,
+    so the gate can hash-compare without binary cells) must agree with the
+    library payloads hash-for-hash."""
+    import hashlib
+
+    from etl_asana_spark.operators import multimodal
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = multimodal.attach_png_payload(docs)
+    out = multimodal.resize_media(media, 224, 224)
     assert dict(out.dtypes)["payload"] == "binary"
     pdf = out.toPandas()
-    n_docs = load_tables(spark, sf_dir)["documents"].count()
+    n_docs = docs.count()
     assert len(pdf) == n_docs
     assert (pdf["width"] == 224).all() and (pdf["height"] == 224).all()
     assert (pdf["n_bytes"] > 0).all()
-    # deterministic stub: second run byte-identical
-    pdf2 = qs["q_multimodal_resize"](spark, sf_dir).toPandas()
-    assert list(pdf.sort_values("doc_id")["n_bytes"]) == list(
-        pdf2.sort_values("doc_id")["n_bytes"])
+    # registered key == sha256 of the library payloads (and deterministic
+    # across runs by construction of both paths)
+    reg = catalog.queries()["q_multimodal_resize"](spark, sf_dir).toPandas()
+    lib_sha = {
+        int(d): hashlib.sha256(bytes(p)).hexdigest()
+        for d, p in zip(pdf["doc_id"], pdf["payload"])
+    }
+    assert len(reg) == n_docs
+    for d, sha in zip(reg["doc_id"], reg["payload_sha"]):
+        assert lib_sha[int(d)] == sha
 
 
 def test_multimodal_frame_sampling_fanout(spark, sf_dir):
-    """Frame sampling emits exactly n_frames rows per doc, frames non-empty."""
+    """Frame sampling emits exactly n_frames rows per doc, frames non-empty
+    (registered surface since round 7: sha256 per frame, no binary cells)."""
     out = catalog.queries()["q_multimodal_frames"](spark, sf_dir).toPandas()
     n_docs = load_tables(spark, sf_dir)["documents"].count()
     assert len(out) == 4 * n_docs
     assert set(out["frame_idx"]) == {0, 1, 2, 3}
     assert (out["frame_bytes"] > 0).all()
+    assert out["frame_sha"].str.len().eq(64).all()
     per_doc = out.groupby("doc_id").size()
     assert (per_doc == 4).all()
 
@@ -269,7 +285,15 @@ def test_registered_multimodal_keys_dispatch_png_tier(spark, sf_dir):
         )
         assert 4 <= r["width"] <= 16 and 3 <= r["height"] <= 9
 
-    resized = qs["q_multimodal_resize"](spark, sf_dir).limit(8).collect()
+    # the registered resize key hashes the payload since round 7; the
+    # binary-parses-as-PNG check runs on the library path it wraps (the
+    # sha-parity test above ties the two together)
+    from etl_asana_spark.operators import multimodal
+
+    docs = load_tables(spark, sf_dir)["documents"].limit(8)
+    media = multimodal.attach_png_payload(docs)
+    resized = multimodal.resize_media(media, 224, 224).collect()
+    assert resized
     for r in resized:
         w, h, bpp, _ = png_codec.decode_png(bytes(r["payload"]))
         assert (w, h, bpp) == (224, 224, 3)
