@@ -174,17 +174,37 @@ def _oracle_generations(root: str | None = None) -> dict[str, int]:
     needed).
     """
     repo_root = root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo_root, "scripts", "oracle_generations.json")
     try:
-        with open(os.path.join(repo_root, "scripts", "oracle_generations.json")) as fh:
+        with open(path) as fh:
             data = json.load(fh)
         if not isinstance(data, dict):
             # A hand-curated file that parses as JSON but isn't an object
             # must degrade to the no-op like an unreadable file would, not
             # crash every catalog ordering (r06 review finding).
+            _warn_bad_oracle_generations(path, "top-level value is not an object")
             return {}
         return {k: int(v) for k, v in data.items()}
-    except (OSError, ValueError, TypeError):
+    except OSError:
+        # Absent file is a legitimate state (no oracle upgrades pending);
+        # stay silent.
         return {}
+    except (ValueError, TypeError) as exc:
+        # A typo'd hand edit must not SILENTLY disable the re-queue fix
+        # (r06 advice): warn loudly, then degrade to the no-op.
+        _warn_bad_oracle_generations(path, str(exc))
+        return {}
+
+
+def _warn_bad_oracle_generations(path: str, why: str) -> None:
+    import warnings
+
+    warnings.warn(
+        f"{path} is unreadable ({why}); oracle-upgrade re-queueing is "
+        "DISABLED until the file parses again",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def _rotated(keys: list[str]) -> list[str]:

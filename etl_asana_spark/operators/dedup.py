@@ -413,17 +413,21 @@ def minhash_portable_pairs(
     hb = sigs.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hs_b"))
     inter = F.size(F.array_intersect("__hs_a", "__hs_b"))
     union = F.size("__hs_a") + F.size("__hs_b") - inter
+    # Threshold the UNROUNDED distance — the oracle filters the unrounded
+    # value too and only rounds the emitted column, so both engines apply
+    # the cut to identical quantities (r06 advice: filtering the rounded
+    # value opened a latent 5e-9 boundary class, unreachable until
+    # shingle-union sizes ~1e8 but divergent in principle).
+    dist = F.lit(1.0) - inter.cast("double") / union.cast("double")
     return (
         cand.join(ha, "id_a")
         .join(hb, "id_b")
+        .filter(dist < 1.0 - jaccard_threshold)
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.lit(1.0) - inter.cast("double") / union.cast("double"), 8
-            ).alias("jaccard_dist"),
+            F.round(dist, 8).alias("jaccard_dist"),
         )
-        .filter(F.col("jaccard_dist") < 1.0 - jaccard_threshold)
     )
 
 

@@ -612,8 +612,12 @@ def pca_power_reduce(
     comps.sort(key=lambda c: (-c[0], c[1]))
 
     # Generated JVM projection: reduced[c] = Σ_i (e[i] - μ_i)·V[i,c], a
-    # left-to-right d-term sum per component (the oracle mirrors this with
-    # an ordered SUM; the 6-dp fixed-point boundary absorbs order drift).
+    # left-to-right d-term sum per component. The q_emb_pca oracle's proj
+    # CTE uses a plain UNORDERED sum(...) GROUP BY — parity rests on the
+    # margin probe's measured fixed-point headroom (scripts/margin_probe.py
+    # requires ~1000x the observed reversed-order drift before the 6-dp
+    # boundary), not on matching summation order (r06 advice: the previous
+    # comment claimed an ordered oracle sum that the SQL never had).
     def dot(vec: "np.ndarray") -> F.Column:
         terms = [
             (F.element_at(e, i + 1) - F.lit(float(mu[i]))) * F.lit(float(vec[i]))

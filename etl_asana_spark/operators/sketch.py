@@ -27,6 +27,17 @@ from pyspark.sql import functions as F
 
 #: Portable integer-hash rows (shared LCG constants; P = 2^31-1 keeps
 #: every product < 2^62). Single-sourced into the q_agg_cms_topk oracle.
+#:
+#: DOMAIN ASSUMPTION (r06 advice): every hash row first reduces the key
+#: mod P, so two keys congruent mod P collide in ALL rows — the CMS
+#: min-over-rows cannot suppress such a collision and the HLL counts the
+#: pair as one distinct. The portable family therefore assumes |key| <
+#: 2^31 (true of every id domain in the testdata and of typical surrogate
+#: keys). For wider domains, fold the high bits first (e.g. ``key XOR
+#: (key >> 31)``) on BOTH engines — the SQL twins in queries_events.py /
+#: queries_core.py embed the same ``x`` expression and must change in
+#: lockstep — or use the non-portable xxhash64 path, which hashes the
+#: full 64 bits.
 CMS_P = 2147483647
 CMS_COEFFS = (
     (1103515245, 12345),

@@ -213,3 +213,81 @@ def test_generation_snapshot_covers_catalog():
     catalog.load_all()
     missing = sorted(set(catalog._QUERIES) - set(gens))
     assert not missing, f"run scripts/regen_key_generations.py: {missing}"
+
+
+def test_oracle_text_changes_are_requeued():
+    """r06 verdict item 8: an oracle edit must never coast on a stale
+    driver pass. scripts/oracle_hashes.json snapshots md5(normalized SQL)
+    per key; scripts/regen_oracle_hashes.py is the only sane way to update
+    it, and that script bumps oracle_generations.json for every changed
+    key (re-entering it into the never-verified rotation pool). This test
+    fails the moment a registered oracle's text drifts from the snapshot."""
+    import importlib.util
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "regen_oracle_hashes", os.path.join(repo, "scripts", "regen_oracle_hashes.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    with open(os.path.join(repo, "scripts", "oracle_hashes.json")) as fh:
+        snapshot = json.load(fh)
+    current = mod.current_hashes()
+    drifted = sorted(
+        k for k in set(snapshot) | set(current)
+        if snapshot.get(k) != current.get(k)
+    )
+    assert not drifted, (
+        "oracle SQL changed without bookkeeping — run "
+        f"scripts/regen_oracle_hashes.py (drifted: {drifted})"
+    )
+
+
+def test_corrupt_oracle_generations_warns_not_silently_disables(tmp_path):
+    """r06 advice: a typo'd hand edit of oracle_generations.json must warn
+    loudly instead of silently disabling the re-queue fix."""
+    import warnings
+
+    scripts = tmp_path / "scripts"
+    scripts.mkdir()
+    (scripts / "oracle_generations.json").write_text("{not json")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = catalog._oracle_generations(root=str(tmp_path))
+    assert got == {}
+    assert any("re-queueing is DISABLED" in str(w.message) for w in caught)
+
+    # a parseable non-object degrades the same way, also loudly
+    (scripts / "oracle_generations.json").write_text("[1, 2]\n")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = catalog._oracle_generations(root=str(tmp_path))
+    assert got == {}
+    assert any("re-queueing is DISABLED" in str(w.message) for w in caught)
+
+    # an ABSENT file is a legitimate no-upgrades state: silent no-op
+    (scripts / "oracle_generations.json").unlink()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert catalog._oracle_generations(root=str(tmp_path)) == {}
+    assert not caught
+
+
+def test_oracle_generations_file_roundtrips_with_newline():
+    """r06 advice: the live hand-curated file must parse as strict JSON and
+    end with a newline (a truncated or typo'd edit fails here before it can
+    silently disable re-queueing at the gate)."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "scripts", "oracle_generations.json")
+    with open(path) as fh:
+        raw = fh.read()
+    assert raw.endswith("\n"), "file must end with a trailing newline"
+    data = json.loads(raw)
+    assert isinstance(data, dict) and data
+    assert all(isinstance(v, int) for v in data.values())
