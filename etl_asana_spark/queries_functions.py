@@ -457,8 +457,8 @@ def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
         SELECT doc_id,
-               list_slice(string_split(text, ' '), 1, 30) AS a,
-               list_slice(string_split(text, ' '), 16, 45) AS b
+               list_slice(regexp_split_to_array(text, '\\s+'), 1, 30) AS a,
+               list_slice(regexp_split_to_array(text, '\\s+'), 16, 45) AS b
         FROM documents
     )
     SELECT doc_id,
@@ -477,9 +477,13 @@ def q_fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     over two token windows of each document — the in-row set ops that back
     shingle overlap and tag comparison without exploding rows. Set results
     are sorted then joined to a string: both engines agree on membership,
-    not on internal order, so ordering is pinned before comparison."""
+    not on internal order, so ordering is pinned before comparison.
+    Tokenizer unified on ws_tokens/``\\s+`` in round 7 (r06 verdict item
+    7)."""
+    from .operators.text import ws_tokens
+
     t = load_tables(spark, sf_dir)
-    ws = F.split("text", " ")
+    ws = ws_tokens("text")
     d = t["documents"].select(
         "doc_id",
         F.slice(ws, 1, 30).alias("a"),

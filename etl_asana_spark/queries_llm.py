@@ -1645,7 +1645,8 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
         SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
-        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+              FROM documents)
     ),
     bg AS (
         SELECT doc_id, pos, w AS w1,
@@ -1674,10 +1675,12 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only shuffles are the (w1,w2) count and the tiny w1-marginal
     window. The oracle pairs tokens via lead() over ordinal position —
     relationally identical. Conditional probability is an exact integer
-    ratio cast once to double: deterministic on both engines.
+    ratio cast once to double: deterministic on both engines. Tokenizer
+    unified on ws_tokens/`\\s+` in round 7 (r06 verdict item 7): one
+    corpus yields one token stream across every text operator.
     """
     t = load_tables(spark, sf_dir)
-    ws = F.split("text", " ")
+    ws = text.ws_tokens("text")
     n1 = F.greatest(F.size(ws) - F.lit(1), F.lit(0))
     pairs = F.arrays_zip(F.slice(ws, 1, n1), F.slice(ws, 2, n1))
     bg = (
@@ -1859,8 +1862,9 @@ def _bm25_cte_sql() -> str:
         )
     return f"""
     WITH d AS (
-        SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
-               string_split(text, ' ') AS ws
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS dl,
+               regexp_split_to_array(text, '\\s+') AS ws
         FROM documents
     ),
     stats AS (
@@ -1906,8 +1910,8 @@ def _bm25_scored(t: dict[str, DataFrame]) -> DataFrame:
     Spark twin of ``_bm25_cte_sql``'s ``lex`` CTE."""
     d = t["documents"].select(
         "doc_id",
-        F.size(F.split("text", " ")).cast("double").alias("dl"),
-        F.split("text", " ").alias("ws"),
+        F.size(text.ws_tokens("text")).cast("double").alias("dl"),
+        text.ws_tokens("text").alias("ws"),
     )
     stats = d.agg(
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -2018,7 +2022,8 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
         SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
-        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+              FROM documents)
     ),
     bg AS (
         SELECT doc_id, w AS w1,
@@ -2050,9 +2055,11 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is vocabulary-sized (tiny at any corpus scale), so it broadcasts
     and the scoring join never shuffles the corpus; the only wide exchange
     is the per-doc aggregation. ln() low bits differ across libm builds, so
-    the score is rounded to 4 places on both engines (SURVEY §5.2)."""
+    the score is rounded to 4 places on both engines (SURVEY §5.2).
+    Tokenizer unified on ws_tokens/`\\s+` in round 7 (r06 verdict item
+    7)."""
     t = load_tables(spark, sf_dir)
-    ws = F.split("text", " ")
+    ws = text.ws_tokens("text")
     n1 = F.greatest(F.size(ws) - F.lit(1), F.lit(0))
     pairs = F.arrays_zip(F.slice(ws, 1, n1), F.slice(ws, 2, n1))
     bg = (

@@ -26,7 +26,7 @@ from .registry import load_tables, register_views
     "q_udf_python",
     oracle="""
     SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS INT) AS n_words
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_words
     FROM documents
     WHERE lang = 'en'
     """,
@@ -36,12 +36,21 @@ def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The slow path: every row crosses JVM→Python pickled. Kept for API
     parity; q_udf_pandas is the same computation at Arrow batch speed.
+    Tokenizer unified on ``\\s+`` in round 7 (r06 verdict item 7): the
+    UDF's ``re.split`` agrees with DuckDB's regexp_split_to_array on the
+    probed corner cases (boundary empties kept, interior runs collapse).
     """
+    import re
+
     t = load_tables(spark, sf_dir)
+    # re.ASCII pins Python's \s to [ \t\n\r\f\v] — the same class Java
+    # regex (Spark) and RE2 (DuckDB) give \s by default; Python's unicode
+    # \s would additionally split on \xa0 etc. and silently diverge.
+    ws = re.compile(r"\s+", re.ASCII)
 
     @F.udf("int")
     def n_words(text: str) -> int:
-        return len(text.split(" "))
+        return len(ws.split(text))
 
     return (
         t["documents"]
@@ -55,12 +64,13 @@ def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            length(text) AS n_chars_computed,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_words
     FROM documents
     """,
 )
 def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#64 Vectorized pandas UDF: whole Arrow batches, pandas string ops."""
+    """#64 Vectorized pandas UDF: whole Arrow batches, pandas string ops.
+    Tokenizer unified on ``\\s+`` in round 7 (r06 verdict item 7)."""
     t = load_tables(spark, sf_dir)
 
     @pandas_udf("long")
@@ -69,7 +79,14 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("long")
     def word_count(texts: pd.Series) -> pd.Series:
-        return texts.str.split(" ").str.len().astype("int64")
+        import re
+
+        # ASCII \s to match Java/RE2 semantics (see q_udf_python)
+        return (
+            texts.str.split(re.compile(r"\s+", re.ASCII))
+            .str.len()
+            .astype("int64")
+        )
 
     return t["documents"].select(
         "doc_id",
@@ -144,15 +161,19 @@ def q_udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, CAST(u.i AS INT) AS pos, u.token
     FROM documents,
-         (SELECT unnest(string_split(text, ' ')) AS token,
-                 generate_subscripts(string_split(text, ' '), 1) AS i) u
+         (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token,
+                 generate_subscripts(regexp_split_to_array(text, '\\s+'), 1)
+                     AS i) u
     WHERE lang = 'de'
     """,
 )
 def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#67 Python UDTF: one row in → token rows out (table function),
     lateral-joined in SQL. Row-at-a-time Python; the production-scale
-    equivalent is posexplode(split(...)) — which the oracle mirrors."""
+    equivalent is posexplode(split(...)) — which the oracle mirrors.
+    Tokenizer unified on ``\\s+`` in round 7 (r06 verdict item 7)."""
+    import re
+
     from pyspark.sql.functions import udtf
 
     register_views(spark, sf_dir)
@@ -162,7 +183,8 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str):
             if text is None:
                 return  # split(NULL) explodes to zero rows in the oracle too
-            for i, tok in enumerate(text.split(" ")):
+            # ASCII \s to match Java/RE2 semantics (see q_udf_python)
+            for i, tok in enumerate(re.split(r"\s+", text, flags=re.ASCII)):
                 yield i + 1, tok
 
     spark.udtf.register("engine_tokens", Tokens)
