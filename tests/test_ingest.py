@@ -261,3 +261,102 @@ def test_store_sink_abort_leaves_store_untouched():
     writer.commit([staged2])
     after = open(store).read()
     assert '"g2"' in after and '"g1"' in after
+
+
+def test_http_transport_end_to_end_parity_and_backoff(spark):
+    """r06 verdict item 2: the paginated REST source against a REAL local
+    HTTP server (http.server), not fixture replay. The server injects one
+    429 + Retry-After and one 500; the mapInPandas fetch path must honor
+    the Retry-After exactly, exponentially back off the 5xx, and produce
+    rows identical to the direct fixture scan."""
+    import http.server
+    import threading
+    import time
+    from urllib.parse import parse_qs, urlparse
+
+    with open(_B1) as f:
+        lines = f.read().splitlines()
+
+    log: list[tuple[float, int, int]] = []
+    lock = threading.Lock()
+    fail_once = {"429": True, "500": True}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (stdlib API name)
+            q = parse_qs(urlparse(self.path).query)
+            offset, limit = int(q["offset"][0]), int(q["limit"][0])
+            with lock:
+                if offset == 0 and fail_once["429"]:
+                    fail_once["429"] = False
+                    log.append((time.monotonic(), offset, 429))
+                    self.send_response(429)
+                    self.send_header("Retry-After", "0.4")
+                    self.end_headers()
+                    return
+                if offset == 50 and fail_once["500"]:
+                    fail_once["500"] = False
+                    log.append((time.monotonic(), offset, 500))
+                    self.send_response(500)
+                    self.end_headers()
+                    return
+                if offset >= len(lines):
+                    log.append((time.monotonic(), offset, 404))
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                log.append((time.monotonic(), offset, 200))
+            body = "\n".join(lines[offset:offset + limit]).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # silence stderr chatter
+            return
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    cols = ["gid", "name", "modified_at", "completed", "num_likes"]
+    try:
+        pages = asana.page_plan(
+            spark, "/api/1.0/tasks", total=N_TASKS, page_size=50
+        )
+        fetcher = asana.RateLimitedFetcher(
+            asana.http_fetcher(f"http://127.0.0.1:{port}"),
+            rate_per_sec=1000.0,
+            burst=50,
+        )
+        parsed = asana.parse_fetched(asana.fetch_pages(pages, fetcher))
+        got = parsed.select(*cols).toPandas()
+        want = asana.read_tasks(spark, _B1).select(*cols).toPandas()
+        assert canonical_rows(got) == canonical_rows(want)
+
+        # a page past the resource ends as OSError (HTTP 404), not a hang
+        import pytest
+
+        with pytest.raises(OSError, match="404"):
+            asana.http_fetcher(f"http://127.0.0.1:{port}")(
+                "/api/1.0/tasks", 10_000, 50
+            )
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    by_offset: dict[int, list[tuple[float, int]]] = {}
+    for ts, off, code in log:
+        by_offset.setdefault(off, []).append((ts, code))
+
+    # 429 honored exactly: the retry of offset 0 arrives >= Retry-After
+    o0 = by_offset[0]
+    assert [c for _, c in o0] == [429, 200]
+    assert o0[1][0] - o0[0][0] >= 0.35
+
+    # 5xx exponential backoff: first retry delay is 0.5 s
+    o50 = by_offset[50]
+    assert [c for _, c in o50] == [500, 200]
+    assert o50[1][0] - o50[0][0] >= 0.45
+
+    # exactly one successful GET per page — the page plan replays exactly
+    n_ok = sum(1 for _, _, code in log if code == 200)
+    assert n_ok == (N_TASKS + 49) // 50
