@@ -75,8 +75,18 @@ def _c(col: Column | str) -> Column:
 
 def _units(col: Column | str) -> Column:
     """Double → BIGINT of fixed-point units (codegen-friendly canonical
-    round; exact for |x| < 2^53 / 10^6)."""
-    return F.floor(_c(col) * F.lit(_SCALE) + F.lit(0.5))
+    round; exact for |x| < 2^53 / 10^6).
+
+    The input is cast to DOUBLE explicitly (round 7): identity for the
+    double measures the engine has always aggregated, and the defined
+    entry point for DECIMAL source columns (money-typed parquet). Spark
+    would coerce decimal×double to double implicitly anyway; the explicit
+    cast pins the semantics and mirrors ``sql_dsum``'s ``CAST(expr AS
+    DOUBLE)`` — DuckDB types the ``1000000.0`` literal as DECIMAL(8,1),
+    so without the cast a decimal input stays in decimal arithmetic there
+    and overflows at DECIMAL(18) (found by the decimal-lineitem fixture,
+    tests/test_decimal_sources.py)."""
+    return F.floor(_c(col).cast("double") * F.lit(_SCALE) + F.lit(0.5))
 
 
 def _units_dec(col: Column | str) -> Column:
@@ -143,8 +153,12 @@ def sql_dsum(expr: str) -> str:
     exponent (exact), and the double→BIGINT cast is exact because the
     quotient is integral (DuckDB rounds, Spark truncates — identical on
     integral values). Some oracle texts (GROUPING SETS) also run through
-    ``spark.sql``, so this string must parse on both engines."""
-    u = f"CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT)"
+    ``spark.sql``, so this string must parse on both engines. The inner
+    ``CAST(expr AS DOUBLE)`` (round 7) is identity for double measures
+    and the decimal-source entry point — see :func:`_units` (DuckDB types
+    the ``1000000.0`` literal DECIMAL(8,1), so a decimal input would stay
+    in decimal arithmetic and overflow)."""
+    u = f"CAST(floor(CAST(({expr}) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
     lo = f"((({u}) % 1048576) + 1048576) % 1048576"
     hi = f"CAST((({u}) - ({lo})) / 1048576.0 AS BIGINT)"
     return (
@@ -159,10 +173,11 @@ def sql_davg(expr: str) -> str:
 
 
 def sql_dsum_wide(expr: str) -> str:
-    """SQL mirror of ``dsum_wide`` (single DECIMAL(38,0) accumulator)."""
+    """SQL mirror of ``dsum_wide`` (single DECIMAL(38,0) accumulator).
+    Inner DOUBLE cast: see :func:`sql_dsum`."""
     return (
-        f"(CAST(SUM(CAST(floor(({expr}) * 1000000.0 + 0.5) AS DECIMAL(38,0)))"
-        " AS DOUBLE) / 1000000.0)"
+        f"(CAST(SUM(CAST(floor(CAST(({expr}) AS DOUBLE) * 1000000.0 + 0.5)"
+        " AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0)"
     )
 
 

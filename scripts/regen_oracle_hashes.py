@@ -73,26 +73,35 @@ def main() -> int:
 
     changed = sorted(k for k, h in current.items() if old.get(k) != h)
     removed = sorted(set(old) - set(current))
+
+    # Bump generations BEFORE rewriting the hash snapshot: if this process
+    # dies between the two writes (SIGPIPE from a piped run did exactly
+    # that once), a stale snapshot re-detects the change on the next run,
+    # whereas a fresh snapshot with unbumped generations would silently
+    # skip the re-queue forever — the precise failure this script exists
+    # to prevent.
+    if changed and not init:
+        with open(GENERATIONS) as fh:
+            gens = json.load(fh)
+        rnd = next_round()
+        for k in changed:
+            gens[k] = max(int(gens.get(k, 0)), rnd)
+        with open(GENERATIONS, "w") as fh:
+            json.dump(gens, fh, indent=0, sort_keys=True)
+            fh.write("\n")
+
     with open(HASHES, "w") as fh:
         json.dump(current, fh, indent=0, sort_keys=True)
         fh.write("\n")
+
     print(f"snapshot: {len(current)} oracles, {len(changed)} changed, "
           f"{len(removed)} removed")
-
-    if init or not changed:
-        if init:
-            print("--init: oracle_generations.json left untouched")
-        return 0
-
-    with open(GENERATIONS) as fh:
-        gens = json.load(fh)
-    rnd = next_round()
-    for k in changed:
-        gens[k] = max(int(gens.get(k, 0)), rnd)
-        print(f"re-queued {k} at generation {rnd}")
-    with open(GENERATIONS, "w") as fh:
-        json.dump(gens, fh, indent=0, sort_keys=True)
-        fh.write("\n")
+    if init:
+        print("--init: oracle_generations.json left untouched")
+    elif changed:
+        rnd = next_round()
+        for k in changed:
+            print(f"re-queued {k} at generation {rnd}")
     return 0
 
 

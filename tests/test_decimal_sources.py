@@ -263,3 +263,88 @@ def test_ansi_overflow_is_loud(spark, dec_dir):
         df.select(
             F.col("amount").cast(T.DecimalType(5, 2)).alias("tiny")
         ).where(F.col("tiny").isNotNull()).count()
+
+
+# ---------------------------------------------------------------------------
+# r06 verdict item 4: the REGISTERED dsum family on a money-decimal clone of
+# the driver testdata (lineitem/orders money columns as genuine
+# DECIMAL(15,2) parquet, TPC-H's own money type).
+# ---------------------------------------------------------------------------
+
+#: Registered keys whose outputs are all doubles/counts/strings — clean
+#: kind-strict comparison even when their INPUT money columns are decimal.
+#: Keys that project raw money columns (q_topk, q_sort_global, ...) are
+#: exercised by the ledger tests above with the string boundary; DuckDB's
+#: fetchdf converts raw DECIMAL cells to float64 while Spark keeps
+#: decimal.Decimal, an artifact of the comparison harness, not the engines.
+#: q_agg_percentile is excluded by design: DuckDB's median over DECIMAL is
+#: non-interpolating (unlike over DOUBLE), a genuine engine semantics
+#: difference — the documented migration for percentile work over money is
+#: cast-to-double at the scan.
+DSUM_FAMILY_KEYS = (
+    "q_agg_groupby",
+    "q_agg_cond",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_gsets",
+    "q_join_star",
+    "q_golden_revenue_forecast",
+)
+
+
+@pytest.fixture(scope="module")
+def decimal_sf_dir(spark, tmp_path_factory) -> str:
+    """A full clone of the test sf_dir whose lineitem/orders money columns
+    are physical decimal parquet (the other eight tables are file copies)."""
+    import os
+    import shutil
+
+    from etl_asana_spark import registry
+    from tests.conftest import SF_DIR
+
+    dst = str(tmp_path_factory.mktemp("decimal_sf"))
+    for name in registry.TABLE_NAMES:
+        if name in ("lineitem", "orders"):
+            continue
+        shutil.copy(f"{SF_DIR}/{name}.parquet", f"{dst}/{name}.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        li = li.withColumn(c, F.col(c).cast(T.DecimalType(15, 2)))
+    li.coalesce(2).write.mode("overwrite").parquet(f"{dst}/lineitem.parquet")
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast(T.DecimalType(15, 2))
+    )
+    od.coalesce(1).write.mode("overwrite").parquet(f"{dst}/orders.parquet")
+    return dst
+
+
+def test_decimal_clone_is_physically_decimal(spark, decimal_sf_dir):
+    li = spark.read.parquet(f"{decimal_sf_dir}/lineitem.parquet")
+    types = {f.name: f.dataType.simpleString() for f in li.schema.fields}
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        assert types[c] == "decimal(15,2)", (c, types[c])
+
+
+def test_registered_dsum_family_on_decimal_sources(spark, decimal_sf_dir):
+    """The registered q_agg_groupby/dsum family runs UNCHANGED on decimal
+    money columns and still hash-matches its DuckDB oracles — the round-7
+    CAST(expr AS DOUBLE) entry point in dsum/sql_dsum (without it, DuckDB
+    keeps the fixed-point chain in decimal arithmetic and overflows at
+    DECIMAL(18))."""
+    from etl_asana_spark import catalog
+    from etl_asana_spark.testing import duckdb_connect
+
+    qs, oracles = catalog.queries(), catalog.oracle_sql()
+    con = duckdb_connect(decimal_sf_dir)
+    try:
+        failures = []
+        for key in DSUM_FAMILY_KEYS:
+            probs = compare_frames(
+                qs[key](spark, decimal_sf_dir).toPandas(),
+                con.execute(oracles[key]).fetchdf(),
+            )
+            if probs:
+                failures.append((key, str(probs[0])[:140]))
+        assert not failures, failures
+    finally:
+        con.close()
