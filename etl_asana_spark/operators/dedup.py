@@ -752,11 +752,20 @@ def ngram_jaccard_pairs(
     # the exact-dedup xxhash64 grouping (a false shared shingle needs two
     # distinct shingles colliding in 2^64; it could only flip a pair whose
     # true Jaccard sits exactly at the threshold boundary of one shingle).
+    # (r07 notes: hashing BEFORE the distinct means the dedup shuffle moves
+    # 16-byte (id, hash) rows instead of full shingle strings — measured
+    # ~20% off the whole pair build at sf0.1; n_sh then counts distinct
+    # HASHES, the same 2^-64 collision budget as the join key itself. A
+    # map-side array_distinct(shingles(...)) variant that avoids the
+    # distinct+window shuffles entirely was measured 10x SLOWER —
+    # CollapseProject inlines the whole shingle-HOF chain into every
+    # consumer, re-evaluating it per size()/explode() — so the row-level
+    # distinct stays.)
     sh = (
         docs.select(id_col, F.split(F.col(text_col), r"\s+").alias("toks"))
         .select(id_col, F.explode(shingles("toks", n)).alias("sh"))
-        .distinct()
         .select(id_col, F.xxhash64("sh").alias("sh"))
+        .distinct()
         .withColumn("n_sh", F.count("*").over(Window.partitionBy(id_col)))
     )
     a, b = sh.alias("a"), sh.alias("b")
@@ -1250,6 +1259,13 @@ def semantic_dedup_stats(
     )
 
 
+#: connected_components switches to an exact driver-side union-find when
+#: the symmetric edge list is at most this many rows (≤ ~3 MB collected):
+#: below it, the distributed loop's 2-jobs-per-round fixed overhead costs
+#: more than the entire computation.
+_CC_DRIVER_CUTOVER = 100_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -1281,6 +1297,44 @@ def connected_components(
         .union(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
         .distinct()
     ).localCheckpoint(eager=True)
+
+    # Small-graph fast path (r07): near-dup PAIR graphs are tiny relative
+    # to their corpora (241 pairs from 5k docs at sf0.1; pair volume is
+    # what the blocking/banding stages exist to bound), while the
+    # propagation loop below costs 2 fixed-overhead jobs PER ROUND
+    # regardless of size. Under the cutover the component computation is a
+    # BOUNDED collect (≤ ~3 MB) + exact union-find on the driver — the
+    # same bounded-model-state discipline as the k-means centroid collect.
+    # Large graphs (a duplicate-heavy crawl) keep the fully distributed
+    # loop. count() here is cheap: sym is already checkpoint-materialized.
+    n_sym = sym.count()
+    if n_sym <= _CC_DRIVER_CUTOVER:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        rows = sym.collect()
+        for a, b in rows:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN label so the result is bit-identical to the
+                # propagation loop's smallest-reachable-id contract
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(n, find(n)) for n in parent]
+        return edges.sparkSession.createDataFrame(
+            out, schema=sym.select(F.col("a").alias("node"),
+                                   F.col("b").alias("component")).schema
+        )
+
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

@@ -209,6 +209,15 @@ def curate_corpus(
         .drop("__h")
     )
     exact = note("exact_dedup", exact)
+    # Materialize the fuzzy stage's input ONCE (round 7): stage 3 scans
+    # ``exact`` several times (collapse groups, membership, rep pairs, the
+    # canonical semi-join) and stages 4–6 build on it again — without the
+    # checkpoint every scan re-executes the parquet read + quality filter +
+    # dedup shuffle. eager=False: the first stage-3 job materializes it.
+    # Same 100 TB posture as the component loop's checkpoints: the deduped
+    # corpus is the natural cache point of a multi-pass curation funnel
+    # (persist it on a cluster; localCheckpoint is the single-node form).
+    exact = exact.localCheckpoint(eager=False)
 
     # 3. fuzzy dedup → canonical survivors. Collapse-aware clustering:
     # components over the distinct-text rep graph (ngram_dedup_clusters)
@@ -229,9 +238,13 @@ def curate_corpus(
     # 4. benchmark-contamination scrub
     if bench_docs is not None:
         def shingled(df: DataFrame, idc: str) -> DataFrame:
+            # hash before the distinct/join: the shuffle and the broadcast
+            # move 8-byte keys, not trigram strings (r07; same 2^-64
+            # collision budget as the fuzzy stage's blocking key)
             return (
                 df.select(idc, text_ops.ws_tokens("text").alias("t"))
                 .select(idc, F.explode(text_ops.shingles("t", 3)).alias("s"))
+                .select(idc, F.xxhash64("s").alias("s"))
                 .distinct()
             )
 
