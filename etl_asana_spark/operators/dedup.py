@@ -1277,15 +1277,21 @@ def connected_components(
 
     The clustering step of fuzzy dedup: near-dup PAIRS become GROUPS, and one
     canonical doc survives per group. Spark has no native CC; this is
-    iterative smallest-label propagation in plain DataFrame ops — each
-    round every node takes min(own label, neighbors' labels); rounds ≤ graph
-    diameter (≤ ``max_iter`` hard stop).
+    iterative smallest-label propagation WITH pointer jumping in plain
+    DataFrame ops — each round every node takes min(own label, neighbors'
+    labels, label-of-its-label), so label paths compress exponentially and
+    rounds ≤ O(log diameter) (≤ ``max_iter`` hard stop, which RAISES if
+    ever hit rather than returning silently-truncated components). Graphs
+    at or under ``_CC_DRIVER_CUTOVER`` edges take an exact driver-side
+    union-find instead (bounded collect; per-round job overhead dominates
+    tiny graphs).
 
-    Scale shape: one shuffle per round keyed on node id; labels frame is
-    (n_nodes × 2) longs. localCheckpoint() per round truncates the lineage
-    (an iterative plan otherwise grows exponentially in the optimizer).
-    The driver-side loop is control flow only — per-round work is fully
-    distributed; convergence is one scalar count per round.
+    Scale shape: two shuffles per round keyed on node id (neighbor-min and
+    the pointer jump); labels frame is (n_nodes × 2) longs.
+    localCheckpoint() per round truncates the lineage (an iterative plan
+    otherwise grows exponentially in the optimizer). The driver-side loop
+    is control flow only — per-round work is fully distributed;
+    convergence is one scalar count per round.
     """
     # Materialize the symmetric edge list ONCE: it is scanned every round,
     # and its lineage is the caller's full pair-generation pipeline (for
@@ -1341,34 +1347,55 @@ def connected_components(
         .withColumn("component", F.col("node"))
     ).localCheckpoint(eager=True)
 
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy(sym["a"].alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        # A node's label changes iff a neighbor's label beats its own, so the
-        # convergence flag rides the SAME join that builds the new labels —
-        # no second labels⋈labels join per round just to count changes.
-        # eager=False: the convergence count on the next line is the action
-        # that materializes the checkpoint — one job per round instead of
-        # two (checkpoint job + count job). Subsequent rounds read the
-        # checkpointed RDD either way.
+        half = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.col("component").alias("old"),
+            F.least(
+                F.col("component"),
+                F.coalesce("nbr_component", F.col("component")),
+            ).alias("mid"),
+        )
+        # Pointer jump (r07): additionally take the label OF the label —
+        # l(x) ← min(l(x), l(l(x))). Labels are node ids, so the jump is a
+        # labels⋈labels equi-join; it compresses label paths exponentially,
+        # turning O(diameter) rounds into O(log diameter). Without it a
+        # 60-node chain silently TRUNCATED at max_iter=25 and returned
+        # wrong components (found by the r07 fast-path equivalence test) —
+        # real near-dup graphs are dense/low-diameter, which is why the
+        # bug never bit, but chains are legal inputs.
+        ptr = half.select(
+            F.col("node").alias("mid_node"), F.col("mid").alias("jump")
+        )
+        # eager=False: the convergence count below is the action that
+        # materializes the checkpoint — one job per round instead of two.
         stepped = (
-            labels.join(neighbor_min, "node", "left")
+            half.join(ptr, half["mid"] == ptr["mid_node"], "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("nbr_component", F.col("component")),
-                ).alias("component"),
-                (F.col("nbr_component") < F.col("component")).alias("chg"),
+                F.least("mid", F.coalesce("jump", "mid")).alias("component"),
+                (
+                    F.least("mid", F.coalesce("jump", "mid")) < F.col("old")
+                ).alias("chg"),
             )
         ).localCheckpoint(eager=False)
         changed = stepped.filter(F.col("chg")).count()
         labels = stepped.select("node", "component")
         if changed == 0:
             break
+    if changed != 0:
+        # 2^max_iter effective hops — unreachable for any physical graph;
+        # if it ever trips, returning silently-wrong labels is the one
+        # unacceptable outcome for a dedup keep/drop decision.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds"
+        )
     return labels
 
 

@@ -361,6 +361,33 @@ def test_connected_components_on_known_graph(spark):
                       10: 10, 11: 10}
 
 
+def test_connected_components_both_paths_agree(spark, monkeypatch):
+    """r07: connected_components gained a driver-side union-find fast path
+    below _CC_DRIVER_CUTOVER edges. Both paths must label identically —
+    the distributed propagation loop is forced by zeroing the cutover
+    (otherwise nothing under 100k edges would ever exercise it), on the
+    known graph AND on a deterministic random graph with a long chain
+    (path length > a few propagation rounds)."""
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (20, 21), (21, 22), (20, 22), (10, 11)],
+        # 60-node chain + hub-and-spokes + self-contained triangle
+        [(i, i + 1) for i in range(100, 160)]
+        + [(500, 500 + i * 7) for i in range(1, 9)]
+        + [(900, 901), (901, 902), (900, 902)],
+    ]
+    for rows in cases:
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        fast = {r["node"]: r["component"]
+                for r in dedup.connected_components(edges).collect()}
+        monkeypatch.setattr(dedup, "_CC_DRIVER_CUTOVER", 0)
+        dist = {r["node"]: r["component"]
+                for r in dedup.connected_components(edges).collect()}
+        monkeypatch.undo()
+        assert fast == dist
+        # and the labels are the min reachable id, per the contract
+        assert fast[104] == 100 and fast[159] == 100 if (100, 101) in rows else True
+
+
 def test_dedup_clusters_partition_and_canonical(spark, sf_dir):
     """Clusters partition the corpus; exactly one canonical doc per cluster;
     cluster count + sizes are consistent."""
