@@ -76,9 +76,14 @@ def load_all() -> None:
             raise
 
 
-def _driver_check_history(root: str | None = None) -> tuple[dict[str, int], set[str]]:
-    """Per key: latest driver round that PASSED it, plus the keys whose most
-    recent driver check FAILED.
+def _driver_check_history(
+    root: str | None = None,
+) -> tuple[dict[str, int], set[str], set[str]]:
+    """Per key: latest driver round that PASSED it, the keys whose most
+    recent driver check FAILED, and the keys that have EVER passed a full
+    SQL value-hash check (vs only the weaker rows-only ``no_oracle``
+    record — the distinction the rotation uses to put first-ever-SQL keys
+    ahead of mere oracle refreshes, r07).
 
     The driver's per-round correctness gate verifies a PREFIX of the catalog
     (round 1 checked exactly the first 50 of 195 keys — a count/time budget),
@@ -95,6 +100,7 @@ def _driver_check_history(root: str | None = None) -> tuple[dict[str, int], set[
     passed: dict[str, int] = {}
     checked: dict[str, int] = {}  # latest round each key was checked at all
     latest_ok: dict[str, bool] = {}
+    hash_passed: set[str] = set()  # keys with ≥1 full SQL value-hash pass
     # ``root`` lets tests pin synthetic CORRECTNESS fixtures instead of the
     # live repo-root artifacts (which the driver mutates every round).
     repo_root = root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -118,11 +124,13 @@ def _driver_check_history(root: str | None = None) -> tuple[dict[str, int], set[
             ) or (err == "no_oracle" and rec.get("spark_rows") is not None)
             if ok:
                 passed[key] = max(passed.get(key, 0), rnd)
+                if err != "no_oracle" and rec.get("hash_match") is True:
+                    hash_passed.add(key)
             if rnd >= checked.get(key, 0):
                 checked[key] = rnd
                 latest_ok[key] = ok
     failed = {k for k, ok in latest_ok.items() if not ok}
-    return passed, failed
+    return passed, failed, hash_passed
 
 
 def _key_costs() -> dict[str, float]:
@@ -218,8 +226,11 @@ def _rotated(keys: list[str]) -> list[str]:
     (``scripts/key_costs.json``) and key registration generations
     (``scripts/key_generations.json``) and sorts keys whose LATEST driver
     check failed first of all (the fix must be externally re-proven next
-    round), then never-verified keys — oldest generation first, then
-    cheapest — then previously-passed keys oldest-round first. A key whose
+    round), then never-verified keys — rows-only → oracle UPGRADES first
+    (their stronger check has zero external evidence of any SQL form,
+    unlike a re-queued oracle edit whose key already hash-passed an
+    earlier form; r07), then oldest generation first, then cheapest —
+    then previously-passed keys oldest-round first. A key whose
     oracle is NEWER than its last driver pass
     (``scripts/oracle_generations.json``) counts as never-verified: its
     strongest check has no external evidence yet, so an oracle upgrade
@@ -240,7 +251,7 @@ def _rotated(keys: list[str]) -> list[str]:
     """
     if os.environ.get("SPARK_GRAFT_STATIC_ORDER"):
         return list(keys)
-    passed, failed = _driver_check_history()
+    passed, failed, hash_passed = _driver_check_history()
     costs = _key_costs()
     gens = _key_generations()
     oracle_gens = _oracle_generations()
@@ -252,15 +263,32 @@ def _rotated(keys: list[str]) -> list[str]:
         # the pass predates the check the key would get today.
         return -1 if oracle_gens.get(k, 0) > rnd else rnd
 
-    return sorted(
-        keys,
-        key=lambda k: (
-            -2 if k in failed else _pass_round(k),
+    def _subtier(k: str, primary: int) -> int:
+        # Within the never-verified pool only (r07): a key whose ONLY pass
+        # evidence is the weak rows-only record and which NOW has a SQL
+        # oracle (a rows-only → oracle upgrade) has ZERO hash evidence
+        # ever — it outranks keys re-queued for a mere oracle edit, which
+        # already hash-passed an earlier form. Keys never checked at all
+        # stay in the ordinary subtier so registration-generation
+        # precedence (rule 3) still governs them.
+        if primary != -1:
+            return 0
+        first_ever_sql = (
+            k in passed and k not in hash_passed and k in _ORACLES
+        )
+        return 0 if first_ever_sql else 1
+
+    def _key(k: str) -> tuple:
+        primary = -2 if k in failed else _pass_round(k)
+        return (
+            primary,
+            _subtier(k, primary),
             gens.get(k, 999),
             costs.get(k, 2.0),
             order[k],
-        ),
-    )
+        )
+
+    return sorted(keys, key=_key)
 
 
 def _ordered_keys(ordering: str) -> list[str]:

@@ -32,11 +32,16 @@ from sweep import canon, frames_match  # noqa: E402
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     prefix = None
-    if "--prefix" in sys.argv:
-        prefix = int(sys.argv[sys.argv.index("--prefix") + 1])
+    args = list(sys.argv[1:])
+    if "--prefix" in args:
+        i = args.index("--prefix")
+        prefix = int(args[i + 1])
+        # consume the VALUE too — it must not leak into the positional
+        # sf_dir (running `--prefix 50` otherwise reads sf_dir="50")
+        del args[i : i + 2]
+    argv = [a for a in args if not a.startswith("--")]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
     from pyspark.sql import SparkSession
 
