@@ -187,3 +187,58 @@ def test_duckdb_byte_math_agrees_with_fixture_feats(duck, luma_recompute_sql):
             assert abs(a - b) <= 2, (doc_id, want, got)
     # the two derivations should be essentially identical, not "close"
     assert worst <= 2
+
+
+def test_kernels_match_pure_python_on_hostile_unicode_corpus(spark, tmp_path):
+    """The committed fixtures cover the (ASCII-ish) driver testdata; this
+    pins the SAME dual-implementation agreement on a hostile corpus —
+    emoji/CJK/RTL/NUL/zero-width/multi-byte boundaries and the empty
+    string (the ``raw or b'\\x00'`` branch no real doc exercises) — so a
+    future testdata regen with unicode text cannot surface a first-ever
+    divergence between the Spark pipeline and the replay at the gate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_asana_spark import catalog, registry
+
+    texts = [
+        "",                       # empty → 1-byte NUL payload branch
+        "\x00\x00",               # embedded NULs
+        "héllo wörld",            # 2-byte UTF-8
+        "日本語のテキストです",      # 3-byte CJK
+        "🦙🦙🦙 emoji 🧪",          # 4-byte non-BMP
+        "مرحبا بالعالم",           # RTL
+        "tab\there\nand​zero-width",
+        "x" * 1000,               # long ASCII (many pixel tiles)
+        "🦙" + "y" * 97,           # multi-byte at a tile boundary
+    ]
+    sf_dir = str(tmp_path)
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }),
+        f"{sf_dir}/documents.parquet",
+    )
+    # the registry loads all ten tables; point the rest at the real sf dir
+    import shutil
+
+    from tests.conftest import SF_DIR
+
+    for name in registry.TABLE_NAMES:
+        if name != "documents":
+            shutil.copy(f"{SF_DIR}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+
+    mod = _regen_module()
+    feats, resizes, frames = [], [], []
+    for doc_id, text in enumerate(texts):
+        f, r, fr = mod.expected_rows(doc_id, text)
+        feats.append(f)
+        resizes.append(r)
+        frames.extend(fr)
+
+    spark_cross = mod.cross_check  # raises SystemExit on any disagreement
+    spark_cross(spark, sf_dir, feats, resizes, frames)
