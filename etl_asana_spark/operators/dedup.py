@@ -769,8 +769,22 @@ def ngram_jaccard_pairs(
         .withColumn("n_sh", F.count("*").over(Window.partitionBy(id_col)))
     )
     a, b = sh.alias("a"), sh.alias("b")
+    # Length filter (r07, exact): J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A∪B| ≥ t·max
+    # and |A∩B| ≤ min, so min(n_a, n_b) ≥ t·max(n_a, n_b) is a necessary
+    # condition — evaluated INSIDE the blocking join, it drops candidate
+    # rows whose doc sizes are too mismatched before they reach the pair
+    # aggregate. Free on the synthetic corpus (uniform doc sizes) but the
+    # standard pruning lever on real crawls, where size spread is wide.
+    size_ok = F.least(F.col("a.n_sh"), F.col("b.n_sh")).cast("double") >= (
+        F.lit(float(threshold)) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+    )
     return (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & size_ok,
+        )
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
