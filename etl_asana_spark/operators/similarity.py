@@ -618,19 +618,24 @@ def pca_power_reduce(
     # requires ~1000x the observed reversed-order drift before the 6-dp
     # boundary), not on matching summation order (r06 advice: the previous
     # comment claimed an ordered oracle sum that the SQL never had).
-    def dot(vec: "np.ndarray") -> F.Column:
-        terms = [
-            (F.element_at(e, i + 1) - F.lit(float(mu[i]))) * F.lit(float(vec[i]))
+    #
+    # The k·d-term expression is emitted as ONE SQL string, not k·d Column
+    # objects: each pyspark Column operation is a Py4J round-trip, and at
+    # d=64, k=8 the operator-built tree cost ~18 s of driver time per call
+    # (measured round 7) vs <0.2 s for parse-once text. Arithmetic is
+    # bit-identical: `+` parses left-associative, so the sum order matches
+    # the old chained tree, and `repr(float)`→`<text>D` round-trips every
+    # double literal exactly (both probed in-session before this change).
+    def dot_sql(vec: "np.ndarray") -> str:
+        return " + ".join(
+            f"(element_at(__pe, {i + 1}) - ({float(mu[i])!r}D))"
+            f" * ({float(vec[i])!r}D)"
             for i in range(d)
-        ]
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = acc + t
-        return acc
+        )
 
-    return x.select(
-        id_col,
-        F.array(*[dot(c[2]) for c in comps]).alias("reduced"),
+    reduced = "array(" + ", ".join(dot_sql(c[2]) for c in comps) + ")"
+    return x.select(id_col, e.alias("__pe")).select(
+        id_col, F.expr(reduced).alias("reduced")
     )
 
 
@@ -663,8 +668,18 @@ def kmeans_lloyd(
     spark = embeddings.sparkSession
     # NULL vectors have no cluster (the init collect and the argmin both
     # need values) — same domain rule as the similarity indexes above.
-    vecs = embeddings.filter(F.col(vec_col).isNotNull()).select(
-        id_col, F.col(vec_col).cast("array<double>").alias("v")
+    #
+    # localCheckpoint: Lloyd is iterative — the init collect plus every
+    # assignment round re-reads the vectors, so materializing the (id,
+    # vector) projection once cuts n_iter+2 source scans to one (the same
+    # reason MLlib's KMeans warns on an uncached input). Measured round 7:
+    # q_dedup_semantic 5.0 → 3.5-4.0 s warm at the gate scale. Blocks live
+    # in executor storage and are released by the ContextCleaner when the
+    # returned DataFrame is garbage-collected.
+    vecs = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .localCheckpoint()
     )
 
     def dist2(vcol: str, ccol: str):
