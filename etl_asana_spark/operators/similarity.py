@@ -626,10 +626,25 @@ def pca_power_reduce(
     # bit-identical: `+` parses left-associative, so the sum order matches
     # the old chained tree, and `repr(float)`→`<text>D` round-trips every
     # double literal exactly (both probed in-session before this change).
+    def dlit(v: float) -> str:
+        # repr(float)+'D' covers every finite double; NaN/Infinity (possible
+        # when the input vectors themselves carry non-finite components,
+        # which propagate into μ/V) have no double-literal syntax and go
+        # through an explicit cast — matching what F.lit() produced before
+        # this function emitted SQL text.
+        v = float(v)
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return f"{v!r}D"
+
     def dot_sql(vec: "np.ndarray") -> str:
         return " + ".join(
-            f"(element_at(__pe, {i + 1}) - ({float(mu[i])!r}D))"
-            f" * ({float(vec[i])!r}D)"
+            f"(element_at(__pe, {i + 1}) - ({dlit(mu[i])}))"
+            f" * ({dlit(vec[i])})"
             for i in range(d)
         )
 

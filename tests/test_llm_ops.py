@@ -525,6 +525,24 @@ def test_pca_reduce_shape_and_variance_order(spark, sf_dir):
     assert variances[0] > 0
 
 
+def test_pca_power_reduce_tolerates_nonfinite_components(spark):
+    """pca_power_reduce emits its projection as generated SQL text (r7);
+    double literals have no NaN/Infinity syntax, so non-finite moments must
+    route through an explicit cast rather than failing to parse. A NaN
+    component poisons the covariance, so every projection is NaN — the same
+    propagation the pre-r7 F.lit() expression tree produced — but the call
+    must not raise."""
+    import math
+
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(10)]
+    rows.append((99, [float("nan"), 1.0, 2.0, 3.0]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = similarity.pca_power_reduce(df, k=2, n_iter=3).collect()
+    assert len(out) == 11
+    assert all(len(r["reduced"]) == 2 for r in out)
+    assert all(math.isnan(v) for r in out for v in r["reduced"])
+
+
 def test_cms_never_undercounts_and_bounds_error(spark, sf_dir):
     """CMS hard guarantees: estimate >= exact for every probed key (hash
     collisions only add), and overcount <= eps*N with eps = e/width for a
