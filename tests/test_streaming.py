@@ -660,3 +660,61 @@ def test_sessionize_late_row_widens_session_start(spark, tmp_path):
            for r in out.collect()}
     assert got == {(1, datetime(2024, 1, 1, 10, 7),
                     datetime(2024, 1, 1, 10, 15), 3)}
+
+
+# ---------------------------------------------------------------------------
+# State-store-provider independence (round 7). The default HDFS-backed
+# provider keeps every key's state on the executor HEAP — at 100 TB scale
+# (billions of live window/session/dedup keys) the scale path is RocksDB
+# (spark.sql.streaming.stateStore.providerClass), which spills state to
+# local disk with bounded memory. The engine's streaming operators must be
+# provider-agnostic: identical results under both, because nothing in them
+# may depend on state-store iteration order or residency. This is the
+# streaming analogue of the layout/fragmentation rehearsals (same answers
+# under a different physical substrate).
+# ---------------------------------------------------------------------------
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_STREAM_KEYS = [
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_dedup",
+    "q_stream_static_join",
+    "q_stream_session",
+    "q_stream_upsert",
+    "q_stream_stream_join",
+    "q_stream_source_sync",
+]
+
+
+@pytest.mark.parametrize("key", _STREAM_KEYS)
+def test_streaming_results_are_state_store_provider_agnostic(
+    spark, sf_dir, key
+):
+    from etl_asana_spark import catalog
+
+    q = catalog.queries()[key]
+
+    def rows_under(provider: str | None):
+        conf = "spark.sql.streaming.stateStore.providerClass"
+        before = spark.conf.get(conf, None)
+        try:
+            if provider is None:
+                spark.conf.unset(conf)
+            else:
+                spark.conf.set(conf, provider)
+            df = q(spark, sf_dir)
+            return sorted(map(tuple, df.collect())), df.schema
+        finally:
+            if before is None:
+                spark.conf.unset(conf)
+            else:
+                spark.conf.set(conf, before)
+
+    default_rows, default_schema = rows_under(None)
+    rocks_rows, rocks_schema = rows_under(_ROCKSDB_PROVIDER)
+    assert default_schema == rocks_schema
+    assert default_rows == rocks_rows
+    assert len(default_rows) > 0
