@@ -123,16 +123,30 @@ def frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str | Non
     return None
 
 
-def parse_args(argv: list[str]) -> tuple[str, set[str], bool]:
-    """(sf_dir, only-keys, no_write) from CLI args; flag position-free."""
+def parse_args(
+    argv: list[str],
+) -> tuple[str, set[str], bool, dict[str, str]]:
+    """(sf_dir, only-keys, no_write, confs) from CLI args; flag
+    position-free. ``--conf k=v`` (repeatable) sets extra runtime SQL confs
+    on the sweep session — the substrate-rehearsal hook (e.g.
+    ``--conf spark.sql.autoBroadcastJoinThreshold=-1`` proves no key's
+    RESULT depends on Spark electing a broadcast join)."""
     no_write = "--no-write" in argv
-    rest = [a for a in argv if a != "--no-write"]
+    confs: dict[str, str] = {}
+    rest: list[str] = []
+    it = iter(a for a in argv if a != "--no-write")
+    for a in it:
+        if a == "--conf":
+            k, _, v = next(it).partition("=")
+            confs[k] = v
+        else:
+            rest.append(a)
     sf_dir = rest[0] if rest else "/root/testdata/sf0.01"
-    return sf_dir, set(rest[1:]), no_write
+    return sf_dir, set(rest[1:]), no_write, confs
 
 
 def main() -> int:
-    sf_dir, only, no_write = parse_args(sys.argv[1:])
+    sf_dir, only, no_write, extra_confs = parse_args(sys.argv[1:])
 
     import os
 
@@ -156,6 +170,12 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    for k, v in extra_confs.items():
+        spark.conf.set(k, v)
+    # A conf-perturbed sweep must never write costs: the snapshot orders
+    # the gate rotation and has to reflect the driver's ACTUAL substrate.
+    if extra_confs:
+        no_write = True
     # Warm the JVM/scan path so the first key's recorded cost is its own.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     con = duckdb_connect(sf_dir)
