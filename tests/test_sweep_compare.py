@@ -153,10 +153,24 @@ def test_no_write_flag_parses_position_free(sweep):
     # r05 verdict item 7: a judge/audit sweep must be able to run strictly
     # read-only. The flag must parse anywhere in argv and never be taken as
     # the sf_dir or a key name.
-    assert sweep.parse_args([]) == ("/root/testdata/sf0.01", set(), False)
+    assert sweep.parse_args([]) == ("/root/testdata/sf0.01", set(), False, {})
     assert sweep.parse_args(["--no-write"]) == (
-        "/root/testdata/sf0.01", set(), True)
+        "/root/testdata/sf0.01", set(), True, {})
     assert sweep.parse_args(["/x/sf0.01", "q_topk", "--no-write"]) == (
-        "/x/sf0.01", {"q_topk"}, True)
+        "/x/sf0.01", {"q_topk"}, True, {})
     assert sweep.parse_args(["--no-write", "/x/sf0.01", "q_a", "q_b"]) == (
-        "/x/sf0.01", {"q_a", "q_b"}, True)
+        "/x/sf0.01", {"q_a", "q_b"}, True, {})
+
+
+def test_conf_flag_parses_position_free(sweep):
+    # r07: --conf k=v (repeatable) must parse anywhere in argv, never be
+    # taken as the sf_dir or a key name, and tolerate '=' in the value.
+    assert sweep.parse_args(
+        ["--conf", "spark.sql.autoBroadcastJoinThreshold=-1"]
+    ) == (
+        "/root/testdata/sf0.01", set(), False,
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    )
+    assert sweep.parse_args(
+        ["/x/sf0.01", "--conf", "a=1", "q_topk", "--no-write", "--conf", "b=x=y"]
+    ) == ("/x/sf0.01", {"q_topk"}, True, {"a": "1", "b": "x=y"})
