@@ -18,6 +18,11 @@ The decode kernels dispatch in three tiers (round-4):
    aspect of the contract (schema, batch iteration, partitioning, UDF
    signature).
 
+Audio (round 7) has NO fake tier at all: RIFF/WAVE payloads take the real
+stdlib decode (:mod:`.wav_codec`, ``wave`` + ``struct``), and anything
+else is read as headerless raw u8 PCM — itself a real minimal audio
+interpretation (:func:`extract_audio_features`).
+
 Frame sampling's real path still needs an ffmpeg binding (``av``) — no
 sane video container decodes from the stdlib, so inventing one would prove
 nothing; it keeps the two-tier av/stub dispatch.
@@ -31,7 +36,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import png_codec
+from . import png_codec, wav_codec
 
 
 def _optional(name: str):
@@ -217,6 +222,112 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+#: Output schema of the audio feature extractor — ALL-INTEGER features
+#: (exact energy/zero-crossing/peak sums), so the oracle comparison has
+#: zero float-drift surface (see operators/wav_codec.py).
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, sample_rate int, "
+    "n_samples int, duration_ms long, energy long, zero_crossings int, "
+    "peak int"
+)
+
+
+def attach_wav_payload(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Materialize REAL RIFF/WAVE payloads from the documents table: each
+    doc's UTF-8 bytes become a deterministic PCM16 mono waveform (stdlib
+    ``wave`` container; rate cycles 8/12/16 kHz by doc_id) — the audio
+    analogue of :func:`attach_png_payload`, same output contract as
+    :func:`attach_binary_payload` with audio-typed metadata."""
+    import pandas as pd
+
+    schema = (
+        "doc_id long, payload binary, media_meta "
+        "struct<mime:string, n_bytes:bigint, sample_rate:int, n_samples:int>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue  # no content, no payload (NULL-domain rule)
+                raw = text.encode("utf-8") or b"\x00"
+                n_samples, rate = wav_codec.synth_params(len(raw), int(doc_id))
+                payload = wav_codec.encode_wav(
+                    rate, wav_codec.pcm16_from_bytes(raw, n_samples)
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": payload,
+                        "media_meta": {
+                            "mime": "audio/wav",
+                            "n_bytes": len(payload),
+                            "sample_rate": rate,
+                            "n_samples": n_samples,
+                        },
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio decode + integer feature extraction
+    (mapInPandas): RIFF/WAVE payloads take the REAL stdlib decode
+    (chunk-walk + PCM16 unpack); anything else is interpreted as headerless
+    unsigned-8-bit raw PCM at 8 kHz — itself a real (if minimal) audio
+    reading, so this kernel has no fake tier at all. Same distributed shape
+    as :func:`extract_features`: decode parallelism is partition count, no
+    driver involvement."""
+    import pandas as pd
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_meta"]
+            ):
+                if payload is None or meta is None:
+                    continue  # failed upstream fetch: skip, never crash
+                payload = bytes(payload)
+                if wav_codec.is_wav(payload):
+                    try:
+                        rate, samples = wav_codec.decode_wav(payload)
+                        mtype = "audio/wav"
+                    except Exception:  # wave.Error / truncated container
+                        rate, samples, mtype = None, None, None
+                else:
+                    rate, samples, mtype = None, None, None
+                if samples is None:
+                    # Headerless raw-PCM reading: bytes are u8 samples.
+                    rate = 8000
+                    samples = [(b - 128) * 256 for b in payload]
+                    mtype = "audio/pcm-u8"
+                energy, zc, peak = wav_codec.audio_signature(samples)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media_type": mtype,
+                        "n_bytes": len(payload),
+                        "sample_rate": rate,
+                        "n_samples": len(samples),
+                        "duration_ms": len(samples) * 1000 // rate,
+                        "energy": energy,
+                        "zero_crossings": zc,
+                        "peak": peak,
+                    }
+                )
+            if rows:  # empty Arrow batch/partition: yield nothing
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(decode_batches, schema=AUDIO_FEATURE_SCHEMA)
 
 
 #: Output schema of resize — binary stays binary (payload-out plumbing).

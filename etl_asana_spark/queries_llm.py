@@ -826,6 +826,7 @@ def q_emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MM_FEATURES_FIXTURE = str(FIXTURES_DIR / "multimodal_expected_features.ndjson")
 _MM_RESIZE_FIXTURE = str(FIXTURES_DIR / "multimodal_expected_resize.ndjson")
 _MM_FRAMES_FIXTURE = str(FIXTURES_DIR / "multimodal_expected_frames.ndjson")
+_MM_AUDIO_FIXTURE = str(FIXTURES_DIR / "multimodal_expected_audio.ndjson")
 
 
 @register(
@@ -972,6 +973,59 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_bytes",
         F.sha2(F.col("frame"), 256).alias("frame_sha"),
     )
+
+
+@register(
+    "q_multimodal_audio",
+    oracle=f"""
+    -- Fixture-derived oracle (r07; same dual-implementation discipline as
+    -- q_multimodal): expected rows are the agreed output of the pure-Python
+    -- replay and the Spark kernels. The JOIN re-derives n_samples,
+    -- sample_rate, and duration_ms from the documents table ITSELF (all
+    -- pure integer functions of byte length / doc_id — wav_codec.
+    -- synth_params), so a stale fixture or drifted testdata drops rows and
+    -- fails the count check. energy/zero_crossings/peak are exact-integer
+    -- sums carried by the fixture (no float surface anywhere).
+    SELECT e.doc_id, e.media_type, e.n_bytes, e.sample_rate, e.n_samples,
+           e.duration_ms, e.energy, e.zero_crossings, e.peak
+    FROM read_json('{_MM_AUDIO_FIXTURE}', format='newline_delimited',
+                   columns={{'doc_id': 'BIGINT', 'media_type': 'VARCHAR',
+                             'n_bytes': 'BIGINT', 'sample_rate': 'INTEGER',
+                             'n_samples': 'INTEGER', 'duration_ms': 'BIGINT',
+                             'energy': 'BIGINT',
+                             'zero_crossings': 'INTEGER', 'peak': 'INTEGER',
+                             'text_md5': 'VARCHAR'}}) e
+    JOIN documents d
+      ON e.doc_id = d.doc_id
+     AND e.text_md5 = md5(d.text)
+     AND e.n_samples = 128 + (greatest(octet_length(encode(d.text)), 1) % 241)
+     AND e.sample_rate = CASE d.doc_id % 3 WHEN 0 THEN 8000
+                                           WHEN 1 THEN 12000
+                                           ELSE 16000 END
+     AND e.duration_ms = (e.n_samples * 1000) // e.sample_rate
+    WHERE d.text IS NOT NULL
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#75 multimodal, audio tier (round 7): REAL RIFF/WAVE payloads
+    (stdlib ``wave`` container, PCM16 mono, deterministic per-doc waveform)
+    → Arrow-batched stdlib decode (chunk-walk + struct PCM unpack) →
+    ALL-INTEGER features (energy = Σs², zero crossings, peak, exact
+    duration). WAV is the one first-class training-audio format that
+    decodes from the stdlib, so — unlike video, where the stub tier is
+    honest about the missing ffmpeg binding — the audio path executes a
+    genuine decode in this dependency-less container
+    (operators/wav_codec.py, operators/multimodal.py
+    extract_audio_features). Oracle: committed dual-implementation golden
+    fixture with the synthesis parameters re-derived in SQL (see the
+    registration comment); tests/test_multimodal_oracle.py recomputes the
+    signatures from the parquet text with an independent numpy
+    implementation. Integer-only features mean the comparison has zero
+    float-drift surface — no fixed-point serialization needed."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].repartition(spark.sparkContext.defaultParallelism)
+    media = multimodal.attach_wav_payload(docs)
+    return multimodal.extract_audio_features(media)
 
 
 # ---------------------------------------------------------------------------

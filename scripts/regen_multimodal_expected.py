@@ -116,7 +116,38 @@ def expected_rows(doc_id: int, text: str) -> tuple[dict, dict, list[dict]]:
     return features, resize, frames
 
 
-def pure_python_expected(sf_dir: str) -> tuple[list[dict], list[dict], list[dict]]:
+def expected_audio_row(doc_id: int, text: str) -> dict:
+    """Pure-Python replay of the r07 audio kernel for one document: WAV
+    synthesis → stdlib decode round-trip → integer signature. Mirrors
+    operators.multimodal.attach_wav_payload / extract_audio_features
+    byte-for-byte (and asserts the container round-trips)."""
+    from etl_asana_spark.operators import wav_codec
+
+    raw = text.encode("utf-8") or b"\x00"
+    md5 = hashlib.md5(text.encode("utf-8")).hexdigest()
+    n_samples, rate = wav_codec.synth_params(len(raw), doc_id)
+    samples = wav_codec.pcm16_from_bytes(raw, n_samples)
+    payload = wav_codec.encode_wav(rate, samples)
+    drate, dsamples = wav_codec.decode_wav(payload)
+    assert (drate, dsamples) == (rate, samples), doc_id
+    energy, zc, peak = wav_codec.audio_signature(dsamples)
+    return {
+        "doc_id": doc_id,
+        "media_type": "audio/wav",
+        "n_bytes": len(payload),
+        "sample_rate": rate,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // rate,
+        "energy": energy,
+        "zero_crossings": zc,
+        "peak": peak,
+        "text_md5": md5,
+    }
+
+
+def pure_python_expected(
+    sf_dir: str,
+) -> tuple[list[dict], list[dict], list[dict], list[dict]]:
     """Replay the kernels over one sf dir's documents parquet (via DuckDB —
     no Spark)."""
     import duckdb
@@ -125,13 +156,14 @@ def pure_python_expected(sf_dir: str) -> tuple[list[dict], list[dict], list[dict
         f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
         "WHERE text IS NOT NULL ORDER BY doc_id"
     ).fetchall()
-    feats, resizes, frames = [], [], []
+    feats, resizes, frames, audios = [], [], [], []
     for doc_id, text in rows:
         f, r, fr = expected_rows(int(doc_id), text)
         feats.append(f)
         resizes.append(r)
         frames.extend(fr)
-    return feats, resizes, frames
+        audios.append(expected_audio_row(int(doc_id), text))
+    return feats, resizes, frames, audios
 
 
 def _spark_rows(spark, key: str, sf_dir: str) -> list[dict]:
@@ -145,7 +177,7 @@ def _spark_rows(spark, key: str, sf_dir: str) -> list[dict]:
     ]
 
 
-def cross_check(spark, sf_dir: str, feats, resizes, frames) -> None:
+def cross_check(spark, sf_dir: str, feats, resizes, frames, audios) -> None:
     """Assert the Spark pipeline output equals the pure-Python replay
     (ignoring the text_md5 fixture key, which the queries don't emit)."""
     def strip(rows, sort_key):
@@ -160,6 +192,7 @@ def cross_check(spark, sf_dir: str, feats, resizes, frames) -> None:
         ("q_multimodal", feats, by_doc),
         ("q_multimodal_resize", resizes, by_doc),
         ("q_multimodal_frames", frames, by_frame),
+        ("q_multimodal_audio", audios, by_doc),
     )
     for key, pure, sort_key in checks:
         got = strip(_spark_rows(spark, key, sf_dir), sort_key)
@@ -179,16 +212,19 @@ def main() -> int:
     all_feats: dict[tuple, dict] = {}
     all_resizes: dict[tuple, dict] = {}
     all_frames: dict[tuple, dict] = {}
+    all_audios: dict[tuple, dict] = {}
     per_sf = {}
     for sf_dir in SF_DIRS:
-        feats, resizes, frames = pure_python_expected(sf_dir)
-        per_sf[sf_dir] = (feats, resizes, frames)
+        feats, resizes, frames, audios = pure_python_expected(sf_dir)
+        per_sf[sf_dir] = (feats, resizes, frames, audios)
         for f in feats:
             all_feats[(f["doc_id"], f["text_md5"])] = f
         for r in resizes:
             all_resizes[(r["doc_id"], r["text_md5"])] = r
         for fr in frames:
             all_frames[(fr["doc_id"], fr["text_md5"], fr["frame_idx"])] = fr
+        for a in audios:
+            all_audios[(a["doc_id"], a["text_md5"])] = a
         print(f"{sf_dir}: {len(feats)} docs replayed")
 
     from pyspark.sql import SparkSession
@@ -212,6 +248,7 @@ def main() -> int:
         ("multimodal_expected_features.ndjson", all_feats),
         ("multimodal_expected_resize.ndjson", all_resizes),
         ("multimodal_expected_frames.ndjson", all_frames),
+        ("multimodal_expected_audio.ndjson", all_audios),
     )
     for name, rows in outputs:
         path = FIXTURES / name

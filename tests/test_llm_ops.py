@@ -299,6 +299,60 @@ def test_registered_multimodal_keys_dispatch_png_tier(spark, sf_dir):
         assert (w, h, bpp) == (224, 224, 3)
 
 
+def test_registered_audio_key_dispatches_wav_tier(spark, sf_dir):
+    """r07 gate-surface pin: the REGISTERED q_multimodal_audio key must
+    exercise the real stdlib WAV decode (media_type 'audio/wav' only comes
+    out of a successful RIFF chunk-walk + PCM16 unpack), with the synthesis
+    parameters visible in the output."""
+    out = catalog.queries()["q_multimodal_audio"](spark, sf_dir).collect()
+    n_docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("text").isNotNull()
+    ).count()
+    assert len(out) == n_docs > 0
+    for r in out:
+        assert r["media_type"] == "audio/wav", r["doc_id"]
+        assert r["sample_rate"] in (8000, 12000, 16000)
+        assert 128 <= r["n_samples"] <= 368
+        assert r["duration_ms"] == r["n_samples"] * 1000 // r["sample_rate"]
+        assert r["energy"] > 0 and 0 < r["peak"] <= 32768
+        assert 0 <= r["zero_crossings"] < r["n_samples"]
+
+
+def test_audio_kernel_raw_pcm_fallback_is_real_not_fake(spark, sf_dir):
+    """A non-WAV payload takes the headerless raw-PCM-u8 reading — a real
+    (if minimal) audio interpretation whose signature is recomputable from
+    the bytes — never a crash and never a content-independent stub."""
+    from etl_asana_spark.operators import multimodal, wav_codec
+
+    docs = load_tables(spark, sf_dir)["documents"].limit(8)
+    media = multimodal.attach_binary_payload(docs)  # text bytes, not WAV
+    out = multimodal.extract_audio_features(media).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    assert out
+    for r in out:
+        assert r["media_type"] == "audio/pcm-u8"
+        raw = texts[r["doc_id"]].encode("utf-8")
+        samples = [(b - 128) * 256 for b in raw]
+        energy, zc, peak = wav_codec.audio_signature(samples)
+        assert (r["energy"], r["zero_crossings"], r["peak"]) == (energy, zc, peak)
+        assert (r["n_samples"], r["sample_rate"]) == (len(raw), 8000)
+
+
+def test_audio_kernel_skips_null_payload_rows(spark):
+    """NULL payload/meta rows (failed upstream fetch) are skipped, never a
+    batch crash — same NULL-domain rule as the image kernels."""
+    from etl_asana_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(1, bytes(b"abc"), {"mime": "x", "n_bytes": 3, "sample_rate": 1, "n_samples": 1}),
+         (2, None, None)],
+        "doc_id long, payload binary, media_meta "
+        "struct<mime:string, n_bytes:bigint, sample_rate:int, n_samples:int>",
+    )
+    rows = multimodal.extract_audio_features(media).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+
+
 def test_multimodal_kernel_dispatch_prefers_real_decoder(monkeypatch):
     """Kernel dispatch (round-3 optional-import path): when a PIL-shaped
     module is importable, _decode_payload routes to the real kernel; when

@@ -28,7 +28,12 @@ import pytest
 REPO = Path(__file__).resolve().parents[1]
 FIXTURES = REPO / "fixtures"
 
-MM_KEYS = ("q_multimodal", "q_multimodal_resize", "q_multimodal_frames")
+MM_KEYS = (
+    "q_multimodal",
+    "q_multimodal_resize",
+    "q_multimodal_frames",
+    "q_multimodal_audio",
+)
 
 
 def _regen_module():
@@ -51,7 +56,7 @@ def test_committed_fixtures_fresh_for_current_testdata(sf_dir):
     fixture rows for this sf_dir (subset-match by content key: the fixture
     is the union over all three scales)."""
     mod = _regen_module()
-    feats, resizes, frames = mod.pure_python_expected(sf_dir)
+    feats, resizes, frames, audios = mod.pure_python_expected(sf_dir)
 
     by_key = lambda rows, extra=(): {
         tuple(r[k] for k in ("doc_id", "text_md5", *extra)): r for r in rows
@@ -61,6 +66,7 @@ def test_committed_fixtures_fresh_for_current_testdata(sf_dir):
         ("multimodal_expected_features.ndjson", feats, ()),
         ("multimodal_expected_resize.ndjson", resizes, ()),
         ("multimodal_expected_frames.ndjson", frames, ("frame_idx",)),
+        ("multimodal_expected_audio.ndjson", audios, ()),
     ):
         committed = by_key(_committed(name), extra)
         for key, row in by_key(replayed, extra).items():
@@ -233,12 +239,99 @@ def test_kernels_match_pure_python_on_hostile_unicode_corpus(spark, tmp_path):
             shutil.copy(f"{SF_DIR}/{name}.parquet", f"{sf_dir}/{name}.parquet")
 
     mod = _regen_module()
-    feats, resizes, frames = [], [], []
+    feats, resizes, frames, audios = [], [], [], []
     for doc_id, text in enumerate(texts):
         f, r, fr = mod.expected_rows(doc_id, text)
         feats.append(f)
         resizes.append(r)
         frames.extend(fr)
+        audios.append(mod.expected_audio_row(doc_id, text))
 
     spark_cross = mod.cross_check  # raises SystemExit on any disagreement
-    spark_cross(spark, sf_dir, feats, resizes, frames)
+    spark_cross(spark, sf_dir, feats, resizes, frames, audios)
+
+
+# ---------------------------------------------------------------------------
+# Audio tier (r07): the same three evidence layers for q_multimodal_audio.
+# Freshness and gate parity ride the shared tests above (the audio fixture
+# and key are in their loops); below are the audio-specific independence
+# and stale-guard checks.
+# ---------------------------------------------------------------------------
+
+
+def test_duckdb_byte_math_agrees_with_audio_fixture(duck):
+    """Independent recompute, zero shared code: DuckDB re-synthesizes every
+    document's PCM16 waveform from the text bytes alone (hex-extracted,
+    cycled to n_samples, mixed by the same pure per-byte map) and
+    re-derives energy / zero_crossings / peak. Integer features mean the
+    agreement must be EXACT — no tolerance."""
+    recompute = """
+    WITH base AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS L,
+               128 + (greatest(octet_length(encode(text)), 1) % 241) AS n
+        FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(t.i AS BIGINT) AS i,
+               ((CASE WHEN L = 0 THEN 0
+                      ELSE CAST('0x' || substr(hx, 2 * (CAST(t.i AS BIGINT) % L) + 1, 2) AS INT)
+                 END) * 997) % 65536 - 32768 AS v
+        FROM base, LATERAL unnest(range(n)) AS t(i)
+    ),
+    sig AS (
+        SELECT doc_id,
+               sum(v * v) AS energy,
+               sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) != (v < 0))
+                        THEN 1 ELSE 0 END) AS zc,
+               max(abs(v)) AS peak
+        FROM (SELECT doc_id, i, v,
+                     lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+              FROM s)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, energy, zc, peak FROM sig
+    """
+    recomputed = {
+        int(d): (int(e), int(z), int(p))
+        for d, e, z, p in duck.execute(recompute).fetchall()
+    }
+    committed = duck.execute(
+        "SELECT d.doc_id, e.energy, e.zero_crossings, e.peak "
+        "FROM documents d JOIN read_json("
+        f"'{FIXTURES / 'multimodal_expected_audio.ndjson'}', "
+        "format='newline_delimited', columns={'doc_id': 'BIGINT', "
+        "'energy': 'BIGINT', 'zero_crossings': 'INTEGER', "
+        "'peak': 'INTEGER', 'text_md5': 'VARCHAR'}) e "
+        "ON e.doc_id = d.doc_id AND e.text_md5 = md5(d.text) "
+        "WHERE d.text IS NOT NULL"
+    ).fetchall()
+    assert len(committed) == len(recomputed) > 0
+    for doc_id, energy, zc, peak in committed:
+        assert recomputed[int(doc_id)] == (int(energy), int(zc), int(peak)), (
+            doc_id, recomputed[int(doc_id)], (energy, zc, peak),
+        )
+
+
+def test_audio_oracle_join_guards_against_stale_fixture(duck):
+    """Tampering any re-derived synthesis parameter must drop EVERY row
+    (loud row-count red), never pass stale expectations through."""
+    from etl_asana_spark import catalog
+
+    catalog.load_all()
+    sql = catalog._ORACLES["q_multimodal_audio"]
+    n_docs = duck.execute(
+        "SELECT count(*) FROM documents WHERE text IS NOT NULL"
+    ).fetchone()[0]
+    assert duck.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0] == n_docs
+
+    for tamper in (
+        ("e.n_samples = 128 +", "e.n_samples + 1 = 128 +"),
+        ("e.duration_ms = (e.n_samples * 1000)", "e.duration_ms + 1 = (e.n_samples * 1000)"),
+    ):
+        tampered = sql.replace(*tamper)
+        assert tampered != sql, tamper
+        assert duck.execute(
+            f"SELECT count(*) FROM ({tampered})"
+        ).fetchone()[0] == 0, tamper
