@@ -58,7 +58,15 @@ def pcm16_from_bytes(raw: bytes, n_samples: int) -> list[int]:
 def synth_params(raw_len: int, doc_id: int) -> tuple[int, int]:
     """(n_samples, sample_rate) for one document — pure functions of the
     byte length and id, mirrored in SQL by the q_multimodal_audio oracle's
-    join (a drifted fixture therefore drops rows and fails loudly)."""
+    join (a drifted fixture therefore drops rows and fails loudly).
+
+    Domain note: ``doc_id`` must be ≥ 0 for the SQL mirror to hold —
+    DuckDB's ``%`` keeps the dividend's sign while Python's is always
+    non-negative. True of every id domain in the testdata (min doc_id = 0
+    at all three scales, probed r07); assert rather than silently diverge.
+    """
+    if doc_id < 0:
+        raise ValueError(f"doc_id must be non-negative, got {doc_id}")
     n_samples = N_SAMPLES_BASE + (max(raw_len, 1) % N_SAMPLES_MOD)
     return n_samples, RATES[doc_id % len(RATES)]
 
