@@ -94,6 +94,12 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
                 f"channels={r.getnchannels()} (PCM16 mono only)"
             )
         rate = r.getframerate()
+        if rate <= 0:
+            # A parseable container with fmt rate 0 would put a zero
+            # divisor into every duration formula downstream; reject it
+            # here so callers' never-crash dispatch falls back to the
+            # raw-PCM reading (r07 review finding).
+            raise ValueError(f"non-positive WAV sample rate: {rate}")
         n = r.getnframes()
         frames = r.readframes(n)
     return rate, list(struct.unpack(f"<{len(frames) // 2}h", frames))

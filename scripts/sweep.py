@@ -131,13 +131,23 @@ def parse_args(
     on the sweep session — the substrate-rehearsal hook (e.g.
     ``--conf spark.sql.autoBroadcastJoinThreshold=-1`` proves no key's
     RESULT depends on Spark electing a broadcast join)."""
-    no_write = "--no-write" in argv
     confs: dict[str, str] = {}
     rest: list[str] = []
-    it = iter(a for a in argv if a != "--no-write")
+    no_write = False
+    it = iter(argv)
     for a in it:
-        if a == "--conf":
-            k, _, v = next(it).partition("=")
+        if a == "--no-write":
+            no_write = True
+        elif a == "--conf":
+            # Pair the value BEFORE any flag filtering, and fail with a
+            # usage error (not a bare StopIteration) when the value slot
+            # is missing or holds another flag (r07 review finding).
+            val = next(it, None)
+            if val is None or val.startswith("--"):
+                raise SystemExit("usage: --conf <key>=<value>")
+            k, sep, v = val.partition("=")
+            if not sep or not k:
+                raise SystemExit(f"usage: --conf <key>=<value>, got {val!r}")
             confs[k] = v
         else:
             rest.append(a)

@@ -338,6 +338,34 @@ def test_audio_kernel_raw_pcm_fallback_is_real_not_fake(spark, sf_dir):
         assert (r["n_samples"], r["sample_rate"]) == (len(raw), 8000)
 
 
+def test_audio_kernel_survives_rate_zero_wav(spark):
+    """r07 review finding: a parseable RIFF/WAVE container whose fmt chunk
+    declares sample_rate=0 (corrupt/adversarial bytes) must take the
+    raw-PCM fallback, not divide by zero inside the Arrow batch —
+    decode_wav rejects non-positive rates so the dispatch falls through."""
+    import struct
+
+    from etl_asana_spark.operators import multimodal, wav_codec
+
+    data = struct.pack("<3h", 100, -100, 200)
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 0, 0, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert wav_codec.is_wav(payload)
+    media = spark.createDataFrame(
+        [(7, payload, {"mime": "audio/wav", "n_bytes": len(payload),
+                       "sample_rate": 0, "n_samples": 3})],
+        "doc_id long, payload binary, media_meta "
+        "struct<mime:string, n_bytes:bigint, sample_rate:int, n_samples:int>",
+    )
+    rows = multimodal.extract_audio_features(media).collect()
+    assert len(rows) == 1
+    assert rows[0]["media_type"] == "audio/pcm-u8"  # fallback tier ran
+    assert rows[0]["sample_rate"] == 8000
+
+
 def test_audio_kernel_skips_null_payload_rows(spark):
     """NULL payload/meta rows (failed upstream fetch) are skipped, never a
     batch crash — same NULL-domain rule as the image kernels."""

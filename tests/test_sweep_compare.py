@@ -174,3 +174,14 @@ def test_conf_flag_parses_position_free(sweep):
     assert sweep.parse_args(
         ["/x/sf0.01", "--conf", "a=1", "q_topk", "--no-write", "--conf", "b=x=y"]
     ) == ("/x/sf0.01", {"q_topk"}, True, {"a": "1", "b": "x=y"})
+
+
+def test_conf_flag_without_value_is_a_usage_error(sweep):
+    # r07 review finding: a dangling --conf (or one whose value slot holds
+    # another flag) must fail with a usage message, not a bare
+    # StopIteration; and '--conf --no-write' must not eat the NEXT token.
+    import pytest
+
+    for argv in (["--conf"], ["--conf", "--no-write"], ["--conf", "novalue"]):
+        with pytest.raises(SystemExit):
+            sweep.parse_args(argv)
