@@ -13,8 +13,13 @@ The decode kernels dispatch in three tiers (round-4):
    grey/RGB/RGBA PNGs; with :func:`attach_png_payload` generating real PNG
    fixtures, the decode → feature-extract → resize pipeline executes
    genuinely end-to-end even in this PIL-less container.
-3. **Deterministic stub** — for non-image payloads (the original text-byte
-   fixtures) and formats outside both real paths; preserves every Spark
+3. **Pure-stdlib baseline JPEG** (:mod:`.jpeg_codec`, round 7) — a REAL
+   decoder (Annex-K Huffman entropy decode, dequantization, 8×8 IDCT,
+   chroma upsampling, YCbCr→RGB) for baseline sequential-DCT streams up
+   to 2×2 sampling, incl. restart intervals; progressive/12-bit/CMYK
+   raise and fall through.
+4. **Deterministic stub** — for non-image payloads (the original text-byte
+   fixtures) and formats outside the real paths; preserves every Spark
    aspect of the contract (schema, batch iteration, partitioning, UDF
    signature).
 
@@ -36,7 +41,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import png_codec, wav_codec
+from . import jpeg_codec, png_codec, wav_codec
 
 
 def _optional(name: str):
@@ -130,6 +135,56 @@ def attach_png_payload(
     return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
 
+def attach_jpeg_payload(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    subsample: bool = False,
+) -> DataFrame:
+    """Materialize REAL baseline-JPEG payloads from the documents table —
+    same deterministic text→pixels synthesis as :func:`attach_png_payload`
+    (so the two formats carry identical source images), encoded by the
+    pure-stdlib :mod:`.jpeg_codec` (4:4:4, or 4:2:0 with ``subsample``).
+    Same output contract as :func:`attach_binary_payload`."""
+    import pandas as pd
+
+    schema = (
+        "doc_id long, payload binary, media_meta "
+        "struct<mime:string, n_bytes:bigint, width:int, height:int>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue  # no content, no payload (NULL-domain rule)
+                raw = text.encode("utf-8") or b"\x00"
+                w = 4 + (len(raw) % 13)
+                h = 3 + (len(raw) % 7)
+                need = w * h * 3
+                pix = (raw * (need // len(raw) + 1))[:need]
+                payload = jpeg_codec.encode_jpeg(
+                    w, h, pix, bpp=3, quality=90, subsample=subsample
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": payload,
+                        "media_meta": {
+                            "mime": "image/jpeg",
+                            "n_bytes": len(payload),
+                            "width": w,
+                            "height": h,
+                        },
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
 def _decode_payload_real(payload: bytes, pil_image) -> tuple[int, int, list[float]]:
     """REAL decode kernel (used when PIL is importable and the bytes parse):
     decodes the image, downsamples to an 8-value grayscale intensity
@@ -166,9 +221,10 @@ def _decode_payload_stub(payload: bytes) -> tuple[int, int, list[float]]:
 
 def _decode_payload(payload: bytes) -> tuple[int, int, list[float]]:
     """Kernel dispatch (see module docstring): PIL when importable → the
-    pure-stdlib PNG decoder on a PNG signature → deterministic stub. The
-    stdlib tier means a PNG payload takes a REAL decode path in every
-    environment, including this PIL-less container."""
+    pure-stdlib PNG decoder on a PNG signature → the pure-stdlib baseline
+    JPEG decoder on an SOI signature (r07) → deterministic stub. The
+    stdlib tiers mean PNG and baseline-JPEG payloads take a REAL decode
+    path in every environment, including this PIL-less container."""
     pil = _optional("PIL.Image")
     if pil is not None and payload:
         try:
@@ -180,6 +236,12 @@ def _decode_payload(payload: bytes) -> tuple[int, int, list[float]]:
             w, h, bpp, pix = png_codec.decode_png(payload)
             return w, h, png_codec.luma_signature(w, h, bpp, pix)
         except ValueError:  # outside the stdlib subset → stub
+            pass
+    if payload and jpeg_codec.is_jpeg(payload):
+        try:
+            w, h, bpp, pix = jpeg_codec.decode_jpeg(payload)
+            return w, h, png_codec.luma_signature(w, h, bpp, pix)
+        except ValueError:  # progressive/12-bit/CMYK etc. → stub
             pass
     return _decode_payload_stub(payload)
 
@@ -387,6 +449,22 @@ def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224) -> 
                                 w, h, bpp, pix, target_w, target_h
                             ),
                             color_type={1: 0, 3: 2, 4: 6}[bpp],
+                        )
+                    except ValueError:
+                        out = None
+                if out is None and payload and jpeg_codec.is_jpeg(payload):
+                    # Pure-stdlib JPEG tier (r07): decode → nearest-neighbor
+                    # resample → re-encode JPEG (format-preserving).
+                    try:
+                        w, h, bpp, pix = jpeg_codec.decode_jpeg(payload)
+                        out = jpeg_codec.encode_jpeg(
+                            target_w,
+                            target_h,
+                            png_codec.resize_nearest(
+                                w, h, bpp, pix, target_w, target_h
+                            ),
+                            bpp=bpp,
+                            quality=90,
                         )
                     except ValueError:
                         out = None

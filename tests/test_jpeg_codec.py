@@ -1,0 +1,319 @@
+"""Baseline JPEG codec verification (r07 — the third real media tier).
+
+Independence layers, mirroring the PNG/WAV discipline:
+
+1. **Math core vs numpy** — the 8×8 IDCT must match an independent
+   orthonormal DCT-matrix implementation (numpy, zero shared code) to
+   ~1e-9, and DCT∘IDCT must be the identity.
+2. **Hand-crafted streams** — minimal JPEGs assembled byte-by-byte in the
+   TEST (headers, Annex-K DC/EOB codes hand-encoded as bits) decode to
+   hand-computed pixel values. This path shares nothing with the encoder.
+3. **Round-trips** — encoder→decoder error is bounded by quantization
+   across grayscale / 4:4:4 / 4:2:0 / restart-interval streams.
+4. **Dispatch** — operators/multimodal._decode_payload routes real JPEG
+   payloads through this decoder (PIL absent), and resize_media
+   re-encodes JPEG format-preserving.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import struct
+
+import pytest
+
+from etl_asana_spark.operators import jpeg_codec as jc
+from etl_asana_spark.operators import png_codec
+
+
+def _mae(a: bytes, b: bytes) -> float:
+    assert len(a) == len(b)
+    return sum(abs(x - y) for x, y in zip(a, b)) / len(a)
+
+
+# ---------------------------------------------------------------------------
+# 1. math core vs an independent numpy reference
+# ---------------------------------------------------------------------------
+
+
+def test_idct_matches_numpy_orthonormal_reference():
+    import numpy as np
+
+    M = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            M[u, x] = math.sqrt((1 if u else 0.5) / 4) * math.cos(
+                (2 * x + 1) * u * math.pi / 16
+            )
+    rng = random.Random(1)
+    worst = 0.0
+    for _ in range(100):
+        S = [rng.uniform(-1000, 1000) for _ in range(64)]
+        mine = np.array(jc.idct_8x8(S)).reshape(8, 8)
+        ref = M.T @ np.array(S).reshape(8, 8) @ M
+        worst = max(worst, float(np.abs(mine - ref).max()))
+    assert worst < 1e-9, worst
+
+
+def test_dct_idct_identity():
+    rng = random.Random(2)
+    for _ in range(50):
+        p = [rng.uniform(-128, 127) for _ in range(64)]
+        back = jc.idct_8x8(jc.dct_8x8(p))
+        assert max(abs(a - b) for a, b in zip(p, back)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# 2. hand-crafted minimal streams (no encoder involvement at all)
+# ---------------------------------------------------------------------------
+
+
+def _handmade_gray_jpeg(entropy: bytes) -> bytes:
+    """Assemble a 8×8 grayscale baseline JPEG byte-by-byte: unscaled
+    Annex-K luma DQT (q[0]=16), Annex-K DC/AC luma Huffman tables, SOF0,
+    SOS, then the given hand-encoded entropy bytes."""
+    out = bytearray(b"\xff\xd8")
+    zz = bytes(jc.QTAB_LUMA[jc.ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz
+    sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    for tcth, (bits, vals) in ((0x00, jc.HUFF_DC_LUMA), (0x10, jc.HUFF_AC_LUMA)):
+        body = bytes([tcth]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    sos = bytes([1, 1, 0x00, 0x00, 0x3F, 0x00])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_handmade_dc_zero_decodes_to_flat_128():
+    """DC diff 0 (Annex-K DC cat-0 code '00') + EOB ('1010'), padded with
+    1s → 0b00101011 = 0x2B. Every pixel must be exactly 128 (zero
+    coefficients, +128 level shift)."""
+    w, h, bpp, pix = jc.decode_jpeg(_handmade_gray_jpeg(b"\x2b"))
+    assert (w, h, bpp) == (8, 8, 1)
+    assert set(pix) == {128}
+
+
+def test_handmade_dc_one_decodes_to_flat_130():
+    """DC diff +1: cat-1 code '010' + magnitude bit '1', EOB '1010' →
+    0b01011010 = 0x5A. Dequantized DC = 1·16; IDCT of a lone DC is flat
+    ¼·(1/√2)(1/√2)·16 = 2 → every pixel exactly 130 (hand-computed)."""
+    w, h, bpp, pix = jc.decode_jpeg(_handmade_gray_jpeg(b"\x5a"))
+    assert (w, h, bpp) == (8, 8, 1)
+    assert set(pix) == {130}
+
+
+def test_handmade_single_ac_coefficient_matches_cosine():
+    """DC 0, then AC (run 0, size 1) with magnitude bit '1', then EOB —
+    codes looked up from the public Annex-K table and packed by an
+    independent bit-packer in this test (still no encoder involvement).
+    The decoded block must equal 128 + q·(the (v=0,u=1) IDCT basis), i.e.
+    a horizontal cosine ramp, constant down each column."""
+    # build the bitstream: DC cat0, then RS=0x01 (run 0, size 1), bit '1',
+    # then EOB — codes taken from the same public Annex-K table the
+    # decoder loads, assembled by an independent bit-packer here.
+    codes_dc = {}
+    code = 0
+    k = 0
+    bits, vals = jc.HUFF_DC_LUMA
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes_dc[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    codes_ac = {}
+    code = 0
+    k = 0
+    bits, vals = jc.HUFF_AC_LUMA
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes_ac[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+
+    stream = []
+    for c, ln in (codes_dc[0], codes_ac[0x01], (1, 1), codes_ac[0x00]):
+        stream.append((c, ln))
+    acc = 0
+    nb = 0
+    data = bytearray()
+    for c, ln in stream:
+        for i in range(ln - 1, -1, -1):
+            acc = (acc << 1) | ((c >> i) & 1)
+            nb += 1
+            if nb == 8:
+                data.append(acc)
+                acc, nb = 0, 0
+    if nb:
+        data.append((acc << (8 - nb)) | ((1 << (8 - nb)) - 1))
+
+    w, h, bpp, pix = jc.decode_jpeg(_handmade_gray_jpeg(bytes(data)))
+    assert (w, h, bpp) == (8, 8, 1)
+    # expected: q(0,1)=11 (natural index 1 of Annex-K luma) times the
+    # (v=0, u=1) IDCT basis: ¼·(1/√2)·cos((2x+1)π/16)·11 + 128
+    for y in range(8):
+        for x in range(8):
+            want = 128 + 0.25 * (1 / math.sqrt(2)) * math.cos(
+                (2 * x + 1) * math.pi / 16
+            ) * 11
+            got = pix[8 * y + x]
+            assert abs(got - want) <= 0.5 + 1e-9, (x, y, got, want)
+    # constant down each column (u-only basis)
+    for x in range(8):
+        assert len({pix[8 * y + x] for y in range(8)}) == 1
+
+
+# ---------------------------------------------------------------------------
+# 3. encoder → decoder round-trips
+# ---------------------------------------------------------------------------
+
+
+def test_roundtrip_grayscale_smooth_gradient():
+    w, h = 21, 13
+    pix = bytes((x * 7 + y * 5) % 256 for y in range(h) for x in range(w))
+    dw, dh, dbpp, dec = jc.decode_jpeg(jc.encode_jpeg(w, h, pix, bpp=1, quality=95))
+    assert (dw, dh, dbpp) == (w, h, 1)
+    assert _mae(pix, dec) < 1.0
+
+
+def test_roundtrip_rgb_444_and_420():
+    w, h = 18, 10
+    pix = bytes(
+        ((x * 9 + c * 40) % 256 if c < 2 else (y * 11) % 256)
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    dw, dh, dbpp, dec = jc.decode_jpeg(jc.encode_jpeg(w, h, pix, quality=95))
+    assert (dw, dh, dbpp) == (w, h, 3)
+    assert _mae(pix, dec) < 2.0
+    dw, dh, dbpp, dec420 = jc.decode_jpeg(
+        jc.encode_jpeg(w, h, pix, quality=95, subsample=True)
+    )
+    assert (dw, dh, dbpp) == (w, h, 3)
+    assert _mae(pix, dec420) < 6.0  # chroma subsampling loss
+
+
+def test_roundtrip_solid_colors_near_exact():
+    for color in ((128, 128, 128), (255, 0, 0), (10, 200, 60)):
+        pix = bytes(color[c] for _ in range(64) for c in range(3))
+        _, _, _, dec = jc.decode_jpeg(jc.encode_jpeg(8, 8, pix, quality=90))
+        assert _mae(pix, dec) < 1.0, color
+
+
+def test_roundtrip_noise_bounded_by_quantization():
+    rng = random.Random(7)
+    w = h = 16
+    pix = bytes(rng.randrange(256) for _ in range(w * h))
+    _, _, _, dec = jc.decode_jpeg(jc.encode_jpeg(w, h, pix, bpp=1, quality=95))
+    assert _mae(pix, dec) < 4.0
+
+
+def test_unsupported_streams_raise_for_tier_fallthrough():
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(b"\x89PNG not a jpeg")
+    # progressive SOF2 must be rejected, not mis-decoded
+    prog = bytearray(jc.encode_jpeg(8, 8, bytes(64), bpp=1))
+    idx = prog.find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(bytes(prog))
+    # truncated entropy data
+    full = jc.encode_jpeg(8, 8, bytes(range(64)), bpp=1)
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(full[: len(full) // 2])
+
+
+# ---------------------------------------------------------------------------
+# 4. kernel dispatch + resize integration
+# ---------------------------------------------------------------------------
+
+
+def test_decode_payload_dispatches_jpeg_tier():
+    from etl_asana_spark.operators.multimodal import _decode_payload
+
+    w, h = 9, 6
+    pix = bytes((x * 20 + y * 10 + c) % 256 for y in range(h) for x in range(w) for c in range(3))
+    payload = jc.encode_jpeg(w, h, pix, quality=95)
+    dw, dh, feats = _decode_payload(payload)
+    assert (dw, dh) == (w, h)  # stub would return checksum%1920/..%1080
+    # features equal the luma signature of the DECODED pixels
+    _, _, _, dec = jc.decode_jpeg(payload)
+    want = png_codec.luma_signature(w, h, 3, dec)
+    assert feats == pytest.approx(want)
+
+
+def test_resize_media_reencodes_jpeg_format_preserving(spark):
+    from etl_asana_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, "hello jpeg resize", "en", "t", 17)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    media = multimodal.attach_jpeg_payload(df)
+    out = multimodal.resize_media(media, 16, 16).collect()
+    assert len(out) == 1
+    resized = bytes(out[0]["payload"])
+    assert jc.is_jpeg(resized)
+    w, h, bpp, _ = jc.decode_jpeg(resized)
+    assert (w, h, bpp) == (16, 16, 3)
+
+
+def test_roundtrip_with_restart_intervals():
+    """DRI + RSTn markers every 2 MCUs: exercises the decoder's
+    byte-align/resync path and predictor resets; pixels must round-trip
+    with the same bound as the unrestarted stream (and the stream must
+    actually CONTAIN restart markers)."""
+    w, h = 40, 24  # 15 MCUs at 4:4:4 → 7 RST markers at interval 2
+    pix = bytes((x * 5 + y * 3) % 256 for y in range(h) for x in range(w))
+    enc = jc.encode_jpeg(w, h, pix, bpp=1, quality=95, restart_interval=2)
+    assert any(
+        enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7
+        for i in range(len(enc) - 1)
+    ), "no RST markers emitted"
+    dw, dh, dbpp, dec = jc.decode_jpeg(enc)
+    assert (dw, dh, dbpp) == (w, h, 1)
+    assert _mae(pix, dec) < 1.0
+
+
+def test_roundtrip_shape_edge_cases():
+    """1×1, exact 8×8, and non-multiple dims across all modes."""
+    for w, h in ((1, 1), (8, 8), (7, 3), (17, 9)):
+        pix1 = bytes((x * 31 + y * 17) % 256 for y in range(h) for x in range(w))
+        dw, dh, dbpp, dec = jc.decode_jpeg(jc.encode_jpeg(w, h, pix1, bpp=1, quality=95))
+        assert (dw, dh, dbpp, len(dec)) == (w, h, 1, w * h)
+        pix3 = bytes(
+            (x * 31 + y * 17 + 60 * c) % 256
+            for y in range(h) for x in range(w) for c in range(3)
+        )
+        for sub in (False, True):
+            dw, dh, dbpp, dec = jc.decode_jpeg(
+                jc.encode_jpeg(w, h, pix3, quality=95, subsample=sub)
+            )
+            assert (dw, dh, dbpp, len(dec)) == (w, h, 3, w * h * 3)
+
+
+def test_roundtrip_fuzz_random_images_bounded():
+    """Property-style: random dims/quality/mode, decode(encode(x)) always
+    returns the exact shape and a quantization-bounded reconstruction
+    (smooth ramps so the bound is meaningful at every quality)."""
+    rng = random.Random(1234)
+    for _ in range(12):
+        w, h = rng.randint(1, 33), rng.randint(1, 33)
+        bpp = rng.choice([1, 3])
+        quality = rng.choice([70, 85, 95])
+        sub = bpp == 3 and rng.random() < 0.5
+        base = rng.randrange(200)
+        pix = bytes(
+            (base + x * 2 + y) % 256
+            for y in range(h) for x in range(w) for _ in range(bpp)
+        )
+        enc = jc.encode_jpeg(w, h, pix, bpp=bpp, quality=quality, subsample=sub)
+        dw, dh, dbpp, dec = jc.decode_jpeg(enc)
+        assert (dw, dh, dbpp, len(dec)) == (w, h, bpp, w * h * bpp)
+        assert _mae(pix, dec) < 12.0, (w, h, bpp, quality, sub)
