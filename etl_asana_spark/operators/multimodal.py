@@ -5,7 +5,7 @@ struct, exactly as a 100 TB training pipeline carries them (payload bytes
 co-located with row metadata in parquet; heavy decode work happens in
 Arrow-batched Python, not the JVM).
 
-The decode kernels dispatch in three tiers (round-4):
+The image decode kernels dispatch in tiers (r4 structure, r7 breadth):
 
 1. **PIL** (optional import) — the production path for arbitrary formats.
 2. **Pure-stdlib PNG** (:mod:`.png_codec`, always available) — a REAL
@@ -28,9 +28,11 @@ stdlib decode (:mod:`.wav_codec`, ``wave`` + ``struct``), and anything
 else is read as headerless raw u8 PCM — itself a real minimal audio
 interpretation (:func:`extract_audio_features`).
 
-Frame sampling's real path still needs an ffmpeg binding (``av``) — no
-sane video container decodes from the stdlib, so inventing one would prove
-nothing; it keeps the two-tier av/stub dispatch.
+Frame sampling (r07): PyAV when importable (arbitrary codecs) → the
+pure-stdlib MJPEG-AVI demux (:mod:`.avi_codec` + :mod:`.jpeg_codec` — AVI
+is RIFF and each '00dc' chunk is a complete baseline JPEG, so this tier
+is a REAL demux-and-decode) → deterministic payload slices for modern
+codecs, which genuinely need ffmpeg.
 """
 
 from __future__ import annotations
@@ -41,7 +43,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import jpeg_codec, png_codec, wav_codec
+from . import avi_codec, jpeg_codec, png_codec, wav_codec
 
 
 def _optional(name: str):
@@ -173,6 +175,61 @@ def attach_jpeg_payload(
                         "payload": payload,
                         "media_meta": {
                             "mime": "image/jpeg",
+                            "n_bytes": len(payload),
+                            "width": w,
+                            "height": h,
+                        },
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def attach_avi_payload(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_frames: int = 6,
+) -> DataFrame:
+    """Materialize REAL MJPEG-AVI video payloads from the documents table:
+    each doc becomes a ``n_frames``-frame clip whose frames are the same
+    deterministic text→pixels synthesis as :func:`attach_png_payload`,
+    phase-shifted per frame (frame i starts at byte offset i), JPEG-encoded
+    by :mod:`.jpeg_codec` and muxed by :mod:`.avi_codec`. Same output
+    contract as :func:`attach_binary_payload` with video-typed metadata."""
+    import pandas as pd
+
+    schema = (
+        "doc_id long, payload binary, media_meta "
+        "struct<mime:string, n_bytes:bigint, width:int, height:int>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue  # no content, no payload (NULL-domain rule)
+                raw = text.encode("utf-8") or b"\x00"
+                w = 4 + (len(raw) % 13)
+                h = 3 + (len(raw) % 7)
+                need = w * h * 3
+                frames = []
+                for i in range(n_frames):
+                    shifted = raw[i % len(raw):] + raw[: i % len(raw)]
+                    pix = (shifted * (need // len(shifted) + 1))[:need]
+                    frames.append(
+                        jpeg_codec.encode_jpeg(w, h, pix, bpp=3, quality=90)
+                    )
+                payload = avi_codec.encode_mjpeg_avi(frames, w, h, fps=5)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": payload,
+                        "media_meta": {
+                            "mime": "video/x-msvideo",
                             "n_bytes": len(payload),
                             "width": w,
                             "height": h,
@@ -494,12 +551,15 @@ FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary, frame_bytes long"
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame sampling over 'video' payloads: each input row yields
-    ``n_frames`` evenly-spaced frame rows. STUB kernel slices the payload
-    into deterministic chunks; a real deployment replaces it with ffmpeg
-    keyframe extraction. The one-to-many Arrow-batch shape (a single
-    ``mapInPandas`` emitting more rows than it reads) is the real contract —
-    the fan-out happens executor-side with no explode of pre-materialized
-    arrays and no driver involvement.
+    ``n_frames`` evenly-spaced frame rows. Tier dispatch (r07): PyAV when
+    importable (arbitrary codecs) → pure-stdlib MJPEG-AVI demux
+    (:mod:`.avi_codec` — AVI is RIFF, each '00dc' chunk a complete JPEG
+    that :mod:`.jpeg_codec` decodes for real) → deterministic payload
+    slices for containers outside both real paths (modern codecs
+    genuinely need ffmpeg). The one-to-many Arrow-batch shape (a single
+    ``mapInPandas`` emitting more rows than it reads) is the real
+    contract — the fan-out happens executor-side with no explode of
+    pre-materialized arrays and no driver involvement.
     """
     import pandas as pd
 
@@ -519,6 +579,20 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
         picked = [decoded[min(i * step, len(decoded) - 1)] for i in range(n_frames)]
         return [f.to_ndarray(format="rgb24").tobytes() for f in picked]
 
+    def _frames_mjpeg_avi(payload: bytes) -> list[bytes] | None:
+        """Stdlib path: real RIFF demux; evenly-spaced JPEG frames, each a
+        complete image the in-repo JPEG decoder parses."""
+        if not avi_codec.is_avi(payload):
+            return None
+        try:
+            decoded = avi_codec.demux_mjpeg_avi(payload)
+        except ValueError:
+            return None
+        if not decoded:
+            return None
+        step = max(len(decoded) // n_frames, 1)
+        return [decoded[min(i * step, len(decoded) - 1)] for i in range(n_frames)]
+
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         av = _optional("av")
         for pdf in batches:
@@ -530,6 +604,8 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 if not payload:
                     raise NotImplementedError("empty payload: stub undefined")
                 frames = _frames_real(payload, av) if av else None
+                if frames is None:
+                    frames = _frames_mjpeg_avi(payload)
                 if frames is None:  # stub: deterministic payload slices
                     step = max(len(payload) // n_frames, 1)
                     frames = [

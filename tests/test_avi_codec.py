@@ -1,0 +1,93 @@
+"""MJPEG-AVI mux/demux + real video frame sampling (r07 — closes the last
+fake media tier: frame sampling previously stub-sliced every payload
+because 'no video container decodes from the stdlib'; MJPEG/AVI does,
+given the in-repo JPEG decoder)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_asana_spark.operators import avi_codec as ac
+from etl_asana_spark.operators import jpeg_codec as jc
+
+
+def _clip(n_frames: int = 6, w: int = 9, h: int = 6) -> tuple[list[bytes], bytes]:
+    frames = [
+        jc.encode_jpeg(
+            w, h,
+            bytes((x * 10 + y * 5 + i * 37) % 256
+                  for y in range(h) for x in range(w) for _ in range(3)),
+            quality=92,
+        )
+        for i in range(n_frames)
+    ]
+    return frames, ac.encode_mjpeg_avi(frames, w, h, fps=5)
+
+
+def test_mux_demux_roundtrip_is_byte_exact():
+    frames, avi = _clip()
+    assert ac.is_avi(avi)
+    assert ac.demux_mjpeg_avi(avi) == frames
+
+
+def test_every_demuxed_frame_decodes_as_real_jpeg():
+    frames, avi = _clip(w=12, h=7)
+    for f in ac.demux_mjpeg_avi(avi):
+        w, h, bpp, pix = jc.decode_jpeg(f)
+        assert (w, h, bpp, len(pix)) == (12, 7, 3, 12 * 7 * 3)
+
+
+def test_demux_error_paths_raise_for_tier_fallthrough():
+    _, avi = _clip()
+    for bad in (b"", b"RIFF\x08\x00\x00\x00WAVEdata", avi[:40]):
+        with pytest.raises(ValueError):
+            ac.demux_mjpeg_avi(bad)
+    with pytest.raises(ValueError):
+        ac.encode_mjpeg_avi([], 8, 8)
+
+
+def test_sample_frames_takes_the_real_avi_tier(spark):
+    """The registered fan-out kernel must return ACTUAL evenly-spaced JPEG
+    frames for an AVI payload — not byte slices. Discriminator: every
+    emitted frame parses as a complete JPEG of the clip's dimensions and
+    equals the expected demuxed frame byte-for-byte."""
+    from etl_asana_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, "a real motion jpeg clip", "en", "t", 23),
+         (2, "second doc, different frames", "en", "t", 28)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    media = multimodal.attach_avi_payload(df, n_frames=6)
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = multimodal.sample_frames(media, n_frames=4).collect()
+    assert len(out) == 2 * 4
+    for r in out:
+        all_frames = ac.demux_mjpeg_avi(payloads[r["doc_id"]])
+        step = max(len(all_frames) // 4, 1)
+        want = all_frames[min(r["frame_idx"] * step, len(all_frames) - 1)]
+        got = bytes(r["frame"])
+        assert got == want, (r["doc_id"], r["frame_idx"])
+        w, h, bpp, _ = jc.decode_jpeg(got)
+        assert bpp == 3 and 4 <= w <= 16 and 3 <= h <= 9
+
+
+def test_sample_frames_stub_tier_unchanged_for_non_video(spark):
+    """Non-container payloads must keep the deterministic slice behavior —
+    the registered q_multimodal_frames key (PNG payloads) depends on it."""
+    from etl_asana_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, "plain text payload, not a container", "en", "t", 35)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    media = multimodal.attach_binary_payload(df)
+    payload = bytes(media.collect()[0]["payload"])
+    out = sorted(
+        multimodal.sample_frames(media, n_frames=4).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    step = max(len(payload) // 4, 1)
+    for i, r in enumerate(out):
+        want = payload[i * step : i * step + step] or payload[-step:]
+        assert bytes(r["frame"]) == want
