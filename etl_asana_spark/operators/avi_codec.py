@@ -103,16 +103,44 @@ def encode_mjpeg_avi(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _collect_movi(
+    payload: bytes, start: int, end: int, per_stream: dict[bytes, list[bytes]]
+) -> None:
+    """Walk one movi (or nested 'rec ') list body, collecting '##dc'/'##db'
+    chunk payloads per stream id. Interleaved AVIs group each interleave
+    unit in a 'rec ' LIST (the AVIFile/VirtualDub layout) — recurse into
+    those rather than skipping them (r07 review finding)."""
+    ipos = start
+    while ipos + 8 <= end:
+        ckid = payload[ipos : ipos + 4]
+        cksz = struct.unpack("<I", payload[ipos + 4 : ipos + 8])[0]
+        cstart = ipos + 8
+        if cstart + cksz > end:
+            raise ValueError("truncated movi chunk")
+        if ckid == b"LIST" and payload[cstart : cstart + 4] == b"rec ":
+            _collect_movi(payload, cstart + 4, cstart + cksz, per_stream)
+        elif (
+            ckid[:2].isdigit()
+            and ckid[2:] in (b"dc", b"db")
+        ):
+            per_stream.setdefault(ckid[:2], []).append(
+                payload[cstart : cstart + cksz]
+            )
+        ipos = cstart + cksz + (cksz % 2)  # even padding
+
+
 def demux_mjpeg_avi(payload: bytes) -> list[bytes]:
-    """Extract the ordered video frame payloads ('00dc'/'00db' chunks in
-    the 'movi' LIST) from an AVI. Raises ValueError on non-AVI input or a
-    container without a movi list — callers fall through to the next
-    tier."""
+    """Extract the ordered video frame payloads ('##dc'/'##db' chunks in
+    the 'movi' LIST, including inside 'rec ' interleave groups) from an
+    AVI. When several streams carry frames (e.g. audio is stream 00 and
+    video is 01), returns the lowest-numbered stream that actually has
+    video chunks. Raises ValueError on non-AVI input or a container
+    without a movi list — callers fall through to the next tier."""
     if not is_avi(payload):
         raise ValueError("not an AVI (no RIFF/'AVI ' header)")
     riff_end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
     pos = 12
-    frames: list[bytes] = []
+    per_stream: dict[bytes, list[bytes]] = {}
     found_movi = False
     while pos + 8 <= riff_end:
         fourcc = payload[pos : pos + 4]
@@ -123,17 +151,10 @@ def demux_mjpeg_avi(payload: bytes) -> list[bytes]:
             raise ValueError("truncated AVI chunk")
         if fourcc == b"LIST" and payload[body_start : body_start + 4] == b"movi":
             found_movi = True
-            ipos = body_start + 4
-            while ipos + 8 <= body_end:
-                ckid = payload[ipos : ipos + 4]
-                cksz = struct.unpack("<I", payload[ipos + 4 : ipos + 8])[0]
-                cstart = ipos + 8
-                if cstart + cksz > body_end:
-                    raise ValueError("truncated movi chunk")
-                if ckid in (b"00dc", b"00db"):
-                    frames.append(payload[cstart : cstart + cksz])
-                ipos = cstart + cksz + (cksz % 2)  # even padding
+            _collect_movi(payload, body_start + 4, body_end, per_stream)
         pos = body_end + (size % 2)
     if not found_movi:
         raise ValueError("no movi list in AVI")
-    return frames
+    if not per_stream:
+        return []
+    return per_stream[min(per_stream)]

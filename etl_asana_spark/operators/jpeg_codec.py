@@ -297,7 +297,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """
     try:
         return _decode_jpeg_inner(payload)
-    except (IndexError, struct.error) as exc:
+    except (IndexError, struct.error, MemoryError) as exc:
         raise ValueError(f"malformed JPEG stream: {exc}") from exc
 
 
@@ -315,6 +315,13 @@ def _decode_jpeg_inner(payload: bytes) -> tuple[int, int, int, bytes]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker sync lost at {pos}")
+        # Legal fill bytes: any number of extra 0xFF may pad before a
+        # marker code (T.81 B.1.1.2) — skip them, don't parse one as a
+        # marker with a bogus length (r07 review finding).
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            break
         marker = data[pos + 1]
         if marker == 0xD8:  # stray SOI
             pos += 2
@@ -354,6 +361,13 @@ def _decode_jpeg_inner(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("only 8-bit precision")
             if nc not in (1, 3):
                 raise ValueError(f"{nc}-component images unsupported")
+            # Sanity cap BEFORE any allocation: a crafted header can
+            # declare 65535×65535 and the plane allocation would be a
+            # ~34 GB MemoryError escaping the ValueError tier contract
+            # (r07 review finding). 64 MP is far beyond any fixture and
+            # plenty for real corpora at this tier.
+            if w * h > 64_000_000:
+                raise ValueError(f"frame too large for this tier: {w}x{h}")
             comps = []
             for c in range(nc):
                 cid, hv, qid = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
@@ -406,6 +420,19 @@ def _decode_scan(
     vmax = max(c[2] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
         raise ValueError("sampling factors beyond 2x2 unsupported")
+    # T.81 A.2: a scan with ONE component is NON-interleaved — its "MCU"
+    # is a single 8×8 data unit in raster order over the component's own
+    # block grid, NOT the interleaved hs×vs cluster walk. decode_jpeg
+    # already rejects partial scans, so a 1-component scan means a
+    # 1-component FRAME, whose lone component spans the full w×h whatever
+    # sampling factors the header declares (they are ratios against
+    # hmax = its own value). A grayscale frame declaring 2×2 sampling
+    # (jpegtran -grayscale keeps the source Y factors) decodes garbled —
+    # or fails on a block miscount — under interleaved geometry (r07
+    # review finding): normalize it to the equivalent 1×1 layout.
+    if len(comps) == 1:
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+        hmax = vmax = 1
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (w + mcu_w - 1) // mcu_w
     mcus_y = (h + mcu_h - 1) // mcu_h
@@ -634,13 +661,10 @@ def encode_jpeg(
     padded = []
     for ci, plane in enumerate(planes):
         hs, vs = samps[ci]
-        if ci == 0 or bpp == 1 or not subsample:
-            pw0, ph0 = width, height
-            if ci > 0 and not subsample:
-                pw0, ph0 = width, height
-        else:
+        # source-plane dims: only subsampled chroma is half-size
+        if ci > 0 and subsample:
             pw0, ph0 = (width + 1) // 2, (height + 1) // 2
-        if ci == 0:
+        else:
             pw0, ph0 = width, height
         tw, th = mcus_x * hs * 8, mcus_y * vs * 8
         dst = [0.0] * (tw * th)

@@ -64,6 +64,26 @@ FEATURE_SCHEMA = (
 )
 
 
+def _synth_pixels(text: str, phase: int = 0) -> tuple[int, int, bytes]:
+    """The ONE deterministic text→pixels synthesis shared by every image-
+    bearing payload generator (PNG / JPEG / AVI frames): dims from the
+    byte length, RGB pixels = the UTF-8 bytes cycled over the grid,
+    rotated by ``phase`` bytes (video frames use phase=i). A single
+    definition keeps the cross-format "identical source images" invariant
+    mechanical instead of copy-paste-enforced (r07 review finding). The
+    pure-Python fixture replay in scripts/regen_multimodal_expected.py
+    deliberately does NOT import this — it is the independent
+    implementation the golden fixtures are checked against."""
+    raw = text.encode("utf-8") or b"\x00"
+    w = 4 + (len(raw) % 13)
+    h = 3 + (len(raw) % 7)
+    need = w * h * 3
+    if phase:
+        raw = raw[phase % len(raw):] + raw[: phase % len(raw)]
+    pix = (raw * (need // len(raw) + 1))[:need]
+    return w, h, pix
+
+
 def attach_binary_payload(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -111,11 +131,7 @@ def attach_png_payload(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue  # no content, no payload (NULL-domain rule)
-                raw = text.encode("utf-8") or b"\x00"
-                w = 4 + (len(raw) % 13)
-                h = 3 + (len(raw) % 7)
-                need = w * h * 3
-                pix = (raw * (need // len(raw) + 1))[:need]
+                w, h, pix = _synth_pixels(text)
                 payload = png_codec.encode_png(
                     w, h, pix, color_type=2, filter_type=int(doc_id) % 5
                 )
@@ -161,11 +177,7 @@ def attach_jpeg_payload(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue  # no content, no payload (NULL-domain rule)
-                raw = text.encode("utf-8") or b"\x00"
-                w = 4 + (len(raw) % 13)
-                h = 3 + (len(raw) % 7)
-                need = w * h * 3
-                pix = (raw * (need // len(raw) + 1))[:need]
+                w, h, pix = _synth_pixels(text)
                 payload = jpeg_codec.encode_jpeg(
                     w, h, pix, bpp=3, quality=90, subsample=subsample
                 )
@@ -212,14 +224,9 @@ def attach_avi_payload(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue  # no content, no payload (NULL-domain rule)
-                raw = text.encode("utf-8") or b"\x00"
-                w = 4 + (len(raw) % 13)
-                h = 3 + (len(raw) % 7)
-                need = w * h * 3
                 frames = []
                 for i in range(n_frames):
-                    shifted = raw[i % len(raw):] + raw[: i % len(raw)]
-                    pix = (shifted * (need // len(shifted) + 1))[:need]
+                    w, h, pix = _synth_pixels(text, phase=i)
                     frames.append(
                         jpeg_codec.encode_jpeg(w, h, pix, bpp=3, quality=90)
                     )
@@ -580,18 +587,31 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
         return [f.to_ndarray(format="rgb24").tobytes() for f in picked]
 
     def _frames_mjpeg_avi(payload: bytes) -> list[bytes] | None:
-        """Stdlib path: real RIFF demux; evenly-spaced JPEG frames, each a
-        complete image the in-repo JPEG decoder parses."""
+        """Stdlib path: real RIFF demux + per-frame JPEG decode. Emits raw
+        rgb24 bytes — the SAME frame representation as the PyAV tier, so
+        identical payloads yield identical rows whether or not ``av`` is
+        importable (r07 review finding; grayscale frames replicate to
+        rgb24 for the same reason)."""
         if not avi_codec.is_avi(payload):
             return None
         try:
-            decoded = avi_codec.demux_mjpeg_avi(payload)
+            demuxed = avi_codec.demux_mjpeg_avi(payload)
         except ValueError:
             return None
-        if not decoded:
+        if not demuxed:
             return None
-        step = max(len(decoded) // n_frames, 1)
-        return [decoded[min(i * step, len(decoded) - 1)] for i in range(n_frames)]
+        step = max(len(demuxed) // n_frames, 1)
+        picked = [demuxed[min(i * step, len(demuxed) - 1)] for i in range(n_frames)]
+        out = []
+        for fr in picked:
+            try:
+                w, h, bpp, pix = jpeg_codec.decode_jpeg(fr)
+            except ValueError:  # non-baseline MJPEG variant → stub tier
+                return None
+            if bpp == 1:
+                pix = bytes(v for p in pix for v in (p, p, p))
+            out.append(bytes(pix))
+        return out
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         av = _optional("av")

@@ -6,6 +6,7 @@ given the in-repo JPEG decoder)."""
 from __future__ import annotations
 
 import pytest
+import struct
 
 from etl_asana_spark.operators import avi_codec as ac
 from etl_asana_spark.operators import jpeg_codec as jc
@@ -47,10 +48,11 @@ def test_demux_error_paths_raise_for_tier_fallthrough():
 
 
 def test_sample_frames_takes_the_real_avi_tier(spark):
-    """The registered fan-out kernel must return ACTUAL evenly-spaced JPEG
-    frames for an AVI payload — not byte slices. Discriminator: every
-    emitted frame parses as a complete JPEG of the clip's dimensions and
-    equals the expected demuxed frame byte-for-byte."""
+    """The fan-out kernel must return ACTUAL evenly-spaced DECODED frames
+    for an AVI payload — rgb24 bytes, the same representation the PyAV
+    tier emits (tier parity, r07 review finding) — never byte slices.
+    Discriminator: every emitted frame equals the rgb24 pixels of the
+    expected demuxed JPEG, byte-for-byte."""
     from etl_asana_spark.operators import multimodal
 
     df = spark.createDataFrame(
@@ -65,11 +67,50 @@ def test_sample_frames_takes_the_real_avi_tier(spark):
     for r in out:
         all_frames = ac.demux_mjpeg_avi(payloads[r["doc_id"]])
         step = max(len(all_frames) // 4, 1)
-        want = all_frames[min(r["frame_idx"] * step, len(all_frames) - 1)]
-        got = bytes(r["frame"])
-        assert got == want, (r["doc_id"], r["frame_idx"])
-        w, h, bpp, _ = jc.decode_jpeg(got)
+        src = all_frames[min(r["frame_idx"] * step, len(all_frames) - 1)]
+        w, h, bpp, want_pix = jc.decode_jpeg(src)
         assert bpp == 3 and 4 <= w <= 16 and 3 <= h <= 9
+        assert bytes(r["frame"]) == want_pix, (r["doc_id"], r["frame_idx"])
+        assert r["frame_bytes"] == w * h * 3
+
+
+def test_demux_handles_rec_lists_and_nonzero_stream_ids():
+    """Interleaved AVIs wrap each unit in a 'rec ' LIST, and video need
+    not be stream 00 (r07 review finding): both layouts must demux to the
+    same frames the flat layout yields."""
+    frames, flat = _clip(4)
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    # movi with every frame inside its own 'rec ' list, video as stream 01
+    movi_body = b"movi"
+    for f in frames:
+        rec = b"rec " + chunk(b"01dc", f)
+        movi_body += chunk(b"LIST", rec)
+    movi = chunk(b"LIST", movi_body)
+    body = b"AVI " + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert ac.demux_mjpeg_avi(avi) == frames
+
+
+def test_demux_prefers_lowest_stream_with_video_chunks():
+    """Audio-first files: stream 00 may carry no video chunks at all; the
+    demuxer returns the lowest-numbered stream that HAS '##dc' frames."""
+    frames, _ = _clip(3)
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    movi_body = b"movi" + chunk(b"00wb", b"\x01\x02\x03\x04")  # audio data
+    for f in frames:
+        movi_body += chunk(b"01dc", f)
+    movi = chunk(b"LIST", movi_body)
+    body = b"AVI " + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert ac.demux_mjpeg_avi(avi) == frames
 
 
 def test_sample_frames_stub_tier_unchanged_for_non_video(spark):

@@ -317,3 +317,47 @@ def test_roundtrip_fuzz_random_images_bounded():
         dw, dh, dbpp, dec = jc.decode_jpeg(enc)
         assert (dw, dh, dbpp, len(dec)) == (w, h, bpp, w * h * bpp)
         assert _mae(pix, dec) < 12.0, (w, h, bpp, quality, sub)
+
+
+def test_huge_sof_dimensions_raise_value_error_not_memory_error():
+    """r07 review finding: a crafted header declaring 65535x65535 must
+    raise ValueError BEFORE the ~34 GB plane allocation, keeping the
+    kernel dispatch's never-crash tier contract."""
+    full = bytearray(jc.encode_jpeg(8, 8, bytes(64), bpp=1))
+    idx = full.find(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) h(2) w(2) — overwrite h and w
+    full[idx + 5 : idx + 9] = struct.pack(">HH", 65535, 65535)
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(bytes(full))
+
+
+def test_fill_bytes_before_markers_are_legal():
+    """r07 review finding: T.81 B.1.1.2 allows any number of 0xFF fill
+    bytes before a marker code; they must not desync the parse."""
+    w, h = 10, 7
+    pix = bytes((x * 7 + y * 9) % 256 for y in range(h) for x in range(w))
+    enc = jc.encode_jpeg(w, h, pix, bpp=1, quality=95)
+    idx = enc.find(b"\xff\xdb")
+    padded = enc[:idx] + b"\xff\xff\xff" + enc[idx + 1 :]  # 3 fills + marker
+    dw, dh, dbpp, dec = jc.decode_jpeg(padded)
+    assert (dw, dh, dbpp) == (w, h, 1)
+    assert dec == jc.decode_jpeg(enc)[3]
+
+
+def test_grayscale_frame_with_declared_2x2_sampling_is_noninterleaved():
+    """r07 review finding (T.81 A.2): a single-component scan is
+    NON-interleaved — raster 8x8 blocks over the component's own grid —
+    whatever sampling factors the SOF declares (jpegtran -grayscale keeps
+    the source's Y factors). Rewrite a normal grayscale stream's SOF to
+    declare 2x2 and assert the decode is unchanged."""
+    w, h = 24, 8  # 3 raster blocks; interleaved geometry would want 8
+    pix = bytes((x * 3 + y * 11) % 256 for y in range(h) for x in range(w))
+    enc = bytearray(jc.encode_jpeg(w, h, pix, bpp=1, quality=95))
+    base = jc.decode_jpeg(bytes(enc))[3]
+    idx = enc.find(b"\xff\xc0")
+    # layout from idx: FFC0 len(2) prec(1) h(2) w(2) nc(1) id(1) hv(1) tq(1)
+    assert enc[idx + 11] == 0x11
+    enc[idx + 11] = 0x22  # declare 2x2 sampling on the lone component
+    dw, dh, dbpp, dec = jc.decode_jpeg(bytes(enc))
+    assert (dw, dh, dbpp) == (w, h, 1)
+    assert dec == base
