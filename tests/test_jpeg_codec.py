@@ -361,3 +361,50 @@ def test_grayscale_frame_with_declared_2x2_sampling_is_noninterleaved():
     dw, dh, dbpp, dec = jc.decode_jpeg(bytes(enc))
     assert (dw, dh, dbpp) == (w, h, 1)
     assert dec == base
+
+
+def test_media_kernels_never_raise_on_garbage_payloads():
+    """Catch-all tier contract: ANY byte string — random garbage, valid
+    prefixes of real formats, truncated containers — must flow through the
+    image feature dispatch and the frame/audio helpers without raising
+    (ValueError-driven fallthrough ends at a total tier for each
+    modality). 300 adversarial payloads, seeds disclosed."""
+    from etl_asana_spark.operators import avi_codec as ac2
+    from etl_asana_spark.operators import wav_codec as wc
+    from etl_asana_spark.operators.multimodal import _decode_payload
+
+    rng = random.Random(424242)
+    real_png = png_codec.encode_png(5, 4, bytes(range(60)), color_type=2)
+    real_jpg = jc.encode_jpeg(5, 4, bytes(range(60)), quality=80)
+    real_wav = wc.encode_wav(8000, [1, -2, 3])
+    real_avi = ac2.encode_mjpeg_avi([real_jpg], 5, 4)
+    seeds_of_truth = [real_png, real_jpg, real_wav, real_avi]
+
+    payloads = []
+    for _ in range(200):
+        n = rng.randint(1, 400)
+        payloads.append(bytes(rng.randrange(256) for _ in range(n)))
+    for base in seeds_of_truth:
+        for _ in range(25):
+            cut = rng.randint(1, len(base))
+            mut = bytearray(base[:cut])
+            if mut and rng.random() < 0.7:
+                mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+            payloads.append(bytes(mut))
+
+    for p in payloads:
+        w, h, feats = _decode_payload(p)  # must not raise
+        assert len(feats) == 8
+        if wc.is_wav(p):
+            try:
+                wc.decode_wav(p)
+            except Exception:  # wave.Error/ValueError both allowed HERE;
+                pass           # the kernel's dispatch catches them
+        try:
+            ac2.demux_mjpeg_avi(p)
+        except ValueError:
+            pass
+        try:
+            jc.decode_jpeg(p)
+        except ValueError:
+            pass
