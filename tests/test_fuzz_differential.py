@@ -2160,3 +2160,68 @@ def test_fuzz_poly_hash_three_engine_agreement(spark, duck, seed):
         want = py_hash(t)
         assert got_spark[i] == want, f"seed={seed} spark i={i} {t!r}"
         assert got_duck[i] == want, f"seed={seed} duckdb i={i} {t!r}"
+
+
+# ---------------------------------------------------------------------------
+# Media-codec differential (tier 20, r07) — the pure-stdlib codecs
+# (PNG/JPEG/WAV/MJPEG-AVI) under random content, shapes, and hostile
+# mutations. Lossless paths must round-trip EXACTLY; JPEG is bounded by
+# quantization; mutated/garbage payloads must flow through the kernel
+# dispatch without raising (tier contract). Seed-parametrized so the
+# per-round off-list scan (scripts/offlist_fuzz.py) exercises fresh draws.
+# ---------------------------------------------------------------------------
+
+CODEC_SEEDS = list(range(2300, 2306))
+
+
+@pytest.mark.parametrize("seed", CODEC_SEEDS)
+def test_media_codec_roundtrip_fuzz(seed):
+    import random as _random
+
+    from etl_asana_spark.operators import avi_codec, jpeg_codec, png_codec, wav_codec
+    from etl_asana_spark.operators.multimodal import _decode_payload
+
+    rng = _random.Random(seed)
+
+    # PNG: lossless — exact round-trip on random pixels, random filter
+    w, h = rng.randint(1, 24), rng.randint(1, 18)
+    pix = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    png = png_codec.encode_png(w, h, pix, color_type=2, filter_type=rng.randrange(5))
+    assert png_codec.decode_png(png) == (w, h, 3, pix)
+
+    # WAV: lossless PCM16 — exact round-trip
+    n = rng.randint(1, 300)
+    rate = rng.choice([8000, 12000, 16000, 44100])
+    samples = [rng.randint(-32768, 32767) for _ in range(n)]
+    assert wav_codec.decode_wav(wav_codec.encode_wav(rate, samples)) == (rate, samples)
+
+    # JPEG: smooth ramp, quantization-bounded; exact dims always
+    jw, jh = rng.randint(1, 28), rng.randint(1, 22)
+    base = rng.randrange(200)
+    jpix = bytes(
+        (base + x * 2 + y) % 256 for y in range(jh) for x in range(jw) for _ in range(3)
+    )
+    enc = jpeg_codec.encode_jpeg(
+        jw, jh, jpix, quality=rng.choice([75, 85, 95]),
+        subsample=rng.random() < 0.5,
+        restart_interval=rng.choice([0, 0, 1, 3]),
+    )
+    dw, dh, dbpp, dec = jpeg_codec.decode_jpeg(enc)
+    assert (dw, dh, dbpp, len(dec)) == (jw, jh, 3, jw * jh * 3)
+    assert sum(abs(a - b) for a, b in zip(jpix, dec)) / len(jpix) < 12.0
+
+    # AVI: mux/demux byte-exact over 1..5 JPEG frames
+    frames = [enc] * rng.randint(1, 5)
+    assert avi_codec.demux_mjpeg_avi(
+        avi_codec.encode_mjpeg_avi(frames, jw, jh)
+    ) == frames
+
+    # hostile mutations of every container must not crash the dispatch
+    for payload in (png, enc, wav_codec.encode_wav(rate, samples)):
+        for _ in range(5):
+            cut = rng.randint(1, len(payload))
+            mut = bytearray(payload[:cut])
+            if mut and rng.random() < 0.8:
+                mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+            dw2, dh2, feats = _decode_payload(bytes(mut))
+            assert len(feats) == 8
