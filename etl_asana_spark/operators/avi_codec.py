@@ -104,12 +104,22 @@ def encode_mjpeg_avi(
 
 
 def _collect_movi(
-    payload: bytes, start: int, end: int, per_stream: dict[bytes, list[bytes]]
+    payload: bytes,
+    start: int,
+    end: int,
+    per_stream: dict[bytes, list[bytes]],
+    depth: int = 0,
 ) -> None:
     """Walk one movi (or nested 'rec ') list body, collecting '##dc'/'##db'
     chunk payloads per stream id. Interleaved AVIs group each interleave
     unit in a 'rec ' LIST (the AVIFile/VirtualDub layout) — recurse into
-    those rather than skipping them (r07 review finding)."""
+    those rather than skipping them (r07 review finding). The spec nests
+    'rec ' at most one level under movi; allow a little slack but BOUND
+    the depth, because a crafted file with thousands of nested LISTs
+    would otherwise raise RecursionError past the ValueError-only tier
+    contract (r07 review finding #2)."""
+    if depth > 4:
+        raise ValueError("rec-list nesting beyond spec depth")
     ipos = start
     while ipos + 8 <= end:
         ckid = payload[ipos : ipos + 4]
@@ -118,7 +128,8 @@ def _collect_movi(
         if cstart + cksz > end:
             raise ValueError("truncated movi chunk")
         if ckid == b"LIST" and payload[cstart : cstart + 4] == b"rec ":
-            _collect_movi(payload, cstart + 4, cstart + cksz, per_stream)
+            _collect_movi(payload, cstart + 4, cstart + cksz, per_stream,
+                          depth + 1)
         elif (
             ckid[:2].isdigit()
             and ckid[2:] in (b"dc", b"db")

@@ -183,6 +183,16 @@ class _BitReader:
         if b == 0xFF:
             if self.pos >= len(self.data):
                 raise ValueError("truncated after 0xFF")
+            # Legal fill bytes (T.81 B.1.1.2): any run of 0xFF may pad
+            # before a marker code inside the entropy stream too — skip
+            # to the last 0xFF of the run before classifying (r07 review
+            # finding #2).
+            while (
+                self.pos < len(self.data) and self.data[self.pos] == 0xFF
+            ):
+                self.pos += 1
+            if self.pos >= len(self.data):
+                raise ValueError("truncated after 0xFF fill")
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1  # stuffed byte
@@ -224,6 +234,9 @@ class _BitReader:
         while self.pos + 1 < len(self.data):
             if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
                 marker = self.data[self.pos + 1]
+                if marker == 0xFF:  # legal fill byte before the marker
+                    self.pos += 1   # (T.81 B.1.1.2; r07 review finding #2)
+                    continue
                 if 0xD0 <= marker <= 0xD7:
                     if marker - 0xD0 != expected:
                         raise ValueError(
@@ -364,9 +377,13 @@ def _decode_jpeg_inner(payload: bytes) -> tuple[int, int, int, bytes]:
             # Sanity cap BEFORE any allocation: a crafted header can
             # declare 65535×65535 and the plane allocation would be a
             # ~34 GB MemoryError escaping the ValueError tier contract
-            # (r07 review finding). 64 MP is far beyond any fixture and
-            # plenty for real corpora at this tier.
-            if w * h > 64_000_000:
+            # (r07 review finding). Sized to what the PURE-PYTHON decode
+            # can actually service in the kernel's hot path — ~1M
+            # idct_8x8 calls for an 8000×8000 frame is minutes of pinned
+            # CPU (the DoS sibling of the OOM; r07 review finding #2).
+            # Fixtures are ≤16×9; 4 MP leaves real headroom while
+            # bounding a hostile payload to ~seconds.
+            if w * h > 4_000_000:
                 raise ValueError(f"frame too large for this tier: {w}x{h}")
             comps = []
             for c in range(nc):
@@ -416,23 +433,24 @@ def _decode_scan(
     w, h, comps = frame
     if w == 0 or h == 0:
         raise ValueError("zero-dimension frame")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
-        raise ValueError("sampling factors beyond 2x2 unsupported")
     # T.81 A.2: a scan with ONE component is NON-interleaved — its "MCU"
     # is a single 8×8 data unit in raster order over the component's own
     # block grid, NOT the interleaved hs×vs cluster walk. decode_jpeg
     # already rejects partial scans, so a 1-component scan means a
     # 1-component FRAME, whose lone component spans the full w×h whatever
     # sampling factors the header declares (they are ratios against
-    # hmax = its own value). A grayscale frame declaring 2×2 sampling
-    # (jpegtran -grayscale keeps the source Y factors) decodes garbled —
-    # or fails on a block miscount — under interleaved geometry (r07
-    # review finding): normalize it to the equivalent 1×1 layout.
+    # hmax = its own value). A grayscale frame declaring 2×2 — or 4×1 —
+    # sampling (jpegtran -grayscale keeps the source Y factors) decodes
+    # garbled or fails under interleaved geometry (r07 review finding):
+    # normalize to the equivalent 1×1 layout BEFORE the sampling-range
+    # check, which must not apply to factors the raster walk ignores
+    # (r07 review finding #2: factors up to 4 are legal per T.81).
     if len(comps) == 1:
         comps = [(comps[0][0], 1, 1, comps[0][3])]
-        hmax = vmax = 1
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+        raise ValueError("sampling factors beyond 2x2 unsupported")
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (w + mcu_w - 1) // mcu_w
     mcus_y = (h + mcu_h - 1) // mcu_h

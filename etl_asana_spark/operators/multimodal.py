@@ -213,6 +213,12 @@ def attach_avi_payload(
     contract as :func:`attach_binary_payload` with video-typed metadata."""
     import pandas as pd
 
+    if n_frames < 1:
+        # Guard here, not in the executor loop: with zero frames the dims
+        # would be unbound at the mux call and the batch would die with
+        # UnboundLocalError instead of a clean error (r07 review finding).
+        raise ValueError("n_frames must be >= 1")
+
     schema = (
         "doc_id long, payload binary, media_meta "
         "struct<mime:string, n_bytes:bigint, width:int, height:int>"
@@ -588,10 +594,12 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
 
     def _frames_mjpeg_avi(payload: bytes) -> list[bytes] | None:
         """Stdlib path: real RIFF demux + per-frame JPEG decode. Emits raw
-        rgb24 bytes — the SAME frame representation as the PyAV tier, so
-        identical payloads yield identical rows whether or not ``av`` is
-        importable (r07 review finding; grayscale frames replicate to
-        rgb24 for the same reason)."""
+        rgb24 bytes — the same frame REPRESENTATION (layout, length,
+        semantics) as the PyAV tier, so downstream schema/consumers are
+        tier-agnostic; pixel VALUES may differ from libavcodec's by its
+        integer-IDCT/swscale rounding, as with any two conforming JPEG
+        decoders (r07 review findings; grayscale frames replicate to
+        rgb24 for the same representation reason)."""
         if not avi_codec.is_avi(payload):
             return None
         try:

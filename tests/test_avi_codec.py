@@ -132,3 +132,32 @@ def test_sample_frames_stub_tier_unchanged_for_non_video(spark):
     for i, r in enumerate(out):
         want = payload[i * step : i * step + step] or payload[-step:]
         assert bytes(r["frame"]) == want
+
+
+def test_deeply_nested_rec_lists_raise_value_error_not_recursion_error():
+    """r07 review finding: thousands of nested 'rec ' LISTs must hit the
+    bounded-depth ValueError, not blow the interpreter recursion limit
+    past the tier contract."""
+    inner = b""
+    for _ in range(3000):
+        body = b"rec " + inner
+        inner = b"LIST" + struct.pack("<I", len(body)) + body
+        if len(body) % 2:
+            inner += b"\x00"
+    movi_body = b"movi" + inner
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError):
+        ac.demux_mjpeg_avi(avi)
+
+
+def test_attach_avi_payload_rejects_zero_frames(spark):
+    with pytest.raises(ValueError):
+        from etl_asana_spark.operators import multimodal
+
+        df = spark.createDataFrame(
+            [(1, "x", "en", "t", 1)],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+        multimodal.attach_avi_payload(df, n_frames=0)

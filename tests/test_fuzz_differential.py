@@ -2212,12 +2212,14 @@ def test_media_codec_roundtrip_fuzz(seed):
 
     # AVI: mux/demux byte-exact over 1..5 JPEG frames
     frames = [enc] * rng.randint(1, 5)
-    assert avi_codec.demux_mjpeg_avi(
-        avi_codec.encode_mjpeg_avi(frames, jw, jh)
-    ) == frames
+    avi = avi_codec.encode_mjpeg_avi(frames, jw, jh)
+    assert avi_codec.demux_mjpeg_avi(avi) == frames
 
-    # hostile mutations of every container must not crash the dispatch
-    for payload in (png, enc, wav_codec.encode_wav(rate, samples)):
+    # hostile mutations of EVERY container must not crash the dispatch,
+    # and mutated AVIs must keep the demuxer inside its ValueError-only
+    # contract (r07 review finding: the AVI was round-tripped but never
+    # mutated, so demux contract escapes were invisible to this tier)
+    for payload in (png, enc, wav_codec.encode_wav(rate, samples), avi):
         for _ in range(5):
             cut = rng.randint(1, len(payload))
             mut = bytearray(payload[:cut])
@@ -2225,3 +2227,7 @@ def test_media_codec_roundtrip_fuzz(seed):
                 mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
             dw2, dh2, feats = _decode_payload(bytes(mut))
             assert len(feats) == 8
+            try:
+                avi_codec.demux_mjpeg_avi(bytes(mut))
+            except ValueError:
+                pass  # the ONLY exception the demux contract permits

@@ -408,3 +408,44 @@ def test_media_kernels_never_raise_on_garbage_payloads():
             jc.decode_jpeg(p)
         except ValueError:
             pass
+
+
+def test_fill_bytes_before_rst_markers_are_legal():
+    """r07 review finding: T.81 B.1.1.2 fill bytes are legal before RST
+    markers inside the entropy stream too; inject one before each RSTn of
+    a restart-interval stream and the decode must be unchanged."""
+    w, h = 40, 24
+    pix = bytes((x * 5 + y * 3) % 256 for y in range(h) for x in range(w))
+    enc = jc.encode_jpeg(w, h, pix, bpp=1, quality=95, restart_interval=2)
+    base = jc.decode_jpeg(enc)[3]
+    padded = bytearray()
+    i = 0
+    n_injected = 0
+    while i < len(enc):
+        if (
+            enc[i] == 0xFF
+            and i + 1 < len(enc)
+            and 0xD0 <= enc[i + 1] <= 0xD7
+        ):
+            padded += b"\xff"  # fill byte before the RST marker
+            n_injected += 1
+        padded.append(enc[i])
+        i += 1
+    assert n_injected > 0
+    assert jc.decode_jpeg(bytes(padded))[3] == base
+
+
+def test_grayscale_frame_with_declared_4x1_sampling_decodes():
+    """r07 review finding: the single-component normalization must run
+    BEFORE the 2x2 range check — factors up to 4 are legal per T.81 and
+    irrelevant to the non-interleaved raster walk."""
+    w, h = 24, 8
+    pix = bytes((x * 3 + y * 11) % 256 for y in range(h) for x in range(w))
+    enc = bytearray(jc.encode_jpeg(w, h, pix, bpp=1, quality=95))
+    base = jc.decode_jpeg(bytes(enc))[3]
+    idx = enc.find(b"\xff\xc0")
+    assert enc[idx + 11] == 0x11
+    enc[idx + 11] = 0x41  # declare 4x1 sampling on the lone component
+    dw, dh, dbpp, dec = jc.decode_jpeg(bytes(enc))
+    assert (dw, dh, dbpp) == (w, h, 1)
+    assert dec == base
