@@ -181,12 +181,11 @@ class _BitReader:
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated after 0xFF")
             # Legal fill bytes (T.81 B.1.1.2): any run of 0xFF may pad
             # before a marker code inside the entropy stream too — skip
             # to the last 0xFF of the run before classifying (r07 review
-            # finding #2).
+            # finding #2; the post-loop truncation check subsumes the
+            # no-fill case).
             while (
                 self.pos < len(self.data) and self.data[self.pos] == 0xFF
             ):
@@ -445,11 +444,17 @@ def _decode_scan(
     # normalize to the equivalent 1×1 layout BEFORE the sampling-range
     # check, which must not apply to factors the raster walk ignores
     # (r07 review finding #2: factors up to 4 are legal per T.81).
+    # Declared factors must be in T.81's legal 1..4 range even when the
+    # raster walk ignores them (the normalization must not silently
+    # accept an illegal factor 0; r07 review finding #3).
+    for _, hs, vs, _qid in comps:
+        if not (1 <= hs <= 4 and 1 <= vs <= 4):
+            raise ValueError(f"illegal sampling factors {hs}x{vs}")
     if len(comps) == 1:
         comps = [(comps[0][0], 1, 1, comps[0][3])]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+    if hmax > 2 or vmax > 2:
         raise ValueError("sampling factors beyond 2x2 unsupported")
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (w + mcu_w - 1) // mcu_w
@@ -627,6 +632,15 @@ def encode_jpeg(
         raise ValueError("pixel buffer size mismatch")
     if width == 0 or height == 0:
         raise ValueError("zero-dimension image")
+    # Same service envelope as decode_jpeg's cap (r07 review finding #3:
+    # an asymmetric bound would let this codec PRODUCE payloads its own
+    # decoder rejects, silently downgrading them to the stub tier later).
+    # Pure-Python DCT of a multi-MP image is minutes of CPU either way;
+    # PIL is the production path for real photos.
+    if width * height > 4_000_000:
+        raise ValueError(
+            f"frame too large for this tier: {width}x{height}"
+        )
 
     qy = _scaled_qtab(QTAB_LUMA, quality)
     qc = _scaled_qtab(QTAB_CHROMA, quality)

@@ -576,6 +576,12 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """
     import pandas as pd
 
+    if n_frames < 1:
+        # Same guard class as attach_avi_payload (r07 review): 0 would be
+        # a ZeroDivisionError inside every tier's step computation on the
+        # EXECUTOR; negatives would silently emit zero rows per doc.
+        raise ValueError("n_frames must be >= 1")
+
     def _frames_real(payload: bytes, av) -> list[bytes] | None:
         """PyAV path: demux, take ``n_frames`` evenly-spaced video frames,
         emit raw RGB bytes; None when the payload is not a real container."""

@@ -152,12 +152,18 @@ def test_deeply_nested_rec_lists_raise_value_error_not_recursion_error():
         ac.demux_mjpeg_avi(avi)
 
 
-def test_attach_avi_payload_rejects_zero_frames(spark):
-    with pytest.raises(ValueError):
-        from etl_asana_spark.operators import multimodal
+def test_attach_and_sample_reject_nonpositive_frame_counts(spark):
+    # setup OUTSIDE the raises-block so a setup failure can't masquerade
+    # as a pass (r07 review finding)
+    from etl_asana_spark.operators import multimodal
 
-        df = spark.createDataFrame(
-            [(1, "x", "en", "t", 1)],
-            "doc_id long, text string, lang string, source string, n_chars int",
-        )
+    df = spark.createDataFrame(
+        [(1, "x", "en", "t", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    with pytest.raises(ValueError):
         multimodal.attach_avi_payload(df, n_frames=0)
+    media = multimodal.attach_binary_payload(df)
+    for bad in (0, -1):
+        with pytest.raises(ValueError):
+            multimodal.sample_frames(media, n_frames=bad)

@@ -449,3 +449,21 @@ def test_grayscale_frame_with_declared_4x1_sampling_decodes():
     dw, dh, dbpp, dec = jc.decode_jpeg(bytes(enc))
     assert (dw, dh, dbpp) == (w, h, 1)
     assert dec == base
+
+
+def test_illegal_zero_sampling_factor_rejected_even_on_grayscale():
+    """r07 review finding: the non-interleaved normalization must not
+    silently accept the T.81-illegal factor 0 on a 1-component frame."""
+    enc = bytearray(jc.encode_jpeg(8, 8, bytes(64), bpp=1))
+    idx = enc.find(b"\xff\xc0")
+    enc[idx + 11] = 0x00
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(bytes(enc))
+
+
+def test_encoder_and_decoder_share_the_size_envelope():
+    """r07 review finding: the codec must never PRODUCE a payload its own
+    decoder rejects — both sides cap at the same pure-Python-serviceable
+    pixel count."""
+    with pytest.raises(ValueError):
+        jc.encode_jpeg(3000, 2000, bytes(3000 * 2000), bpp=1)
