@@ -3,9 +3,14 @@
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Method mirrors BASELINE.md: per query one warm-up run, second run timed with
-a full collect. ``value`` is the total of per-query seconds — directly
-comparable against the PySpark column of BASELINE.md (bench bar = within 2×).
+Method mirrors BASELINE.md: per query one warm-up run, then REPEATS timed
+runs with a full collect; the recorded per-query number is the MIN and the
+per-query max−min lands in ``spread`` (r07 verdict item 4: a loaded host
+must show up as variance, not as a phantom regression — r07's driver
+reading swung 1.74× vs r06 with byte-identical plans purely from host
+load). ``value`` is the total of per-query min seconds — directly
+comparable against the PySpark column of BASELINE.md (bench bar = within
+2×).
 
 Round-to-round comparability caveat (the r01→r02 question, closed in round
 3): BENCH_r01 recorded 1.99 s and BENCH_r02 3.15 s for identical plans — a
@@ -66,15 +71,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = catalog.queries()
 
+    #: Timed repetitions per query (after one untimed warm-up). min-of-3:
+    #: the minimum is the least-contended observation of a fixed plan, and
+    #: the max−min spread quantifies how loaded the host was during the
+    #: round's reading (r07 verdict item 4).
+    REPEATS = 3
+    spread: dict[str, float] = {}
+
     def timed(key: str) -> float:
         fn = queries[key]
         fn(spark, sf_dir).collect()  # warm-up: JIT, code cache, file listing
-        best = float("inf")
-        for _ in range(2):  # min-of-2 timed runs damps scheduler noise
+        samples = []
+        for _ in range(REPEATS):
             start = time.perf_counter()
             fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - start)
-        return round(best, 4)
+            samples.append(time.perf_counter() - start)
+        spread[key] = round(max(samples) - min(samples), 4)
+        return round(min(samples), 4)
 
     # Bench-isolation record (r05 verdict items 2-3: two extras regressed
     # with zero code change; absolute numbers move with machine state).
@@ -103,12 +116,13 @@ def main() -> None:
         return pipelines.curate_corpus(docs).curated.count()
 
     curation_run()  # warm-up
-    best = float("inf")
-    for _ in range(2):
+    samples = []
+    for _ in range(REPEATS):
         start = time.perf_counter()
         curation_run()
-        best = min(best, time.perf_counter() - start)
-    extras["pipeline_curation"] = round(best, 4)
+        samples.append(time.perf_counter() - start)
+    spread["pipeline_curation"] = round(max(samples) - min(samples), 4)
+    extras["pipeline_curation"] = round(min(samples), 4)
 
     # ONE instrumented pass (funnel counts force per-stage materialization)
     # for stage attribution — separate from the timed runs above, whose
@@ -126,6 +140,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extra_queries": extras,
+                "repeats": REPEATS,
+                "spread": spread,
                 "stream_drain": stream_drain,
                 "curation_stages": curation_stages,
                 "loadavg_before": [round(x, 2) for x in load_before],

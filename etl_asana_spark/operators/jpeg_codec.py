@@ -32,6 +32,24 @@ from __future__ import annotations
 import math
 import struct
 
+
+class JpegTooLarge(ValueError):
+    """A *valid-looking* baseline JPEG whose declared dimensions exceed what
+    the pure-Python tier can service (the 4 MP DoS cap below).
+
+    Subclasses ValueError so every existing fall-to-next-tier dispatch is
+    unchanged, but callers CAN now distinguish "too large for this tier"
+    from "malformed" (r07 advice: a legitimate >4 MP baseline JPEG silently
+    degraded to the content-independent stub with no signal). The raise
+    site also bumps :data:`TOO_LARGE_SEEN` so oversized-but-valid payloads
+    are observable even through dispatchers that only catch ValueError."""
+
+
+#: Per-process count of payloads rejected by the decode-size cap — an
+#: observability counter (executor-local; read it in-process, e.g. from a
+#: mapInPandas kernel or a test, not across the cluster).
+TOO_LARGE_SEEN = 0
+
 # ---------------------------------------------------------------------------
 # Constants from the public standard
 # ---------------------------------------------------------------------------
@@ -181,11 +199,14 @@ class _BitReader:
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
-            # Legal fill bytes (T.81 B.1.1.2): any run of 0xFF may pad
-            # before a marker code inside the entropy stream too — skip
-            # to the last 0xFF of the run before classifying (r07 review
-            # finding #2; the post-loop truncation check subsumes the
-            # no-fill case).
+            # Legal fill bytes (T.81 B.1.1.2): a run of 0xFF may pad
+            # ONLY before a marker code — a stuffed data byte is exactly
+            # the two-byte sequence FF 00. Skip the run, then require
+            # that a run longer than the single FF terminates in a
+            # marker: FF FF 00 is an invalid stream and raises, keeping
+            # the decoder strict (r07 advice; the r07 review fix had
+            # accepted the fill-run unconditionally).
+            fill_start = self.pos
             while (
                 self.pos < len(self.data) and self.data[self.pos] == 0xFF
             ):
@@ -194,6 +215,11 @@ class _BitReader:
                 raise ValueError("truncated after 0xFF fill")
             nxt = self.data[self.pos]
             if nxt == 0x00:
+                if self.pos > fill_start:
+                    raise ValueError(
+                        "0xFF fill run before a stuffed data byte "
+                        "(fill is only legal before markers, T.81 B.1.1.2)"
+                    )
                 self.pos += 1  # stuffed byte
             elif 0xD0 <= nxt <= 0xD7:
                 # RST marker reached while the caller still wants bits:
@@ -381,9 +407,13 @@ def _decode_jpeg_inner(payload: bytes) -> tuple[int, int, int, bytes]:
             # idct_8x8 calls for an 8000×8000 frame is minutes of pinned
             # CPU (the DoS sibling of the OOM; r07 review finding #2).
             # Fixtures are ≤16×9; 4 MP leaves real headroom while
-            # bounding a hostile payload to ~seconds.
+            # bounding a hostile payload to ~seconds. Raised as the
+            # DEDICATED subclass so callers can tell oversized-but-valid
+            # from malformed (r07 advice).
             if w * h > 4_000_000:
-                raise ValueError(f"frame too large for this tier: {w}x{h}")
+                global TOO_LARGE_SEEN
+                TOO_LARGE_SEEN += 1
+                raise JpegTooLarge(f"frame too large for this tier: {w}x{h}")
             comps = []
             for c in range(nc):
                 cid, hv, qid = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]

@@ -38,6 +38,8 @@ codecs, which genuinely need ffmpeg.
 from __future__ import annotations
 
 import importlib
+import struct
+import wave
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -311,7 +313,11 @@ def _decode_payload(payload: bytes) -> tuple[int, int, list[float]]:
         try:
             w, h, bpp, pix = jpeg_codec.decode_jpeg(payload)
             return w, h, png_codec.luma_signature(w, h, bpp, pix)
-        except ValueError:  # progressive/12-bit/CMYK etc. → stub
+        except ValueError:
+            # progressive/12-bit/CMYK etc. → stub. JpegTooLarge (a valid
+            # stream over the tier's 4 MP DoS cap) lands here too, but is
+            # counted at its raise site (jpeg_codec.TOO_LARGE_SEEN) so the
+            # degradation is observable, not silent (r07 advice).
             pass
     return _decode_payload_stub(payload)
 
@@ -410,6 +416,23 @@ def attach_wav_payload(
     return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
 
+def _audio_read(payload: bytes) -> tuple[str, int, list[int]]:
+    """One payload → (media_type, sample_rate, samples). RIFF/WAVE bytes
+    take the REAL stdlib decode; anything else — including a WAV container
+    the decoder rejects — is read as headerless unsigned-8-bit raw PCM at
+    8 kHz, itself a real (if minimal) audio interpretation. The fallback
+    catches ONLY the decode contract's malformed-container classes (r07
+    advice: a bare Exception also masked genuine programming errors —
+    TypeError etc. — as raw-PCM readings; those must surface)."""
+    if wav_codec.is_wav(payload):
+        try:
+            rate, samples = wav_codec.decode_wav(payload)
+            return "audio/wav", rate, samples
+        except (wave.Error, ValueError, struct.error, EOFError):
+            pass
+    return "audio/pcm-u8", 8000, [(b - 128) * 256 for b in payload]
+
+
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """Arrow-batched audio decode + integer feature extraction
     (mapInPandas): RIFF/WAVE payloads take the REAL stdlib decode
@@ -429,19 +452,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 if payload is None or meta is None:
                     continue  # failed upstream fetch: skip, never crash
                 payload = bytes(payload)
-                if wav_codec.is_wav(payload):
-                    try:
-                        rate, samples = wav_codec.decode_wav(payload)
-                        mtype = "audio/wav"
-                    except Exception:  # wave.Error / truncated container
-                        rate, samples, mtype = None, None, None
-                else:
-                    rate, samples, mtype = None, None, None
-                if samples is None:
-                    # Headerless raw-PCM reading: bytes are u8 samples.
-                    rate = 8000
-                    samples = [(b - 128) * 256 for b in payload]
-                    mtype = "audio/pcm-u8"
+                mtype, rate, samples = _audio_read(payload)
                 energy, zc, peak = wav_codec.audio_signature(samples)
                 rows.append(
                     {
@@ -582,9 +593,21 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
         # EXECUTOR; negatives would silently emit zero rows per doc.
         raise ValueError("n_frames must be >= 1")
 
+    def _spread(n_avail: int) -> list[int]:
+        """Inclusive evenly-spaced indices over ``n_avail`` frames: first
+        and last frame are always sampled (r07 advice: the old
+        ``max(n_avail // n_frames, 1)`` stride was front-biased — for 10
+        frames and n_frames=4 it picked 0,2,4,6 and never saw the tail of
+        the clip). For n_frames == 1 the single sample is the first frame.
+        Shared by BOTH real tiers so they stay pick-identical."""
+        if n_frames == 1:
+            return [0]
+        return [i * (n_avail - 1) // (n_frames - 1) for i in range(n_frames)]
+
     def _frames_real(payload: bytes, av) -> list[bytes] | None:
-        """PyAV path: demux, take ``n_frames`` evenly-spaced video frames,
-        emit raw RGB bytes; None when the payload is not a real container."""
+        """PyAV path: demux, take ``n_frames`` evenly-spaced video frames
+        (inclusive spread — first and last always sampled), emit raw RGB
+        bytes; None when the payload is not a real container."""
         import io
 
         try:
@@ -594,8 +617,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             return None
         if not decoded:
             return None
-        step = max(len(decoded) // n_frames, 1)
-        picked = [decoded[min(i * step, len(decoded) - 1)] for i in range(n_frames)]
+        picked = [decoded[i] for i in _spread(len(decoded))]
         return [f.to_ndarray(format="rgb24").tobytes() for f in picked]
 
     def _frames_mjpeg_avi(payload: bytes) -> list[bytes] | None:
@@ -614,10 +636,8 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             return None
         if not demuxed:
             return None
-        step = max(len(demuxed) // n_frames, 1)
-        picked = [demuxed[min(i * step, len(demuxed) - 1)] for i in range(n_frames)]
         out = []
-        for fr in picked:
+        for fr in (demuxed[i] for i in _spread(len(demuxed))):
             try:
                 w, h, bpp, pix = jpeg_codec.decode_jpeg(fr)
             except ValueError:  # non-baseline MJPEG variant → stub tier

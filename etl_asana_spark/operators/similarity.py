@@ -684,17 +684,23 @@ def kmeans_lloyd(
     # NULL vectors have no cluster (the init collect and the argmin both
     # need values) — same domain rule as the similarity indexes above.
     #
-    # localCheckpoint: Lloyd is iterative — the init collect plus every
-    # assignment round re-reads the vectors, so materializing the (id,
-    # vector) projection once cuts n_iter+2 source scans to one (the same
-    # reason MLlib's KMeans warns on an uncached input). Measured round 7:
-    # q_dedup_semantic 5.0 → 3.5-4.0 s warm at the gate scale. Blocks live
-    # in executor storage and are released by the ContextCleaner when the
-    # returned DataFrame is garbage-collected.
+    # persist(MEMORY_AND_DISK): Lloyd is iterative — the init collect plus
+    # every assignment round re-reads the vectors, so caching the (id,
+    # vector) projection cuts n_iter+2 source scans to ~2 (the same reason
+    # MLlib's KMeans warns on an uncached input; measured round 7:
+    # q_dedup_semantic 5.0 → 3.5-4.0 s warm at the gate scale). persist,
+    # NOT localCheckpoint (r07 advice): checkpointing is eager (a job at
+    # call time) and truncates lineage non-reliably — an executor loss
+    # would fail downstream actions instead of recomputing — while a
+    # persisted plan stays lazy and recomputable. Explicitly unpersisted
+    # after the fit; the one post-fit assignment pass recomputes the
+    # projection from source (one linear scan, the MLlib pattern).
+    from pyspark import StorageLevel
+
     vecs = (
         embeddings.filter(F.col(vec_col).isNotNull())
         .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def dist2(vcol: str, ccol: str):
@@ -745,6 +751,11 @@ def kmeans_lloyd(
         )
         newmap = {r["cluster"]: list(r["centroid"]) for r in means}
         cents = [(c, newmap.get(c, old)) for c, old in cents]
+
+    # Fit is done: release the cache now rather than at driver GC time
+    # (r07 advice — blocks otherwise linger until the ContextCleaner runs).
+    # The returned assignment recomputes the projection at action time.
+    vecs.unpersist(blocking=False)
 
     if _return_model:
         return assign(spark.createDataFrame(cents, schema)), cents

@@ -51,6 +51,9 @@ def test_sample_frames_takes_the_real_avi_tier(spark):
     """The fan-out kernel must return ACTUAL evenly-spaced DECODED frames
     for an AVI payload — rgb24 bytes, the same representation the PyAV
     tier emits (tier parity, r07 review finding) — never byte slices.
+    Picking is the INCLUSIVE spread (r07 advice: the old floor-stride was
+    front-biased and never sampled the clip tail): for 6 demuxed frames
+    and n_frames=4 the indices are 0, 1, 3, 5 — first and LAST included.
     Discriminator: every emitted frame equals the rgb24 pixels of the
     expected demuxed JPEG, byte-for-byte."""
     from etl_asana_spark.operators import multimodal
@@ -66,12 +69,17 @@ def test_sample_frames_takes_the_real_avi_tier(spark):
     assert len(out) == 2 * 4
     for r in out:
         all_frames = ac.demux_mjpeg_avi(payloads[r["doc_id"]])
-        step = max(len(all_frames) // 4, 1)
-        src = all_frames[min(r["frame_idx"] * step, len(all_frames) - 1)]
+        src = all_frames[r["frame_idx"] * (len(all_frames) - 1) // 3]
         w, h, bpp, want_pix = jc.decode_jpeg(src)
         assert bpp == 3 and 4 <= w <= 16 and 3 <= h <= 9
         assert bytes(r["frame"]) == want_pix, (r["doc_id"], r["frame_idx"])
         assert r["frame_bytes"] == w * h * 3
+    # The tail frame (index 5 of 6) must actually be sampled.
+    tail = ac.demux_mjpeg_avi(payloads[1])[-1]
+    _, _, _, tail_pix = jc.decode_jpeg(tail)
+    got_last = [bytes(r["frame"]) for r in out
+                if r["doc_id"] == 1 and r["frame_idx"] == 3]
+    assert got_last == [tail_pix]
 
 
 def test_demux_handles_rec_lists_and_nonzero_stream_ids():

@@ -344,6 +344,43 @@ def test_fill_bytes_before_markers_are_legal():
     assert dec == jc.decode_jpeg(enc)[3]
 
 
+def test_fill_run_before_stuffed_byte_is_rejected():
+    """r07 advice: fill bytes are only legal before MARKERS (T.81
+    B.1.1.2), so FF FF 00 inside entropy data is an invalid stream and
+    must raise — the decoder stays strict instead of silently accepting
+    the run as one stuffed data byte. The plain FF 00 stuffing and the
+    fill-run-before-marker case both remain legal."""
+    r = jc._BitReader(bytes([0xFF, 0x00, 0xAB]), 0)
+    assert r.receive(8) == 0xFF  # single stuffed byte: legal
+    assert r.receive(8) == 0xAB
+    bad = jc._BitReader(bytes([0xFF, 0xFF, 0x00]), 0)
+    with pytest.raises(ValueError, match="fill run"):
+        bad.read_bit()
+
+
+def test_oversized_but_valid_jpeg_is_distinguishable_and_counted():
+    """r07 advice: a legitimate >4 MP baseline JPEG must not be
+    indistinguishable from a malformed stream. The cap raises the
+    DEDICATED JpegTooLarge (still a ValueError, so tier dispatch is
+    unchanged) and bumps the per-process TOO_LARGE_SEEN counter so the
+    stub degradation is observable."""
+    full = bytearray(jc.encode_jpeg(8, 8, bytes(64), bpp=1))
+    idx = full.find(b"\xff\xc0")
+    full[idx + 5 : idx + 9] = struct.pack(">HH", 3000, 3000)  # 9 MP
+    before = jc.TOO_LARGE_SEEN
+    with pytest.raises(jc.JpegTooLarge):
+        jc.decode_jpeg(bytes(full))
+    assert jc.TOO_LARGE_SEEN == before + 1
+    assert issubclass(jc.JpegTooLarge, ValueError)
+    # Malformed streams keep raising the BASE class, not the subclass.
+    try:
+        jc.decode_jpeg(b"\xff\xd8\xff\xc2junk")
+    except jc.JpegTooLarge:  # pragma: no cover - would be the regression
+        raise AssertionError("malformed stream raised JpegTooLarge")
+    except ValueError:
+        pass
+
+
 def test_grayscale_frame_with_declared_2x2_sampling_is_noninterleaved():
     """r07 review finding (T.81 A.2): a single-component scan is
     NON-interleaved — raster 8x8 blocks over the component's own grid —

@@ -381,6 +381,39 @@ def test_audio_kernel_skips_null_payload_rows(spark):
     assert [r["doc_id"] for r in rows] == [1]
 
 
+def test_audio_read_narrow_except_surfaces_real_bugs(monkeypatch):
+    """r07 advice: the WAV fallback must catch only the decode contract's
+    malformed-container classes — a TypeError/AttributeError from the
+    decode path is a programming error and must PROPAGATE, never be
+    reinterpreted as raw-PCM audio. Driver-side unit test on the shared
+    per-payload helper (the mapInPandas kernel calls the same function)."""
+    import wave
+
+    import pytest
+
+    from etl_asana_spark.operators import multimodal as mm
+    from etl_asana_spark.operators import wav_codec
+
+    payload = wav_codec.encode_wav(8000, [1, -2, 3])
+
+    def boom(_p):
+        raise TypeError("a genuine bug, not a malformed container")
+
+    monkeypatch.setattr(mm.wav_codec, "decode_wav", boom)
+    with pytest.raises(TypeError):
+        mm._audio_read(payload)
+
+    # Contract classes still take the raw-PCM fallback.
+    for exc in (wave.Error("bad"), ValueError("bad"), EOFError("bad")):
+        monkeypatch.setattr(
+            mm.wav_codec, "decode_wav",
+            lambda _p, e=exc: (_ for _ in ()).throw(e),
+        )
+        mtype, rate, samples = mm._audio_read(payload)
+        assert (mtype, rate) == ("audio/pcm-u8", 8000)
+        assert samples == [(b - 128) * 256 for b in payload]
+
+
 def test_multimodal_kernel_dispatch_prefers_real_decoder(monkeypatch):
     """Kernel dispatch (round-3 optional-import path): when a PIL-shaped
     module is importable, _decode_payload routes to the real kernel; when
