@@ -195,6 +195,28 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     return _retry_drain(drain)
 
 
+def plan_tumbling(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """The tumbling-counts streaming PLAN (no sink) — factored from
+    :func:`tumbling_counts_stream` so the crash-recovery tests can drive
+    the same plan through a persistent checkpoint + file sink (r07 verdict
+    item 6)."""
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    # dsum, not SUM(double): the stateful partial aggregates merge in
+    # micro-batch/partition order, so only the fixed-point accumulator makes
+    # the drained result bit-identical to the batch twin (and SQL-oracle
+    # hashable) under any partitioning — same discipline as q_win_tumbling.
+    return (
+        ev.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(F.col("win.start").alias("bucket"), "event_type", "n_events", "total_value")
+    )
+
+
 def tumbling_counts_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -209,17 +231,22 @@ def tumbling_counts_stream(
     batch-twin property can be checked across configurations, not just the
     catalog key's defaults.
     """
-    ev = _stream_events(spark, sf_dir).withWatermark("ts", watermark)
-    # dsum, not SUM(double): the stateful partial aggregates merge in
-    # micro-batch/partition order, so only the fixed-point accumulator makes
-    # the drained result bit-identical to the batch twin (and SQL-oracle
-    # hashable) under any partitioning — same discipline as q_win_tumbling.
-    agg = (
-        ev.groupBy(F.window("ts", window).alias("win"), "event_type")
+    return _run_to_memory(plan_tumbling(spark, sf_dir, window, watermark), "append")
+
+
+def plan_sliding(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "2 hours",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """The sliding-counts streaming PLAN (no sink) — see :func:`plan_tumbling`."""
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return (
+        ev.groupBy(F.window("ts", window, slide).alias("win"), "event_type")
         .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
         .select(F.col("win.start").alias("bucket"), "event_type", "n_events", "total_value")
     )
-    return _run_to_memory(agg, "append")
 
 
 def sliding_counts_stream(
@@ -238,28 +265,25 @@ def sliding_counts_stream(
     knob to watch on a 100 TB/day stream. ``window``/``slide`` are exposed
     so the oracle-differential fuzz can hit odd alignment ratios, not just
     the catalog key's 4:1 default."""
+    return _run_to_memory(plan_sliding(spark, sf_dir, window, slide), "append")
+
+
+def plan_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful-dedup streaming PLAN (no sink) — see :func:`plan_tumbling`."""
     ev = _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
-    agg = (
-        ev.groupBy(F.window("ts", window, slide).alias("win"), "event_type")
-        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
-        .select(F.col("win.start").alias("bucket"), "event_type", "n_events", "total_value")
+    return ev.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "ts", "user_id", "event_type"
     )
-    return _run_to_memory(agg, "append")
 
 
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#59 Stateful exact dedup across micro-batches, state bounded by the
     watermark (dropDuplicatesWithinWatermark)."""
-    ev = _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
-    deduped = ev.dropDuplicatesWithinWatermark(["event_id"]).select(
-        "event_id", "ts", "user_id", "event_type"
-    )
-    return _run_to_memory(deduped, "append")
+    return _run_to_memory(plan_dedup(spark, sf_dir), "append")
 
 
-def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#60 Stream-static join: enrich the event stream with a static dim
-    (broadcast per micro-batch; the static side never becomes state)."""
+def plan_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-static-join PLAN (no sink) — see :func:`plan_tumbling`."""
     categories = spark.createDataFrame(
         [
             ("click", "engagement"),
@@ -272,12 +296,17 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
     joined = ev.join(F.broadcast(categories), "event_type")
-    agg = (
+    return (
         joined.groupBy(F.window("ts", "6 hours").alias("win"), "category")
         .agg(F.count("*").alias("n_events"))
         .select(F.col("win.start").alias("bucket"), "category", "n_events")
     )
-    return _run_to_memory(agg, "append")
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#60 Stream-static join: enrich the event stream with a static dim
+    (broadcast per micro-batch; the static side never becomes state)."""
+    return _run_to_memory(plan_static_join(spark, sf_dir), "append")
 
 
 def sessionize_stream(spark: SparkSession, sf_dir: str,
@@ -296,8 +325,14 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
     hash across executors; eviction is watermark-driven, so state size is
     bounded by (active users in the gap window), not history length.
     """
+    return _run_to_memory(plan_session(spark, sf_dir, gap_minutes), "update")
+
+
+def plan_session(spark: SparkSession, sf_dir: str,
+                 gap_minutes: int = 30) -> DataFrame:
+    """The sessionization PLAN (no sink) — see :func:`plan_tumbling`."""
     ev = _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
-    return _run_to_memory(sessionized(ev, gap_minutes), "update")
+    return sessionized(ev, gap_minutes)
 
 
 def sessionized(ev: DataFrame, gap_minutes: int) -> DataFrame:
@@ -387,13 +422,41 @@ def sessionized(ev: DataFrame, gap_minutes: int) -> DataFrame:
     )
 
 
+def upsert_drain(spark: SparkSession, sf_dir: str, ckpt: str, target: str) -> None:
+    """One bounded foreachBatch upsert drain into ``target`` with checkpoint
+    ``ckpt`` — factored from :func:`foreach_batch_upsert` so the
+    crash-recovery tests can resume the SAME checkpoint/target across runs
+    (r07 verdict item 6)."""
+    from ..operators.dedup import upsert_last_modified_wins
+
+    ev = _stream_events(spark, sf_dir)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        newest = upsert_last_modified_wins(
+            batch_df.select("user_id", "ts", "event_type", "value"),
+            key="user_id",
+            modified_col="ts",
+            tiebreak=["event_type"],
+        )
+        # Idempotent-per-batch append; the read side re-applies the
+        # keep-rule, so replays of a batch cannot change the answer.
+        newest.write.mode("append").parquet(target)
+
+    with _stream_shuffle(spark):
+        query = (
+            ev.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+
 def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#61 foreachBatch load stage: per micro-batch last-modified-wins upsert
     into a parquet target keyed by user_id (newest event per user survives —
     the streaming twin of the reference's R3 upsert)."""
     from ..operators.dedup import upsert_last_modified_wins
-
-    ev = _stream_events(spark, sf_dir)
 
     def drain() -> str:
         # Each attempt writes to a FRESH target dir (like the fresh
@@ -402,26 +465,7 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # keep-rule's survivor is otherwise arbitrary among the duplicates a
         # same-dir re-append would accumulate.
         target = fresh_dir("upsert_target")
-
-        def upsert(batch_df: DataFrame, batch_id: int) -> None:
-            newest = upsert_last_modified_wins(
-                batch_df.select("user_id", "ts", "event_type", "value"),
-                key="user_id",
-                modified_col="ts",
-                tiebreak=["event_type"],
-            )
-            # Idempotent-per-batch append; the read side re-applies the
-            # keep-rule, so replays of a batch cannot change the answer.
-            newest.write.mode("append").parquet(target)
-
-        with _stream_shuffle(spark):
-            query = (
-                ev.writeStream.foreachBatch(upsert)
-                .option("checkpointLocation", fresh_dir("ckpt"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            query.awaitTermination()
+        upsert_drain(spark, sf_dir, fresh_dir("ckpt"), target)
         return target
 
     merged = spark.read.parquet(_retry_drain(drain))
@@ -440,6 +484,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarks advance — without the time bound the state would grow
     forever. Per-key state shards across executors on user_id.
     """
+    return _run_to_memory(plan_stream_stream(spark, sf_dir), "append")
+
+
+def plan_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream-join PLAN (no sink) — see :func:`plan_tumbling`."""
     views = (
         _stream_events(spark, sf_dir)
         .filter(F.col("event_type") == "view")
@@ -456,13 +505,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("purchase_ts", "10 minutes")
     )
-    joined = views.join(
+    return views.join(
         purchases,
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
     ).select("user_id", "view_ts", "purchase_ts", "purchase_value")
-    return _run_to_memory(joined, "append")
 
 
 def sync_token_source_stream(spark: SparkSession) -> DataFrame:

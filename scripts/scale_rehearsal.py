@@ -120,6 +120,87 @@ def time_key(qs, spark, key: str, sf_dir: str, runs: int) -> float:
     return best
 
 
+def topk_ab(spark, sf_dir: str, runs: int) -> dict:
+    """A/B/C the q_win_topk_group plan at the rehearsal scale (r07 verdict
+    item 5: the worst 100× multiplier, diagnosed as the pre-/post-shuffle
+    sort spilling in one wave at fixed shuffle-partition count).
+
+    A = the registered plan (row_number window, WindowGroupLimit).
+    B = salted two-phase: top-k per (group, salt) window first — each salted
+        sort is 1/S the rows — then the real window over survivors only.
+        Exact: the global top-k per group is contained in the union of
+        per-salt top-k; the final window re-ranks identically (same total
+        order, ties broken by o_orderkey).
+    C = the registered plan over a repartition(8×cores, group) input — same
+        single window, finer hash partitioning, so each sort fits memory
+        (what a real cluster gets for free when shuffle partitions scale
+        with the data; AQE cannot SPLIT a sort partition upward).
+
+    All three are value-checked identical (count + rank checksum) before
+    timing; prints per-variant seconds and returns them.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    order_by = (F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w = Window.partitionBy("o_custkey").orderBy(*order_by)
+
+    def variant_a():
+        return (
+            orders.select("o_custkey", "o_orderkey", "o_totalprice",
+                          F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 3)
+        )
+
+    def variant_b():
+        ws = Window.partitionBy("o_custkey", "__salt").orderBy(*order_by)
+        pre = (
+            orders.withColumn("__salt", F.pmod(F.col("o_orderkey"), F.lit(16)))
+            .select("o_custkey", "o_orderkey", "o_totalprice", "__salt",
+                    F.row_number().over(ws).alias("__prk"))
+            .filter(F.col("__prk") <= 3)
+            .drop("__salt", "__prk")
+        )
+        return (
+            pre.select("o_custkey", "o_orderkey", "o_totalprice",
+                       F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 3)
+        )
+
+    def variant_c():
+        n = spark.sparkContext.defaultParallelism * 8
+        return (
+            orders.repartition(n, "o_custkey")
+            .select("o_custkey", "o_orderkey", "o_totalprice",
+                    F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 3)
+        )
+
+    variants = {"a_window": variant_a, "b_salted2p": variant_b,
+                "c_repart8x": variant_c}
+    # Value check first: identical (count, checksum-of-ranked-keys).
+    sigs = {}
+    for name, fn in variants.items():
+        sig = fn().agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_orderkey") * F.col("rk")).alias("chk"),
+        ).collect()[0]
+        sigs[name] = (sig["n"], sig["chk"])
+    assert len(set(sigs.values())) == 1, f"variants disagree: {sigs}"
+
+    times = {}
+    for name, fn in variants.items():
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
+        print(f"topk_ab {name:12s} {best:7.3f}s", file=sys.stderr)
+    return times
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
@@ -135,6 +216,10 @@ def main() -> int:
                     help="override the headline key list (e.g. the dedup "
                          "family — note replication makes every doc an "
                          "exact 10-way duplicate, a worst-case dedup load)")
+    ap.add_argument("--topk-ab", action="store_true",
+                    help="after replication, A/B the q_win_topk_group plan "
+                         "variants at the big scale instead of the normal "
+                         "key sweep (r07 verdict item 5)")
     args = ap.parse_args()
 
     from etl_asana_spark import catalog
@@ -153,6 +238,11 @@ def main() -> int:
         print(f"skewed: {args.skew:.0%} of lineitem on one hot l_orderkey")
     print(f"replicated {args.replicas}x into {dst} "
           f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
+
+    if args.topk_ab:
+        times = topk_ab(spark, dst, args.runs)
+        print(json.dumps({"replicas": args.replicas, "topk_ab": times}))
+        return 0
 
     qs = catalog.queries()
     base, big, ratio = {}, {}, {}

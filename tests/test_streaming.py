@@ -718,3 +718,244 @@ def test_streaming_results_are_state_store_provider_agnostic(
     assert default_schema == rocks_schema
     assert default_rows == rocks_rows
     assert len(default_rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# Crash-injected recovery (r07 verdict item 6). The provider-parity tests
+# above prove the state path is substrate-agnostic; these prove RECOVERY:
+# a drain killed after batch 0 of a two-batch run, restarted from the same
+# checkpoint, must leave the sink equal to an uninterrupted run. Two
+# injection shapes:
+#
+# 1. stop-after-batch-0 (every plan): run 1 is a completed AvailableNow
+#    over file 1 only (batch 0); file 2 then arrives; run 2 resumes the
+#    SAME checkpoint + sink and processes it as batch 1. This exercises the
+#    offset/commit log resume, the state-store reload (windows/sessions/
+#    join state straddling the file split were built in run 1 and must
+#    finish in run 2), and file-sink append exactly-once.
+#
+# 2. torn-commit WAL replay (representative append plans): after run 1,
+#    delete commits/0 — the on-disk shape of a crash BETWEEN the sink write
+#    and the commit-log write, i.e. mid-drain. Restart must re-execute
+#    batch 0 from the WAL'd offsets WITHOUT duplicating its output (the
+#    file-sink metadata log already has batch 0) and then drain file 2.
+#
+# The file split is on EVENT TIME (file 2 strictly newer than file 1's
+# watermark), so batching differences cannot change the answer — both the
+# interrupted and the uninterrupted drains emit identical sets; see the
+# layout-invariance note on jobs._stream_events for why arbitrary splits
+# would not be comparable.
+# ---------------------------------------------------------------------------
+
+import os as _os
+import shutil as _shutil
+
+
+def _split_events_sources(spark, sf_dir, tmp_path):
+    """Build (staged_dir, add_file2, full_dir): staged has the older half of
+    events only; ``add_file2()`` delivers the newer half; full has both."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cut = ev.agg(
+        F.expr("percentile(unix_micros(ts), 0.5)").alias("c")
+    ).collect()[0]["c"]
+    old = ev.filter(F.unix_micros("ts") < cut)
+    new = ev.filter(F.unix_micros("ts") >= cut)
+
+    staged = tmp_path / "staged"
+    full = tmp_path / "full"
+    part2 = tmp_path / "part2"
+    old.coalesce(1).write.parquet(str(staged / "events.parquet"))
+    new.coalesce(1).write.parquet(str(part2))
+    old.unionByName(new).write.parquet(str(full / "events.parquet"))
+
+    def add_file2():
+        src = next(
+            f for f in _os.listdir(part2)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        _shutil.copy(part2 / src, staged / "events.parquet" / f"late_{src}")
+
+    return str(staged), add_file2, str(full)
+
+
+def _drain_once(plan, spark, src_dir, mode, ckpt, sink):
+    """One bounded AvailableNow drain of ``plan(spark, src_dir)`` into a
+    parquet sink at ``sink`` with checkpoint ``ckpt``. Append-mode plans use
+    the exactly-once file sink; update-mode (session) uses foreachBatch
+    append (no batch replays occur in scenario 1, so append is exact)."""
+    from etl_asana_spark.streaming import jobs
+
+    df = plan(spark, src_dir)
+    with jobs._stream_shuffle(spark):
+        if mode == "append":
+            q = (
+                df.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        else:
+            def append(batch_df, batch_id):
+                batch_df.write.mode("append").parquet(sink)
+
+            q = (
+                df.writeStream.foreachBatch(append)
+                .outputMode(mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        q.awaitTermination()
+
+
+def _sink_rows(spark, sink):
+    if not _os.path.isdir(sink):
+        return []
+    files = [f for f in _os.listdir(sink) if not f.startswith(("_", "."))]
+    if not files:
+        return []
+    return sorted(map(tuple, spark.read.parquet(sink).collect()))
+
+
+def _recovery_plans():
+    from etl_asana_spark.streaming import jobs
+
+    return [
+        ("tumbling", jobs.plan_tumbling, "append"),
+        ("sliding", jobs.plan_sliding, "append"),
+        ("dedup", jobs.plan_dedup, "append"),
+        ("static_join", jobs.plan_static_join, "append"),
+        ("session", jobs.plan_session, "update"),
+        ("stream_stream", jobs.plan_stream_stream, "append"),
+    ]
+
+
+@pytest.mark.parametrize("name", [p[0] for p in _recovery_plans()])
+def test_stop_after_batch0_restart_equals_uninterrupted(
+    spark, sf_dir, tmp_path, name
+):
+    plan, mode = {n: (p, m) for n, p, m in _recovery_plans()}[name]
+    staged, add_file2, full = _split_events_sources(spark, sf_dir, tmp_path)
+
+    # Uninterrupted baseline: both files visible from the start.
+    base_sink = str(tmp_path / "base_sink")
+    _drain_once(plan, spark, full, mode, str(tmp_path / "base_ckpt"), base_sink)
+    expected = _sink_rows(spark, base_sink)
+    assert expected, f"{name}: baseline drain emitted nothing"
+
+    # Interrupted: batch 0 (file 1) → stop → file 2 arrives → resume.
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    _drain_once(plan, spark, staged, mode, ckpt, sink)
+    assert _os.path.isfile(_os.path.join(ckpt, "commits", "0"))
+    add_file2()
+    _drain_once(plan, spark, staged, mode, ckpt, sink)
+    assert _sink_rows(spark, sink) == expected
+
+
+@pytest.mark.parametrize("name", ["tumbling", "stream_stream"])
+def test_torn_commit_replay_is_exactly_once(spark, sf_dir, tmp_path, name):
+    """Scenario 2: commits/0 deleted after run 1 — the on-disk shape of a
+    crash between the batch-0 sink write and its commit record. The restart
+    re-executes batch 0 (offsets are WAL'd) and must not duplicate its
+    rows in the file sink, then drain file 2 normally."""
+    plan, mode = {n: (p, m) for n, p, m in _recovery_plans()}[name]
+    staged, add_file2, full = _split_events_sources(spark, sf_dir, tmp_path)
+
+    base_sink = str(tmp_path / "base_sink")
+    _drain_once(plan, spark, full, mode, str(tmp_path / "base_ckpt"), base_sink)
+    expected = _sink_rows(spark, base_sink)
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    _drain_once(plan, spark, staged, mode, ckpt, sink)
+    commit0 = _os.path.join(ckpt, "commits", "0")
+    assert _os.path.isfile(commit0)
+    _os.remove(commit0)  # the torn mid-drain crash
+    add_file2()
+    _drain_once(plan, spark, staged, mode, ckpt, sink)
+    assert _sink_rows(spark, sink) == expected
+
+
+def test_upsert_crash_recovery_equals_uninterrupted(spark, sf_dir, tmp_path):
+    """#61 foreachBatch upsert: stop after batch 0, resume the same
+    checkpoint AND target. The per-batch append is idempotent under the
+    read-side keep-rule, so the recovered target must merge to the same
+    newest-event-per-user table as an uninterrupted drain."""
+    from etl_asana_spark.operators.dedup import upsert_last_modified_wins
+    from etl_asana_spark.streaming import jobs
+
+    staged, add_file2, full = _split_events_sources(spark, sf_dir, tmp_path)
+
+    def merged(target):
+        return sorted(
+            map(
+                tuple,
+                upsert_last_modified_wins(
+                    spark.read.parquet(target),
+                    key="user_id", modified_col="ts", tiebreak=["event_type"],
+                ).collect(),
+            )
+        )
+
+    base_target = str(tmp_path / "base_target")
+    jobs.upsert_drain(spark, full, str(tmp_path / "base_ckpt"), base_target)
+    expected = merged(base_target)
+    assert expected
+
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    jobs.upsert_drain(spark, staged, ckpt, target)
+    add_file2()
+    jobs.upsert_drain(spark, staged, ckpt, target)
+    assert merged(target) == expected
+
+
+def test_sync_source_crash_recovery_resumes_from_token(spark, tmp_path):
+    """#56 sync-token source: one AvailableNow run against the simple
+    stream reader polls ONCE (batch_lines rows), so run 1 IS the
+    stop-after-batch-0 crash; the restart must resume from the
+    checkpointed sync token (not page 1) and the final complete-mode
+    counts must equal the full-feed drain."""
+    from etl_asana_spark.sources.datasource import register_asana_stream_source
+    from etl_asana_spark.streaming import jobs
+
+    register_asana_stream_source(spark)
+    feed = (
+        spark.readStream.format("asana_events")
+        .option("path", jobs.STORIES_FIXTURE)
+        .option("batch_lines", "100")
+        .load()
+    )
+    agg = feed.groupBy("type").agg(F.count("*").alias("n_stories"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(available_now: bool, name: str):
+        with jobs._stream_shuffle(spark):
+            w = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+            )
+            q = (w.trigger(availableNow=True) if available_now else w).start()
+            try:
+                if available_now:
+                    q.awaitTermination()
+                else:
+                    q.processAllAvailable()
+            finally:
+                q.stop()
+        return sorted(map(tuple, spark.table(name).collect()))
+
+    partial = run(True, "sync_crash_run1")  # batch 0: first poll only
+    assert sum(n for _, n in partial) == 100
+    recovered = run(False, "sync_crash_run2")  # resume token → drain rest
+
+    expected = sorted(
+        map(tuple, jobs.sync_token_source_stream(spark).collect())
+    )
+    assert recovered == expected
+    assert sum(n for _, n in recovered) == 300
