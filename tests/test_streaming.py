@@ -959,3 +959,89 @@ def test_sync_source_crash_recovery_resumes_from_token(spark, tmp_path):
     )
     assert recovered == expected
     assert sum(n for _, n in recovered) == 300
+
+
+@pytest.mark.parametrize("name", ["tumbling", "session"])
+def test_crash_recovery_under_rocksdb_provider(spark, sf_dir, tmp_path, name):
+    """Recovery × the 100 TB state path: the stop-after-batch-0 restart
+    must also hold when state lives in RocksDB (disk-backed, the provider
+    a large cluster runs) — checkpointed SST state written by run 1 must
+    reload in run 2. Same provider for baseline and recovery runs
+    (checkpoints are provider-specific, not interchangeable)."""
+    plan, mode = {n: (p, m) for n, p, m in _recovery_plans()}[name]
+    staged, add_file2, full = _split_events_sources(spark, sf_dir, tmp_path)
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(conf, None)
+    spark.conf.set(conf, _ROCKSDB_PROVIDER)
+    try:
+        base_sink = str(tmp_path / "base_sink")
+        _drain_once(plan, spark, full, mode,
+                    str(tmp_path / "base_ckpt"), base_sink)
+        expected = _sink_rows(spark, base_sink)
+        assert expected
+
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        _drain_once(plan, spark, staged, mode, ckpt, sink)
+        assert _os.path.isfile(_os.path.join(ckpt, "commits", "0"))
+        add_file2()
+        _drain_once(plan, spark, staged, mode, ckpt, sink)
+        assert _sink_rows(spark, sink) == expected
+    finally:
+        if before is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, before)
+
+
+def test_crash_recovery_across_processes(spark, sf_dir, tmp_path):
+    """The truest crash shape: the JVM that ran batch 0 is GONE — a fresh
+    process (fresh SparkSession, fresh JVM) must resume the on-disk
+    checkpoint and finish the drain. Run 1 executes in a subprocess that
+    exits after draining file 1; the test session then delivers file 2 and
+    resumes the same checkpoint + sink. Everything recovery needs must
+    therefore live on disk (offset WAL, commit log, state store, sink
+    metadata) — no in-process residue."""
+    import subprocess
+    import sys as _sys
+
+    plan, mode = {n: (p, m) for n, p, m in _recovery_plans()}["tumbling"]
+    staged, add_file2, full = _split_events_sources(spark, sf_dir, tmp_path)
+
+    base_sink = str(tmp_path / "base_sink")
+    _drain_once(plan, spark, full, mode, str(tmp_path / "base_ckpt"), base_sink)
+    expected = _sink_rows(spark, base_sink)
+    assert expected
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    script = f"""
+import sys
+sys.path.insert(0, {_os.getcwd()!r})
+from etl_asana_spark.session import build_session
+from etl_asana_spark.streaming import jobs
+spark = build_session(app_name="recovery-run1")
+spark.sparkContext.setLogLevel("ERROR")
+with jobs._stream_shuffle(spark):
+    q = (jobs.plan_tumbling(spark, {staged!r})
+         .writeStream.format("parquet")
+         .option("path", {sink!r})
+         .option("checkpointLocation", {ckpt!r})
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+spark.stop()
+"""
+    proc = subprocess.run(
+        [_sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=300,
+        cwd=_os.getcwd(),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert _os.path.isfile(_os.path.join(ckpt, "commits", "0"))
+
+    add_file2()
+    _drain_once(plan, spark, staged, mode, ckpt, sink)  # the fresh process
+    assert _sink_rows(spark, sink) == expected
