@@ -1045,3 +1045,36 @@ spark.stop()
     add_file2()
     _drain_once(plan, spark, staged, mode, ckpt, sink)  # the fresh process
     assert _sink_rows(spark, sink) == expected
+
+
+def test_torn_commit_replay_under_rocksdb_provider(spark, sf_dir, tmp_path):
+    """Scenario 2 × the 100 TB state path: re-executing batch 0 after a
+    torn commit requires the state store to REWIND to the version batch 0
+    started from — proven above for the HDFS-backed provider; RocksDB
+    maintains versioned SST snapshots and must rewind identically."""
+    plan, mode = {n: (p, m) for n, p, m in _recovery_plans()}["tumbling"]
+    staged, add_file2, full = _split_events_sources(spark, sf_dir, tmp_path)
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(conf, None)
+    spark.conf.set(conf, _ROCKSDB_PROVIDER)
+    try:
+        base_sink = str(tmp_path / "base_sink")
+        _drain_once(plan, spark, full, mode,
+                    str(tmp_path / "base_ckpt"), base_sink)
+        expected = _sink_rows(spark, base_sink)
+
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        _drain_once(plan, spark, staged, mode, ckpt, sink)
+        commit0 = _os.path.join(ckpt, "commits", "0")
+        assert _os.path.isfile(commit0)
+        _os.remove(commit0)
+        add_file2()
+        _drain_once(plan, spark, staged, mode, ckpt, sink)
+        assert _sink_rows(spark, sink) == expected
+    finally:
+        if before is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, before)
