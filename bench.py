@@ -78,16 +78,23 @@ def main() -> None:
     REPEATS = 3
     spread: dict[str, float] = {}
 
-    def timed(key: str) -> float:
-        fn = queries[key]
-        fn(spark, sf_dir).collect()  # warm-up: JIT, code cache, file listing
+    def timed_fn(label: str, run) -> float:
+        """Warm-up once, time REPEATS runs of ``run()``, record the spread
+        under ``label``, return the min — ONE definition of the method so
+        the headline keys and the curation extra can never drift apart
+        (r08 review)."""
+        run()  # warm-up: JIT, code cache, file listing
         samples = []
         for _ in range(REPEATS):
             start = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            run()
             samples.append(time.perf_counter() - start)
-        spread[key] = round(max(samples) - min(samples), 4)
+        spread[label] = round(max(samples) - min(samples), 4)
         return round(min(samples), 4)
+
+    def timed(key: str) -> float:
+        fn = queries[key]
+        return timed_fn(key, lambda: fn(spark, sf_dir).collect())
 
     # Bench-isolation record (r05 verdict items 2-3: two extras regressed
     # with zero code change; absolute numbers move with machine state).
@@ -115,14 +122,7 @@ def main() -> None:
         docs = load_tables(spark, sf_dir)["documents"]
         return pipelines.curate_corpus(docs).curated.count()
 
-    curation_run()  # warm-up
-    samples = []
-    for _ in range(REPEATS):
-        start = time.perf_counter()
-        curation_run()
-        samples.append(time.perf_counter() - start)
-    spread["pipeline_curation"] = round(max(samples) - min(samples), 4)
-    extras["pipeline_curation"] = round(min(samples), 4)
+    extras["pipeline_curation"] = timed_fn("pipeline_curation", curation_run)
 
     # ONE instrumented pass (funnel counts force per-stage materialization)
     # for stage attribution — separate from the timed runs above, whose

@@ -754,7 +754,13 @@ def kmeans_lloyd(
 
     # Fit is done: release the cache now rather than at driver GC time
     # (r07 advice — blocks otherwise linger until the ContextCleaner runs).
-    # The returned assignment recomputes the projection at action time.
+    # CONTRACT (r08 review): the returned assignment is a LAZY plan that
+    # re-reads the source projection at action time — the MLlib contract
+    # (caller-managed input caching). Against a deterministic source
+    # (parquet snapshots, as every catalog key uses) repeated actions are
+    # identical; a caller fitting over a mutable/non-deterministic input
+    # who needs the assignment pinned to the exact rows the fit saw should
+    # persist/snapshot the input themselves before calling.
     vecs.unpersist(blocking=False)
 
     if _return_model:

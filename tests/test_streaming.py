@@ -751,38 +751,78 @@ import os as _os
 import shutil as _shutil
 
 
-def _split_events_sources(spark, sf_dir, tmp_path):
-    """Build (staged_dir, add_file2, full_dir): staged has the older half of
-    events only; ``add_file2()`` delivers the newer half; full has both."""
+@pytest.fixture(scope="session")
+def events_split(spark, sf_dir, tmp_path_factory):
+    """The event-time median split of the events table, built ONCE per
+    session (r08 review: every recovery test was re-deriving the same cut
+    and rewriting the same three parquet outputs). Returns the full-table
+    source dir plus the two part files; per-test staged dirs are assembled
+    from the parts by :func:`_make_staged` (cheap single-file copies, so
+    each test still gets an isolated mutable source)."""
+    root = tmp_path_factory.mktemp("events_split")
     ev = load_tables(spark, sf_dir)["events"]
     cut = ev.agg(
         F.expr("percentile(unix_micros(ts), 0.5)").alias("c")
     ).collect()[0]["c"]
     old = ev.filter(F.unix_micros("ts") < cut)
     new = ev.filter(F.unix_micros("ts") >= cut)
+    old.coalesce(1).write.parquet(str(root / "file1"))
+    new.coalesce(1).write.parquet(str(root / "file2"))
+    old.unionByName(new).write.parquet(str(root / "full" / "events.parquet"))
 
-    staged = tmp_path / "staged"
-    full = tmp_path / "full"
-    part2 = tmp_path / "part2"
-    old.coalesce(1).write.parquet(str(staged / "events.parquet"))
-    new.coalesce(1).write.parquet(str(part2))
-    old.unionByName(new).write.parquet(str(full / "events.parquet"))
-
-    def add_file2():
-        src = next(
-            f for f in _os.listdir(part2)
+    def part(d):
+        return next(
+            str(d / f) for f in _os.listdir(d)
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
-        _shutil.copy(part2 / src, staged / "events.parquet" / f"late_{src}")
 
-    return str(staged), add_file2, str(full)
+    return {
+        "full": str(root / "full"),
+        "part1": part(root / "file1"),
+        "part2": part(root / "file2"),
+    }
+
+
+def _make_staged(events_split, tmp_path):
+    """A fresh mutable staged source: file 1 present, ``add_file2()``
+    delivers the newer half (a later-mtime new file arrival)."""
+    d = tmp_path / "staged" / "events.parquet"
+    d.mkdir(parents=True)
+    _shutil.copy(events_split["part1"], d / "part1.parquet")
+
+    def add_file2():
+        _shutil.copy(events_split["part2"], d / "late_part2.parquet")
+
+    return str(tmp_path / "staged"), add_file2
+
+
+#: Uninterrupted-baseline sink rows per plan, computed once per session
+#: (identical inputs → identical baseline; the tumbling baseline alone was
+#: previously recomputed by five tests). Keyed by plan name only: results
+#: are state-store-provider-agnostic (proven by the parity tests above),
+#: so the RocksDB recovery tests deliberately compare against the
+#: default-provider baseline — a strictly stronger check.
+_BASELINE_CACHE: dict[str, list] = {}
+
+
+def _baseline_rows(spark, events_split, tmp_path_factory, name):
+    if name not in _BASELINE_CACHE:
+        plan, mode = {n: (p, m) for n, p, m in _recovery_plans()}[name]
+        d = tmp_path_factory.mktemp(f"base_{name}")
+        _drain_once(plan, spark, events_split["full"], mode,
+                    str(d / "ckpt"), str(d / "sink"))
+        rows = _sink_rows(spark, str(d / "sink"))
+        assert rows, f"{name}: baseline drain emitted nothing"
+        _BASELINE_CACHE[name] = rows
+    return _BASELINE_CACHE[name]
 
 
 def _drain_once(plan, spark, src_dir, mode, ckpt, sink):
     """One bounded AvailableNow drain of ``plan(spark, src_dir)`` into a
     parquet sink at ``sink`` with checkpoint ``ckpt``. Append-mode plans use
     the exactly-once file sink; update-mode (session) uses foreachBatch
-    append (no batch replays occur in scenario 1, so append is exact)."""
+    append (no batch replays occur in the stop-after-batch-0 scenario, so
+    append is exact)."""
     from etl_asana_spark.streaming import jobs
 
     df = plan(spark, src_dir)
@@ -834,16 +874,11 @@ def _recovery_plans():
 
 @pytest.mark.parametrize("name", [p[0] for p in _recovery_plans()])
 def test_stop_after_batch0_restart_equals_uninterrupted(
-    spark, sf_dir, tmp_path, name
+    spark, sf_dir, tmp_path, tmp_path_factory, events_split, name
 ):
     plan, mode = {n: (p, m) for n, p, m in _recovery_plans()}[name]
-    staged, add_file2, full = _split_events_sources(spark, sf_dir, tmp_path)
-
-    # Uninterrupted baseline: both files visible from the start.
-    base_sink = str(tmp_path / "base_sink")
-    _drain_once(plan, spark, full, mode, str(tmp_path / "base_ckpt"), base_sink)
-    expected = _sink_rows(spark, base_sink)
-    assert expected, f"{name}: baseline drain emitted nothing"
+    expected = _baseline_rows(spark, events_split, tmp_path_factory, name)
+    staged, add_file2 = _make_staged(events_split, tmp_path)
 
     # Interrupted: batch 0 (file 1) → stop → file 2 arrives → resume.
     sink = str(tmp_path / "sink")
@@ -856,17 +891,16 @@ def test_stop_after_batch0_restart_equals_uninterrupted(
 
 
 @pytest.mark.parametrize("name", ["tumbling", "stream_stream"])
-def test_torn_commit_replay_is_exactly_once(spark, sf_dir, tmp_path, name):
+def test_torn_commit_replay_is_exactly_once(
+    spark, sf_dir, tmp_path, tmp_path_factory, events_split, name
+):
     """Scenario 2: commits/0 deleted after run 1 — the on-disk shape of a
     crash between the batch-0 sink write and its commit record. The restart
     re-executes batch 0 (offsets are WAL'd) and must not duplicate its
     rows in the file sink, then drain file 2 normally."""
     plan, mode = {n: (p, m) for n, p, m in _recovery_plans()}[name]
-    staged, add_file2, full = _split_events_sources(spark, sf_dir, tmp_path)
-
-    base_sink = str(tmp_path / "base_sink")
-    _drain_once(plan, spark, full, mode, str(tmp_path / "base_ckpt"), base_sink)
-    expected = _sink_rows(spark, base_sink)
+    expected = _baseline_rows(spark, events_split, tmp_path_factory, name)
+    staged, add_file2 = _make_staged(events_split, tmp_path)
 
     sink = str(tmp_path / "sink")
     ckpt = str(tmp_path / "ckpt")
@@ -879,7 +913,9 @@ def test_torn_commit_replay_is_exactly_once(spark, sf_dir, tmp_path, name):
     assert _sink_rows(spark, sink) == expected
 
 
-def test_upsert_crash_recovery_equals_uninterrupted(spark, sf_dir, tmp_path):
+def test_upsert_crash_recovery_equals_uninterrupted(
+    spark, sf_dir, tmp_path, events_split
+):
     """#61 foreachBatch upsert: stop after batch 0, resume the same
     checkpoint AND target. The per-batch append is idempotent under the
     read-side keep-rule, so the recovered target must merge to the same
@@ -887,7 +923,7 @@ def test_upsert_crash_recovery_equals_uninterrupted(spark, sf_dir, tmp_path):
     from etl_asana_spark.operators.dedup import upsert_last_modified_wins
     from etl_asana_spark.streaming import jobs
 
-    staged, add_file2, full = _split_events_sources(spark, sf_dir, tmp_path)
+    staged, add_file2 = _make_staged(events_split, tmp_path)
 
     def merged(target):
         return sorted(
@@ -901,7 +937,8 @@ def test_upsert_crash_recovery_equals_uninterrupted(spark, sf_dir, tmp_path):
         )
 
     base_target = str(tmp_path / "base_target")
-    jobs.upsert_drain(spark, full, str(tmp_path / "base_ckpt"), base_target)
+    jobs.upsert_drain(spark, events_split["full"],
+                      str(tmp_path / "base_ckpt"), base_target)
     expected = merged(base_target)
     assert expected
 
@@ -962,25 +999,23 @@ def test_sync_source_crash_recovery_resumes_from_token(spark, tmp_path):
 
 
 @pytest.mark.parametrize("name", ["tumbling", "session"])
-def test_crash_recovery_under_rocksdb_provider(spark, sf_dir, tmp_path, name):
+def test_crash_recovery_under_rocksdb_provider(
+    spark, sf_dir, tmp_path, tmp_path_factory, events_split, name
+):
     """Recovery × the 100 TB state path: the stop-after-batch-0 restart
     must also hold when state lives in RocksDB (disk-backed, the provider
     a large cluster runs) — checkpointed SST state written by run 1 must
-    reload in run 2. Same provider for baseline and recovery runs
-    (checkpoints are provider-specific, not interchangeable)."""
+    reload in run 2. The recovered sink is compared against the
+    DEFAULT-provider baseline (provider parity is a proven invariant
+    above, so this is a strictly stronger check)."""
     plan, mode = {n: (p, m) for n, p, m in _recovery_plans()}[name]
-    staged, add_file2, full = _split_events_sources(spark, sf_dir, tmp_path)
+    expected = _baseline_rows(spark, events_split, tmp_path_factory, name)
+    staged, add_file2 = _make_staged(events_split, tmp_path)
 
     conf = "spark.sql.streaming.stateStore.providerClass"
     before = spark.conf.get(conf, None)
     spark.conf.set(conf, _ROCKSDB_PROVIDER)
     try:
-        base_sink = str(tmp_path / "base_sink")
-        _drain_once(plan, spark, full, mode,
-                    str(tmp_path / "base_ckpt"), base_sink)
-        expected = _sink_rows(spark, base_sink)
-        assert expected
-
         sink = str(tmp_path / "sink")
         ckpt = str(tmp_path / "ckpt")
         _drain_once(plan, spark, staged, mode, ckpt, sink)
@@ -995,24 +1030,53 @@ def test_crash_recovery_under_rocksdb_provider(spark, sf_dir, tmp_path, name):
             spark.conf.set(conf, before)
 
 
-def test_crash_recovery_across_processes(spark, sf_dir, tmp_path):
+def test_torn_commit_replay_under_rocksdb_provider(
+    spark, sf_dir, tmp_path, tmp_path_factory, events_split
+):
+    """Scenario 2 × the 100 TB state path: re-executing batch 0 after a
+    torn commit requires the state store to REWIND to the version batch 0
+    started from — proven above for the HDFS-backed provider; RocksDB
+    maintains versioned SST snapshots and must rewind identically."""
+    plan, mode = {n: (p, m) for n, p, m in _recovery_plans()}["tumbling"]
+    expected = _baseline_rows(spark, events_split, tmp_path_factory, "tumbling")
+    staged, add_file2 = _make_staged(events_split, tmp_path)
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(conf, None)
+    spark.conf.set(conf, _ROCKSDB_PROVIDER)
+    try:
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        _drain_once(plan, spark, staged, mode, ckpt, sink)
+        commit0 = _os.path.join(ckpt, "commits", "0")
+        assert _os.path.isfile(commit0)
+        _os.remove(commit0)
+        add_file2()
+        _drain_once(plan, spark, staged, mode, ckpt, sink)
+        assert _sink_rows(spark, sink) == expected
+    finally:
+        if before is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, before)
+
+
+def test_crash_recovery_across_processes(
+    spark, sf_dir, tmp_path, tmp_path_factory, events_split
+):
     """The truest crash shape: the JVM that ran batch 0 is GONE — a fresh
     process (fresh SparkSession, fresh JVM) must resume the on-disk
     checkpoint and finish the drain. Run 1 executes in a subprocess that
-    exits after draining file 1; the test session then delivers file 2 and
-    resumes the same checkpoint + sink. Everything recovery needs must
-    therefore live on disk (offset WAL, commit log, state store, sink
-    metadata) — no in-process residue."""
+    exits after draining file 1; the test session (a different process)
+    then delivers file 2 and resumes the same checkpoint + sink.
+    Everything recovery needs must therefore live on disk (offset WAL,
+    commit log, state store, sink metadata) — no in-process residue."""
     import subprocess
     import sys as _sys
 
     plan, mode = {n: (p, m) for n, p, m in _recovery_plans()}["tumbling"]
-    staged, add_file2, full = _split_events_sources(spark, sf_dir, tmp_path)
-
-    base_sink = str(tmp_path / "base_sink")
-    _drain_once(plan, spark, full, mode, str(tmp_path / "base_ckpt"), base_sink)
-    expected = _sink_rows(spark, base_sink)
-    assert expected
+    expected = _baseline_rows(spark, events_split, tmp_path_factory, "tumbling")
+    staged, add_file2 = _make_staged(events_split, tmp_path)
 
     sink = str(tmp_path / "sink")
     ckpt = str(tmp_path / "ckpt")
@@ -1043,38 +1107,5 @@ spark.stop()
     assert _os.path.isfile(_os.path.join(ckpt, "commits", "0"))
 
     add_file2()
-    _drain_once(plan, spark, staged, mode, ckpt, sink)  # the fresh process
+    _drain_once(plan, spark, staged, mode, ckpt, sink)
     assert _sink_rows(spark, sink) == expected
-
-
-def test_torn_commit_replay_under_rocksdb_provider(spark, sf_dir, tmp_path):
-    """Scenario 2 × the 100 TB state path: re-executing batch 0 after a
-    torn commit requires the state store to REWIND to the version batch 0
-    started from — proven above for the HDFS-backed provider; RocksDB
-    maintains versioned SST snapshots and must rewind identically."""
-    plan, mode = {n: (p, m) for n, p, m in _recovery_plans()}["tumbling"]
-    staged, add_file2, full = _split_events_sources(spark, sf_dir, tmp_path)
-
-    conf = "spark.sql.streaming.stateStore.providerClass"
-    before = spark.conf.get(conf, None)
-    spark.conf.set(conf, _ROCKSDB_PROVIDER)
-    try:
-        base_sink = str(tmp_path / "base_sink")
-        _drain_once(plan, spark, full, mode,
-                    str(tmp_path / "base_ckpt"), base_sink)
-        expected = _sink_rows(spark, base_sink)
-
-        sink = str(tmp_path / "sink")
-        ckpt = str(tmp_path / "ckpt")
-        _drain_once(plan, spark, staged, mode, ckpt, sink)
-        commit0 = _os.path.join(ckpt, "commits", "0")
-        assert _os.path.isfile(commit0)
-        _os.remove(commit0)
-        add_file2()
-        _drain_once(plan, spark, staged, mode, ckpt, sink)
-        assert _sink_rows(spark, sink) == expected
-    finally:
-        if before is None:
-            spark.conf.unset(conf)
-        else:
-            spark.conf.set(conf, before)
