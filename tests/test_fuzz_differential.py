@@ -2215,11 +2215,30 @@ def test_media_codec_roundtrip_fuzz(seed):
     avi = avi_codec.encode_mjpeg_avi(frames, jw, jh)
     assert avi_codec.demux_mjpeg_avi(avi) == frames
 
+    # IMA-ADPCM (r08): lossy but deterministic — block-start samples are
+    # exact (the header carries the true sample), count round-trips, and
+    # a second decode is bit-identical
+    import math as _math
+
+    adp_n = rng.randint(2, 900)
+    period = rng.randint(5, 40)
+    smooth = [int(8000 * _math.sin(i / period)) for i in range(adp_n)]
+    blk = rng.choice([9, 129, 505])
+    adp = wav_codec.encode_ima_adpcm(rate, smooth, block_frames=blk)
+    r2, dec2 = wav_codec.decode_wav(adp)
+    assert (r2, len(dec2)) == (rate, adp_n)
+    assert dec2 == wav_codec.decode_ima_adpcm(adp)[1]
+    for b in range(0, adp_n, blk):
+        assert dec2[b] == smooth[b]
+
     # hostile mutations of EVERY container must not crash the dispatch,
     # and mutated AVIs must keep the demuxer inside its ValueError-only
     # contract (r07 review finding: the AVI was round-tripped but never
-    # mutated, so demux contract escapes were invisible to this tier)
-    for payload in (png, enc, wav_codec.encode_wav(rate, samples), avi):
+    # mutated, so demux contract escapes were invisible to this tier);
+    # mutated ADPCM must stay inside the audio kernel's contract too
+    from etl_asana_spark.operators.multimodal import _audio_read
+
+    for payload in (png, enc, wav_codec.encode_wav(rate, samples), avi, adp):
         for _ in range(5):
             cut = rng.randint(1, len(payload))
             mut = bytearray(payload[:cut])
@@ -2231,3 +2250,8 @@ def test_media_codec_roundtrip_fuzz(seed):
                 avi_codec.demux_mjpeg_avi(bytes(mut))
             except ValueError:
                 pass  # the ONLY exception the demux contract permits
+            # the audio dispatch must never crash either: a mutated
+            # container either still decodes (real tier) or falls to the
+            # raw-PCM reading — anything else is a contract escape
+            mtype2, rate2, _s = _audio_read(bytes(mut))
+            assert mtype2 in ("audio/wav", "audio/pcm-u8") and rate2 > 0
