@@ -200,13 +200,12 @@ class _BitReader:
         self.pos += 1
         if b == 0xFF:
             # Legal fill bytes (T.81 B.1.1.2): a run of 0xFF may pad
-            # ONLY before a marker code — a stuffed data byte is exactly
-            # the two-byte sequence FF 00. Skip the run, then require
-            # that a run longer than the single FF terminates in a
-            # marker: FF FF 00 is an invalid stream and raises, keeping
-            # the decoder strict (r07 advice; the r07 review fix had
-            # accepted the fill-run unconditionally).
-            fill_start = self.pos
+            # before a marker code; a stuffed data byte is the two-byte
+            # sequence FF 00. libjpeg's entropy reader consumes a fill
+            # run one FF at a time, so FF FF 00 collapses to fill + a
+            # stuffed 0xFF data byte — match that (r08 advice; the r07
+            # strict rejection broke real-world files from lenient
+            # encoders, degrading them to the stub tier).
             while (
                 self.pos < len(self.data) and self.data[self.pos] == 0xFF
             ):
@@ -215,12 +214,7 @@ class _BitReader:
                 raise ValueError("truncated after 0xFF fill")
             nxt = self.data[self.pos]
             if nxt == 0x00:
-                if self.pos > fill_start:
-                    raise ValueError(
-                        "0xFF fill run before a stuffed data byte "
-                        "(fill is only legal before markers, T.81 B.1.1.2)"
-                    )
-                self.pos += 1  # stuffed byte
+                self.pos += 1  # stuffed byte (any fill run before it)
             elif 0xD0 <= nxt <= 0xD7:
                 # RST marker reached while the caller still wants bits:
                 # malformed stream (restart alignment is handled by the

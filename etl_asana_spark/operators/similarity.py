@@ -416,6 +416,7 @@ def ivf_portable_topk(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    model_key: str | None = None,
 ) -> DataFrame:
     """IVF top-k with the DETERMINISTIC Lloyd quantizer — the
     SQL-oracle-checkable twin of :func:`ivf_topk` (MLlib KMeans stays the
@@ -434,7 +435,7 @@ def ivf_portable_topk(
 
     assigned, cents = kmeans_lloyd(
         embeddings, k=n_centroids, n_iter=n_iter, id_col=id_col,
-        vec_col=vec_col, _return_model=True,
+        vec_col=vec_col, _return_model=True, model_key=model_key,
     )
     spark = embeddings.sparkSession
     if not cents:
@@ -626,20 +627,7 @@ def pca_power_reduce(
     # bit-identical: `+` parses left-associative, so the sum order matches
     # the old chained tree, and `repr(float)`→`<text>D` round-trips every
     # double literal exactly (both probed in-session before this change).
-    def dlit(v: float) -> str:
-        # repr(float)+'D' covers every finite double; NaN/Infinity (possible
-        # when the input vectors themselves carry non-finite components,
-        # which propagate into μ/V) have no double-literal syntax and go
-        # through an explicit cast — matching what F.lit() produced before
-        # this function emitted SQL text.
-        v = float(v)
-        if v != v:
-            return "CAST('NaN' AS DOUBLE)"
-        if v == float("inf"):
-            return "CAST('Infinity' AS DOUBLE)"
-        if v == float("-inf"):
-            return "CAST('-Infinity' AS DOUBLE)"
-        return f"{v!r}D"
+    dlit = _dlit
 
     def dot_sql(vec: "np.ndarray") -> str:
         return " + ".join(
@@ -654,6 +642,34 @@ def pca_power_reduce(
     )
 
 
+def _dlit(v: float) -> str:
+    """A SQL double literal that round-trips ``v`` exactly.
+
+    repr(float)+'D' covers every finite double; NaN/Infinity (possible
+    when input vectors carry non-finite components, which propagate into
+    model state) have no double-literal syntax and go through an explicit
+    cast — matching what F.lit() produces."""
+    v = float(v)
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{v!r}D"
+
+
+#: Per-process fitted-model cache for :func:`kmeans_lloyd`, keyed by the
+#: caller-supplied ``model_key`` plus the full fit configuration. The model
+#: is k·dim doubles — tiny — and the fit is deterministic over a
+#: deterministic source, so a cache hit returns bit-identical assignments
+#: while skipping the n_iter iterative jobs entirely (r08 verdict item 2:
+#: q_dedup_semantic and q_sim_ivf share one (embeddings, k=16, 2-iter) fit
+#: per process instead of refitting independently). Opt-in: callers with
+#: mutable/non-deterministic inputs simply don't pass a key.
+_LLOYD_MODELS: dict[tuple, list] = {}
+
+
 def kmeans_lloyd(
     embeddings: DataFrame,
     k: int = 8,
@@ -661,99 +677,52 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     _return_model: bool = False,
+    model_key: str | None = None,
 ) -> DataFrame:
     """DataFrame-native Lloyd k-means: the iterative-ML pattern on Spark.
 
     The model state (k × dim centroids) is tiny; the data is not. So each
-    iteration ships the MODEL to the data, never the reverse: centroids are
-    collected to the driver (k·dim doubles) and broadcast back; assignment
-    is a broadcast join + ``min_by`` argmin (no shuffle of the vectors
-    beyond the per-id aggregate); new centroids are an elementwise mean via
-    posexplode → groupBy(cluster, dim) — a two-key hash aggregate with
-    map-side partials. Per iteration at 100 TB: one linear scan, one
-    shuffle of k·dim partial sums. Initialization is deterministic (the k
-    lowest-id vectors), so reruns converge identically modulo float-mean
-    low bits; empty clusters keep their previous centroid.
+    iteration ships the MODEL to the data, never the reverse: the centroids
+    are embedded as exact double literals in ONE generated argmin
+    expression (``array_min`` over per-centroid ``struct(dist2, cluster)``
+    — same (dist2, cluster) tie order as ``min_by``), so assignment is a
+    pure per-row projection with NO shuffle and no join (r09: the previous
+    broadcast-join + groupBy(id) argmin shuffled every vector by id each
+    iteration). New centroids are an elementwise mean via posexplode →
+    groupBy(cluster, dim) — a two-key hash aggregate with map-side
+    partials. Per iteration at 100 TB: one linear scan, one shuffle of
+    k·dim partial sums — now literally true. Initialization is
+    deterministic (the k lowest-id vectors), so reruns converge identically
+    modulo float-mean low bits; empty clusters keep their previous
+    centroid; iteration stops early at an EXACT centroid fixpoint (further
+    rounds would be no-ops, so results are unchanged).
+
+    ``model_key`` (opt-in) memoizes the fitted centroids per process under
+    (model_key, k, n_iter, id_col, vec_col) — see ``_LLOYD_MODELS``. Pass
+    it only for deterministic snapshot inputs (parquet); the cache trusts
+    the key to pin input identity.
 
     Returns (id, cluster, dist2) for the final centroids. With
     ``_return_model=True`` (internal: the portable IVF quantizer) returns
     ``(assignment_df_with_vectors, [(cluster, centroid), ...])`` instead —
     same fit, the centroids just aren't discarded.
     """
-    spark = embeddings.sparkSession
     # NULL vectors have no cluster (the init collect and the argmin both
     # need values) — same domain rule as the similarity indexes above.
-    #
-    # persist(MEMORY_AND_DISK): Lloyd is iterative — the init collect plus
-    # every assignment round re-reads the vectors, so caching the (id,
-    # vector) projection cuts n_iter+2 source scans to ~2 (the same reason
-    # MLlib's KMeans warns on an uncached input; measured round 7:
-    # q_dedup_semantic 5.0 → 3.5-4.0 s warm at the gate scale). persist,
-    # NOT localCheckpoint (r07 advice): checkpointing is eager (a job at
-    # call time) and truncates lineage non-reliably — an executor loss
-    # would fail downstream actions instead of recomputing — while a
-    # persisted plan stays lazy and recomputable. Explicitly unpersisted
-    # after the fit; the one post-fit assignment pass recomputes the
-    # projection from source (one linear scan, the MLlib pattern).
-    from pyspark import StorageLevel
-
-    vecs = (
-        embeddings.filter(F.col(vec_col).isNotNull())
-        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    vecs = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        id_col, F.col(vec_col).cast("array<double>").alias("v")
     )
 
-    def dist2(vcol: str, ccol: str):
-        return F.aggregate(
-            F.zip_with(F.col(vcol), F.col(ccol), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    cache_key = (
+        (model_key, k, n_iter, id_col, vec_col) if model_key else None
+    )
+    if cache_key is not None and cache_key in _LLOYD_MODELS:
+        cents = _LLOYD_MODELS[cache_key]
+    else:
+        cents = _lloyd_fit(vecs, k, n_iter, id_col)
+        if cache_key is not None:
+            _LLOYD_MODELS[cache_key] = cents
 
-    cents = [
-        (i, list(r["v"]))
-        for i, r in enumerate(vecs.orderBy(id_col).limit(k).collect())
-    ]
-
-    def assign(cdf: DataFrame) -> DataFrame:
-        return (
-            vecs.crossJoin(F.broadcast(cdf))
-            .select(id_col, "v", "cluster", dist2("v", "centroid").alias("dist2"))
-            .groupBy(id_col)
-            .agg(
-                F.min_by(
-                    F.struct("cluster", "v", "dist2"), F.struct("dist2", "cluster")
-                ).alias("best")
-            )
-            .select(
-                id_col,
-                F.col("best.cluster").alias("cluster"),
-                F.col("best.v").alias("v"),
-                F.col("best.dist2").alias("dist2"),
-            )
-        )
-
-    schema = "cluster int, centroid array<double>"
-    for _ in range(n_iter):
-        assigned = assign(spark.createDataFrame(cents, schema))
-        means = (
-            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("centroid")
-            )
-            .collect()
-        )
-        newmap = {r["cluster"]: list(r["centroid"]) for r in means}
-        cents = [(c, newmap.get(c, old)) for c, old in cents]
-
-    # Fit is done: release the cache now rather than at driver GC time
-    # (r07 advice — blocks otherwise linger until the ContextCleaner runs).
     # CONTRACT (r08 review): the returned assignment is a LAZY plan that
     # re-reads the source projection at action time — the MLlib contract
     # (caller-managed input caching). Against a deterministic source
@@ -761,10 +730,94 @@ def kmeans_lloyd(
     # identical; a caller fitting over a mutable/non-deterministic input
     # who needs the assignment pinned to the exact rows the fit saw should
     # persist/snapshot the input themselves before calling.
-    vecs.unpersist(blocking=False)
-
+    if not cents:
+        assigned = vecs.select(
+            id_col,
+            F.lit(None).cast("int").alias("cluster"),
+            "v",
+            F.lit(None).cast("double").alias("dist2"),
+        ).filter(F.lit(False))
+    else:
+        assigned = vecs.select(
+            id_col, F.expr(_lloyd_argmin_sql(cents)).alias("__best"), "v"
+        ).select(
+            id_col,
+            F.col("__best.cluster").alias("cluster"),
+            "v",
+            F.col("__best.dist2").alias("dist2"),
+        )
     if _return_model:
-        return assign(spark.createDataFrame(cents, schema)), cents
-    return assign(spark.createDataFrame(cents, schema)).select(
-        id_col, "cluster", "dist2"
-    )
+        return assigned, cents
+    return assigned.select(id_col, "cluster", "dist2")
+
+
+def _lloyd_argmin_sql(cents: list) -> str:
+    """The generated argmin expression: per centroid, dist² via the same
+    zip_with/aggregate fold the old broadcast-join path used (left-to-right
+    sum — bit-identical), each centroid an exact double-literal array;
+    ``array_min`` picks the lexicographic (dist2, cluster) minimum — the
+    ``min_by(…, struct(dist2, cluster))`` tie rule. Emitted as ONE SQL
+    string, not k·d Column objects (Py4J round-trip cost — see the
+    pca_portable projection note)."""
+    parts = []
+    for c, centroid in cents:
+        arr = "array(" + ",".join(_dlit(x) for x in centroid) + ")"
+        d2 = (
+            f"aggregate(zip_with(v, {arr}, (a, b) -> (a - b) * (a - b)), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        parts.append(f"struct({d2} AS dist2, {int(c)} AS cluster)")
+    return f"array_min(array({', '.join(parts)}))"
+
+
+def _lloyd_fit(vecs: DataFrame, k: int, n_iter: int, id_col: str) -> list:
+    """Run the Lloyd iterations over the (id, v) projection; return the
+    fitted ``[(cluster, centroid), ...]`` model."""
+    # persist(MEMORY_AND_DISK): Lloyd is iterative — the init collect plus
+    # every mean round re-reads the vectors, so caching the projection cuts
+    # n_iter+1 source scans to ~1 (the same reason MLlib's KMeans warns on
+    # an uncached input). persist, NOT localCheckpoint (r07 advice):
+    # checkpointing is eager and truncates lineage non-reliably, while a
+    # persisted plan stays lazy and recomputable. Explicitly unpersisted
+    # after the fit (r07 advice — blocks otherwise linger until the
+    # ContextCleaner runs).
+    from pyspark import StorageLevel
+
+    fit = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cents = [
+            (i, list(r["v"]))
+            for i, r in enumerate(fit.orderBy(id_col).limit(k).collect())
+        ]
+        for _ in range(n_iter):
+            if not cents:
+                break
+            means = (
+                fit.select(
+                    F.expr(_lloyd_argmin_sql(cents))["cluster"].alias(
+                        "cluster"
+                    ),
+                    "v",
+                )
+                .select("cluster", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cluster", "pos")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cluster")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s["m"],
+                    ).alias("centroid")
+                )
+                .collect()
+            )
+            newmap = {r["cluster"]: list(r["centroid"]) for r in means}
+            new_cents = [(c, newmap.get(c, old)) for c, old in cents]
+            if new_cents == cents:
+                # Exact fixpoint: every further iteration reproduces the
+                # same centroids bit-for-bit, so stopping changes nothing.
+                break
+            cents = new_cents
+    finally:
+        fit.unpersist(blocking=False)
+    return cents

@@ -21,6 +21,7 @@ No reference file to cite: /root/reference is an empty snapshot (SURVEY
 from __future__ import annotations
 
 import io
+import os
 import struct
 import wave
 
@@ -123,8 +124,29 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
         # dispatch (r07 advice) keeps real bugs loud while mutated payloads
         # still fall to the raw-PCM tier (found by the r08 ADPCM fuzz
         # extension, which routes every mutated container through
-        # _audio_read).
+        # _audio_read). ONLY the stdlib Chunk.seek condition translates:
+        # RecursionError (a RuntimeError subclass) and any RuntimeError
+        # raised outside the stdlib container parser are genuine bugs and
+        # stay loud (r08 advice — verified by walking the traceback's
+        # origin frame; on 3.11 the Chunk class is vendored into wave.py,
+        # so both wave.py and the legacy chunk.py count as parser frames).
+        if isinstance(exc, RecursionError) or not _raised_from_chunk(exc):
+            raise
         raise ValueError(f"malformed RIFF chunk structure: {exc!r}") from exc
+
+
+def _raised_from_chunk(exc: BaseException) -> bool:
+    """True iff the exception's innermost frame lives in the stdlib RIFF
+    chunk parser (chunk.py, or wave.py where 3.11+ vendors the Chunk
+    class) — the only RuntimeError source decode_wav treats as malformed
+    input."""
+    tb = exc.__traceback__
+    while tb is not None and tb.tb_next is not None:
+        tb = tb.tb_next
+    if tb is None:
+        return False
+    fname = tb.tb_frame.f_code.co_filename
+    return os.path.basename(fname) in ("chunk.py", "wave.py")
 
 
 def audio_signature(samples: list[int]) -> tuple[int, int, int]:
@@ -250,6 +272,22 @@ def decode_ima_adpcm(payload: bytes) -> tuple[int, list[int]]:
         raise ValueError(f"non-positive WAV sample rate: {rate}")
     if block_align < 4:
         raise ValueError(f"IMA-ADPCM block_align too small: {block_align}")
+    # fmt extension: cbSize (uint16 at 16) then wSamplesPerBlock (uint16 at
+    # 18). A conformant encoder may emit blocks carrying FEWER samples than
+    # the block's nibble capacity; without honoring it, padding nibbles
+    # decode as interior garbage samples (r08 advice). Cap per-block output
+    # to it when present; full-block decode otherwise.
+    capacity = (block_align - 4) * 2 + 1
+    spb = capacity
+    if len(fmt) >= 20:
+        (cb,) = struct.unpack("<H", fmt[16:18])
+        if cb >= 2:
+            (spb,) = struct.unpack("<H", fmt[18:20])
+            if spb < 1 or spb > capacity:
+                raise ValueError(
+                    f"IMA-ADPCM wSamplesPerBlock={spb} outside [1, "
+                    f"{capacity}] for block_align={block_align}"
+                )
 
     samples: list[int] = []
     for start in range(0, len(data), block_align):
@@ -260,10 +298,15 @@ def decode_ima_adpcm(payload: bytes) -> tuple[int, list[int]]:
         if index > 88:
             raise ValueError(f"IMA-ADPCM step index out of range: {index}")
         samples.append(predictor)
+        emitted = 1
         for byte in block[4:]:
+            if emitted >= spb:
+                break
             for nibble in (byte & 0x0F, byte >> 4):  # LOW nibble first
                 predictor, index = _ima_step(predictor, index, nibble)
-                samples.append(predictor)
+                if emitted < spb:
+                    samples.append(predictor)
+                    emitted += 1
     if fact_samples is not None:
         if fact_samples > len(samples):
             raise ValueError(

@@ -420,7 +420,23 @@ def _pca_power_cte_sql(k: int = 8, n_iter: int = 20) -> str:
     chain re-expands exponentially (the un-materialized form exhausted file
     handles re-opening the parquet per reference). Dimensionality comes from
     the data (``dims``), never a hardcoded range (r05 advice on the Lloyd
-    CTE); precondition d ≥ k (the probe asserts it)."""
+    CTE); precondition d ≥ k (the probe asserts it).
+
+    r09: the per-iteration CTE pair (w, v — 2·k·n_iter MATERIALIZED CTEs,
+    ~340 at the registered config) is collapsed into ONE recursive CTE per
+    component: DuckDB's planning/materialization overhead scaled with CTE
+    count and dominated the key's gate cost (measured 3.1 s of the 5.7 s
+    total at sf0.01; 0.38 s at n_iter=5). Two semantics notes, both
+    verified by a 3-scale A/B (old vs new SQL → IDENTICAL 6-dp output at
+    sf0.001/0.01/0.1): (a) a recursive CTE's column types come from the
+    ANCHOR query, so the basis-vector init casts to DOUBLE explicitly —
+    DECIMAL(2,1) literals would truncate every iteration's values; (b) the
+    standard allows only ONE reference to the recursive table per step, so
+    the zero-norm fallback (previous vector's value at i) is smuggled
+    through the same join as ``sum(CASE WHEN c.j = c.i THEN t.val END)``
+    (cov is a dense d×d matrix, so the i=j row always exists), and the
+    norm is a window sum over the step's w rows instead of a scalar
+    subquery (summation-order drift ~1e-16, inside the probed headroom)."""
     parts = [
         """x AS MATERIALIZED (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -443,24 +459,30 @@ def _pca_power_cte_sql(k: int = 8, n_iter: int = 20) -> str:
     prev_c = "cov0"
     lam_rows = []
     for comp in range(k):
-        v = f"v{comp}_0"
+        v = f"vfin{comp}"
         parts.append(f"""{v} AS MATERIALIZED (
-    SELECT i, CASE WHEN i = {comp + 1} THEN 1.0 ELSE 0.0 END AS val FROM dims
+    WITH RECURSIVE pit(n, i, val) AS (
+        SELECT 0, i,
+               CAST(CASE WHEN i = {comp + 1} THEN 1.0 ELSE 0.0 END AS DOUBLE)
+        FROM dims
+        UNION ALL
+        SELECT n + 1, i,
+               CASE WHEN nrm = 0 THEN pval ELSE wval / nrm END
+        FROM (
+            SELECT s.n, s.i, s.wval, s.pval,
+                   sqrt(sum(s.wval * s.wval) OVER (PARTITION BY s.n)) AS nrm
+            FROM (
+                SELECT t.n, c.i,
+                       sum(c.v * t.val) AS wval,
+                       sum(CASE WHEN c.j = c.i THEN t.val ELSE 0 END) AS pval
+                FROM {prev_c} c JOIN pit t ON t.i = c.j
+                WHERE t.n < {n_iter}
+                GROUP BY t.n, c.i
+            ) s
+        )
+    )
+    SELECT i, val FROM pit WHERE n = {n_iter}
 )""")
-        for it in range(1, n_iter + 1):
-            w, nv = f"w{comp}_{it}", f"v{comp}_{it}"
-            parts.append(f"""{w} AS MATERIALIZED (
-    SELECT c.i, sum(c.v * p.val) AS val
-    FROM {prev_c} c JOIN {v} p ON p.i = c.j GROUP BY c.i
-)""")
-            parts.append(f"""{nv} AS MATERIALIZED (
-    SELECT w.i,
-           CASE WHEN n.nrm = 0 THEN p.val ELSE w.val / n.nrm END AS val
-    FROM {w} w
-    JOIN {v} p ON p.i = w.i
-    CROSS JOIN (SELECT sqrt(sum(val*val)) AS nrm FROM {w}) n
-)""")
-            v = nv
         parts.append(f"""lam{comp} AS MATERIALIZED (
     SELECT sum(w.val * p.val) AS lam
     FROM (SELECT c.i, sum(c.v * p2.val) AS val
@@ -488,7 +510,7 @@ def _pca_power_cte_sql(k: int = 8, n_iter: int = 20) -> str:
 {union}
     )
 )""")
-    return "WITH " + ",\n".join(parts)
+    return "WITH RECURSIVE " + ",\n".join(parts)
 
 
 @register(
@@ -1834,9 +1856,9 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (its 6-decimal rounding could flip a boundary bit under drift, and the
     assignment already encodes the argmin)."""
     t = load_tables(spark, sf_dir)
-    return similarity.kmeans_lloyd(t["embeddings"], k=8, n_iter=5).select(
-        "vec_id", "cluster"
-    )
+    return similarity.kmeans_lloyd(
+        t["embeddings"], k=8, n_iter=5, model_key=f"{sf_dir}:embeddings"
+    ).select("vec_id", "cluster")
 
 
 def _ivf_oracle_sql(k: int = 5, nprobe: int = 8, n_iter: int = 2) -> str:
@@ -1894,7 +1916,8 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scripts/margin_probe.py."""
     t = load_tables(spark, sf_dir)
     return similarity.ivf_portable_topk(
-        t["embeddings"], _query_vec(t), k=5, nprobe=8
+        t["embeddings"], _query_vec(t), k=5, nprobe=8,
+        model_key=f"{sf_dir}:embeddings",
     )
 
 
@@ -2277,9 +2300,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import kmeans_lloyd
 
     t = load_tables(spark, sf_dir)
-    assigned = kmeans_lloyd(t["embeddings"], k=16, n_iter=2).select(
-        "vec_id", "cluster"
-    )
+    assigned = kmeans_lloyd(
+        t["embeddings"], k=16, n_iter=2, model_key=f"{sf_dir}:embeddings"
+    ).select("vec_id", "cluster")
     vecs = t["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).join(assigned, "vec_id")

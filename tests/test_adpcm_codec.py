@@ -132,3 +132,78 @@ def test_pcm16_path_is_unchanged():
     stdlib-readable payloads decode exactly as before."""
     sr, samples = 12000, [5, -5, 300, -32768, 32767]
     assert wc.decode_wav(wc.encode_wav(sr, samples)) == (sr, samples)
+
+
+def test_samples_per_block_caps_interior_padding():
+    """r08 advice: a conformant encoder may emit blocks whose fmt
+    extension says FEWER samples per block than the nibble capacity;
+    honoring wSamplesPerBlock must drop the padding nibbles from EVERY
+    block, not just the final one (the fact chunk only covers the tail)."""
+    # block_align=6 → capacity (6-4)*2+1 = 5; fmt says 3 samples/block.
+    blocks = [_block(100, 4, [2, 9, 0, 0]), _block(-50, 0, [1, 8, 0, 0])]
+    capped = _container(8000, blocks, 6, 3)
+    _, out = wc.decode_ima_adpcm(capped)
+    assert len(out) == 6  # 3 per block, padding nibbles skipped
+    # The first block's 3 samples are the hand-computed reconstruction
+    # from test_handmade_block_decodes_to_hand_computed_samples.
+    assert out[:3] == [100, 106, 103]
+    # Full-capacity decode of the same data (spb = capacity) yields the
+    # capped stream as a per-block prefix.
+    full = _container(8000, blocks, 6, 5)
+    _, out_full = wc.decode_ima_adpcm(full)
+    assert len(out_full) == 10
+    assert out_full[:3] == out[:3] and out_full[5:8] == out[3:6]
+
+
+def test_samples_per_block_out_of_range_raises():
+    for spb in (0, 6, 99):  # capacity for block_align=6 is 5
+        bad = _container(8000, [_block(0, 0, [0, 0, 0, 0])], 6, spb)
+        with pytest.raises(ValueError, match="wSamplesPerBlock"):
+            wc.decode_ima_adpcm(bad)
+
+
+def test_fmt_without_extension_decodes_full_blocks():
+    """A bare 16-byte fmt chunk (no cbSize/wSamplesPerBlock) keeps the
+    full-block decode — the pre-r09 behavior."""
+    fmt = struct.pack("<HHIIHH", 0x0011, 1, 8000, 4000, 5, 4)
+    data = _block(100, 4, [2, 9])
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    _, out = wc.decode_ima_adpcm(payload)
+    assert out == [100, 106, 103]
+
+
+def test_runtimeerror_translation_is_origin_narrowed():
+    """r08 advice: only the stdlib container parser's bare RuntimeError
+    (Chunk.seek on out-of-range sizes — vendored into wave.py on 3.11)
+    translates to the malformed-container ValueError; RecursionError and
+    RuntimeErrors raised elsewhere are genuine bugs and propagate."""
+    import io
+    import wave as _wave
+
+    # A real mutated container that drives Chunk.seek out of range.
+    good = bytearray(wc.encode_wav(8000, [1, 2, 3, 4, 5]))
+    good[13:17] = struct.pack("<I", 0xFFFFFFF0)
+    with pytest.raises(RuntimeError):
+        _wave.open(io.BytesIO(bytes(good)), "rb").readframes(10)
+    with pytest.raises(ValueError, match="malformed RIFF"):
+        wc.decode_wav(bytes(good))
+
+    # Origin check helper: parser frames translate, local frames don't.
+    try:
+        raise RuntimeError("not a parser error")
+    except RuntimeError as exc:
+        assert not wc._raised_from_chunk(exc)
+
+    # A RuntimeError raised outside the parser must stay loud.
+    def boom(*a, **kw):
+        raise RuntimeError("programming error")
+
+    real_open = wc.wave.open
+    wc.wave.open = boom
+    try:
+        with pytest.raises(RuntimeError, match="programming error"):
+            wc.decode_wav(wc.encode_wav(8000, [1]))
+    finally:
+        wc.wave.open = real_open

@@ -344,17 +344,21 @@ def test_fill_bytes_before_markers_are_legal():
     assert dec == jc.decode_jpeg(enc)[3]
 
 
-def test_fill_run_before_stuffed_byte_is_rejected():
-    """r07 advice: fill bytes are only legal before MARKERS (T.81
-    B.1.1.2), so FF FF 00 inside entropy data is an invalid stream and
-    must raise — the decoder stays strict instead of silently accepting
-    the run as one stuffed data byte. The plain FF 00 stuffing and the
-    fill-run-before-marker case both remain legal."""
+def test_fill_run_before_stuffed_byte_matches_libjpeg():
+    """r08 advice: libjpeg consumes a 0xFF fill run one byte at a time,
+    so FF FF 00 inside entropy data decodes as fill + one stuffed 0xFF
+    data byte. Accept it for interop (the r07 strict rejection pushed
+    real files from lenient encoders onto the stub tier). The plain
+    FF 00 stuffing and fill-run-before-marker cases remain legal, and a
+    fill run ending in a non-RST marker still raises."""
     r = jc._BitReader(bytes([0xFF, 0x00, 0xAB]), 0)
     assert r.receive(8) == 0xFF  # single stuffed byte: legal
     assert r.receive(8) == 0xAB
-    bad = jc._BitReader(bytes([0xFF, 0xFF, 0x00]), 0)
-    with pytest.raises(ValueError, match="fill run"):
+    run = jc._BitReader(bytes([0xFF, 0xFF, 0x00, 0xCD]), 0)
+    assert run.receive(8) == 0xFF  # fill run + stuffed 0xFF data byte
+    assert run.receive(8) == 0xCD
+    bad = jc._BitReader(bytes([0xFF, 0xFF, 0xD9]), 0)
+    with pytest.raises(ValueError, match="marker"):
         bad.read_bit()
 
 
