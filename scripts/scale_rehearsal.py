@@ -68,7 +68,7 @@ HEADLINE = [
 ]
 
 
-def replicate(spark, src: str, dst: str, n: int) -> None:
+def replicate(spark, src: str, dst: str, n: int, neardup: bool = False) -> None:
     from pyspark.sql import functions as F
 
     for name, keys in TABLE_KEYS.items():
@@ -79,6 +79,25 @@ def replicate(spark, src: str, dst: str, n: int) -> None:
             for col, fam in keys.items():
                 df = df.withColumn(
                     col, (F.col(col) + F.col("__r") * SPANS[fam]).cast("long")
+                )
+            if neardup and name == "documents":
+                # Replica 0 keeps the original text; each other replica
+                # appends a tiny per-replica suffix. Exact replication makes
+                # every copy a BYTE-identical duplicate, which the curation
+                # pipeline's exact-dedup stage (xxhash64 grouping) kills
+                # before the fuzzy stage ever sees it — so replicated-scale
+                # fuzzy timings would measure nothing. The suffix keeps
+                # trigram Jaccard between replicas high (one changed
+                # shingle out of hundreds), so the fuzzy stage faces n-way
+                # NEAR-dup clusters: C(n,2)× candidate-pair growth per
+                # cluster — the blocking join's and the CC loop's actual
+                # stress shape.
+                df = df.withColumn(
+                    "text",
+                    F.when(F.col("__r") == 0, F.col("text")).otherwise(
+                        F.concat(F.col("text"), F.lit(" replica"),
+                                 F.col("__r").cast("string"))
+                    ),
                 )
             df = df.drop("__r")
         df.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
@@ -201,12 +220,50 @@ def topk_ab(spark, sf_dir: str, runs: int) -> dict:
     return times
 
 
+def pipeline_ab(spark, src: str, dst: str) -> dict:
+    """Time curate_corpus's stage funnel at base scale and at the
+    replicated scale (r08 verdict item 3: the fuzzy stage's CC-loop round
+    count and blocking-join candidate volume are the two things that could
+    go super-linear). Returns per-stage seconds at both scales plus
+    ratios. Run with --neardup replication — exact replication's copies
+    die at the exact-dedup stage and the fuzzy stage sees no growth."""
+    from etl_asana_spark import pipelines
+    from etl_asana_spark.registry import load_tables
+
+    out = {}
+    for tag, d in (("base", src), ("big", dst)):
+        docs = load_tables(spark, d)["documents"]
+        t0 = time.perf_counter()
+        res = pipelines.curate_corpus(docs, count_funnel=True)
+        out[tag] = {
+            "stages": res.stage_seconds,
+            "funnel": res.funnel,
+            "total": round(time.perf_counter() - t0, 3),
+        }
+        print(f"pipeline {tag}: total {out[tag]['total']}s "
+              f"stages {res.stage_seconds}", file=sys.stderr)
+    ratios = {
+        k: round(out["big"]["stages"][k] / out["base"]["stages"][k], 2)
+        for k in out["base"]["stages"]
+        if out["base"]["stages"][k] > 0
+    }
+    out["stage_ratios"] = ratios
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--neardup", action="store_true",
+                    help="perturb each replica's document text so copies "
+                         "are NEAR-duplicates (fuzzy-dedup stress) instead "
+                         "of exact ones (which exact dedup collapses)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="time curate_corpus's stage funnel at both scales "
+                         "instead of the normal key sweep")
     ap.add_argument("--skew", type=float, default=0.0,
                     help="after replication, remap this fraction of "
                          "lineitem rows onto one hot l_orderkey (perf "
@@ -232,7 +289,7 @@ def main() -> int:
     if not args.keep:
         atexit.register(shutil.rmtree, dst, True)
     t0 = time.perf_counter()
-    replicate(spark, args.src, dst, args.replicas)
+    replicate(spark, args.src, dst, args.replicas, neardup=args.neardup)
     if args.skew > 0:
         skew_fact(spark, dst, args.skew)
         print(f"skewed: {args.skew:.0%} of lineitem on one hot l_orderkey")
@@ -242,6 +299,12 @@ def main() -> int:
     if args.topk_ab:
         times = topk_ab(spark, dst, args.runs)
         print(json.dumps({"replicas": args.replicas, "topk_ab": times}))
+        return 0
+
+    if args.pipeline:
+        res = pipeline_ab(spark, args.src, dst)
+        print(json.dumps({"replicas": args.replicas,
+                          "neardup": args.neardup, "pipeline": res}))
         return 0
 
     qs = catalog.queries()

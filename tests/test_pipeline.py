@@ -163,3 +163,41 @@ def test_curation_scrubs_planted_pii(spark):
     assert "<EMAIL>" in out[1] and "@" not in out[1]
     assert "<PHONE>" in out[2] and "555" not in out[2]
     assert "<" not in out[3]
+
+
+def test_curation_crash_after_cc_is_idempotent(spark, sf_dir):
+    """r08 verdict item 6: streaming has crash-injected recovery; pin the
+    BATCH pipeline's failure idempotence too. Kill curate_corpus between
+    the fuzzy stage's eager connected-components materialization and the
+    downstream stages (exception injected after the CC loop has launched
+    its jobs and materialized checkpoints), then re-run uninterrupted —
+    the output must equal a never-interrupted run. The crash leaves only
+    session-temp state (localCheckpoint blocks, scratch dirs); nothing
+    durable may leak into the retry."""
+    import pytest
+
+    docs = _docs(spark, sf_dir)
+    reference = canonical_rows(pipelines.curate_corpus(docs).curated.toPandas())
+
+    real_cc = pipelines.ngram_dedup_clusters
+
+    class _InjectedCrash(RuntimeError):
+        pass
+
+    def crashing_cc(exact, **kw):
+        clusters = real_cc(exact, **kw)
+        # Force the CC loop's eager materialization (the component loop
+        # localCheckpoints intermediates), THEN die — the verdict's exact
+        # crash point: after stage 3's jobs ran, before the final stages.
+        clusters.count()
+        raise _InjectedCrash("injected crash after CC materialization")
+
+    pipelines.ngram_dedup_clusters = crashing_cc
+    try:
+        with pytest.raises(_InjectedCrash):
+            pipelines.curate_corpus(docs).curated.count()
+    finally:
+        pipelines.ngram_dedup_clusters = real_cc
+
+    retry = canonical_rows(pipelines.curate_corpus(docs).curated.toPandas())
+    assert retry == reference
