@@ -761,7 +761,15 @@ def _lloyd_argmin_sql(cents: list) -> str:
     pca_portable projection note)."""
     parts = []
     for c, centroid in cents:
-        arr = "array(" + ",".join(_dlit(x) for x in centroid) + ")"
+        # A centroid COMPONENT can be NULL (an init vector with a NULL
+        # element, or a dimension whose posexplode mean saw only NULLs) —
+        # the old broadcast-join path shipped it as an array NULL, making
+        # every dist2 against that centroid NULL. An explicit NULL literal
+        # reproduces that exactly; _dlit would crash on None.
+        arr = "array(" + ",".join(
+            "CAST(NULL AS DOUBLE)" if x is None else _dlit(x)
+            for x in centroid
+        ) + ")"
         d2 = (
             f"aggregate(zip_with(v, {arr}, (a, b) -> (a - b) * (a - b)), "
             f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"

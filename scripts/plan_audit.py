@@ -44,14 +44,12 @@ CROSS_OK = {
     "q_mix_corpus",        # broadcast 1-row token budget
     "q_golden_important_parts",  # broadcast scalar total (Q11 shape)
     "q_golden_idle_customers",   # broadcast scalar avg (Q22 shape)
-    "q_emb_kmeans",        # broadcast model state per Lloyd iteration
     "q_sim_ivf",           # broadcast centroids
     "q_sim_ann",           # broadcast 1-row query: the literal query_id=0
                            # folds away, so the final score join degrades
                            # to a broadcast product of ONE row; the band
                            # candidate join and the vector re-join are
                            # hash joins (r06 unpivot rewrite)
-    "q_dedup_semantic",    # broadcast centroids
     # NOTE: q_dedup_embed left this list in round 3 — it now runs the exact
     # triangle-inequality blocked pipeline (broadcast cell-pair table + hash
     # joins); a BNLJ in its plan is a regression to flag.

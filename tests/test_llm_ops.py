@@ -711,6 +711,29 @@ def test_dup_ngram_fraction_bounds(spark, sf_dir):
     assert all(0.0 <= r["dup_frac"] <= 1.0 and r["n_shingles"] >= 1 for r in rows)
 
 
+def test_kmeans_null_component_and_ragged_vectors(spark):
+    """r09 regression: the generated-argmin rework crashed when an INIT
+    centroid carried a NULL component (``_dlit(None)``) — the old
+    broadcast-join path shipped it as an array NULL. NULL components and
+    ragged (shorter) vectors must flow through as NULL dist2 (assigned to
+    the lowest such cluster, the min_by NULLS-FIRST struct order), never
+    crash, and clean vectors must still cluster."""
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, [1.0, None]),  # NULL component — eligible as an init centroid
+        (3, [5.0]),        # ragged: zip_with pads -> NULL dist2
+        (4, [4.0, 5.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in similarity.kmeans_lloyd(emb, k=2, n_iter=2).collect()
+    }
+    assert len(out) == 4
+    assert out[2][1] is None and out[3][1] is None  # NULL dist2, no crash
+    assert out[1][1] is not None and out[4][1] is not None
+
+
 def test_kmeans_full_assignment_and_monotone_inertia(spark, sf_dir):
     """Lloyd invariants: every vector assigned exactly once; the objective
     (sum of squared distances) never increases with more iterations."""
