@@ -627,12 +627,10 @@ def pca_power_reduce(
     # bit-identical: `+` parses left-associative, so the sum order matches
     # the old chained tree, and `repr(float)`→`<text>D` round-trips every
     # double literal exactly (both probed in-session before this change).
-    dlit = _dlit
-
     def dot_sql(vec: "np.ndarray") -> str:
         return " + ".join(
-            f"(element_at(__pe, {i + 1}) - ({dlit(mu[i])}))"
-            f" * ({dlit(vec[i])})"
+            f"(element_at(__pe, {i + 1}) - ({_dlit(mu[i])}))"
+            f" * ({_dlit(vec[i])})"
             for i in range(d)
         )
 
@@ -697,16 +695,29 @@ def kmeans_lloyd(
     centroid; iteration stops early at an EXACT centroid fixpoint (further
     rounds would be no-ops, so results are unchanged).
 
+    Duplicate ids (r09 review): the oracle semantics — and the previous
+    groupBy(id) implementation — reduce rows SHARING an id to one output
+    row per iteration via the (dist2, cluster) argmin over every
+    (row, centroid) combination. A one-job id-uniqueness probe (ids only,
+    no vectors; memoized with the model) picks the plan: unique ids (the
+    relational norm, every catalog input) take the shuffle-free pure
+    projection; duplicate ids fall back to projection + per-id ``min_by``
+    reduce, which is exactly the old semantics and what the DuckDB Lloyd
+    CTE's ``row_number() PARTITION BY vec_id`` replays.
+
     ``model_key`` (opt-in) memoizes the fitted centroids per process under
     (model_key, k, n_iter, id_col, vec_col) — see ``_LLOYD_MODELS``. Pass
     it only for deterministic snapshot inputs (parquet); the cache trusts
-    the key to pin input identity.
+    the key to pin input identity. An empty string is rejected (it would
+    silently disable caching while looking like an opt-in).
 
     Returns (id, cluster, dist2) for the final centroids. With
     ``_return_model=True`` (internal: the portable IVF quantizer) returns
     ``(assignment_df_with_vectors, [(cluster, centroid), ...])`` instead —
     same fit, the centroids just aren't discarded.
     """
+    if model_key is not None and not model_key:
+        raise ValueError("model_key must be non-empty or None")
     # NULL vectors have no cluster (the init collect and the argmin both
     # need values) — same domain rule as the similarity indexes above.
     vecs = embeddings.filter(F.col(vec_col).isNotNull()).select(
@@ -714,14 +725,16 @@ def kmeans_lloyd(
     )
 
     cache_key = (
-        (model_key, k, n_iter, id_col, vec_col) if model_key else None
+        (model_key, k, n_iter, id_col, vec_col)
+        if model_key is not None
+        else None
     )
     if cache_key is not None and cache_key in _LLOYD_MODELS:
-        cents = _LLOYD_MODELS[cache_key]
+        cents, ids_unique = _LLOYD_MODELS[cache_key]
     else:
-        cents = _lloyd_fit(vecs, k, n_iter, id_col)
+        cents, ids_unique = _lloyd_fit(vecs, k, n_iter, id_col)
         if cache_key is not None:
-            _LLOYD_MODELS[cache_key] = cents
+            _LLOYD_MODELS[cache_key] = (cents, ids_unique)
 
     # CONTRACT (r08 review): the returned assignment is a LAZY plan that
     # re-reads the source projection at action time — the MLlib contract
@@ -738,17 +751,58 @@ def kmeans_lloyd(
             F.lit(None).cast("double").alias("dist2"),
         ).filter(F.lit(False))
     else:
-        assigned = vecs.select(
-            id_col, F.expr(_lloyd_argmin_sql(cents)).alias("__best"), "v"
-        ).select(
+        assigned = _lloyd_assign(vecs, cents, id_col, ids_unique)
+    if _return_model:
+        return assigned, cents
+    return assigned.select(id_col, "cluster", "dist2")
+
+
+def _ids_unique(vecs: DataFrame, id_col: str) -> bool:
+    """One-job probe: does any id appear on more than one (non-NULL-vector)
+    row? Shuffles ids only (8-byte keys, map-side combined) — once per fit,
+    vs the per-iteration full-vector shuffle the unique-id fast path saves."""
+    return (
+        vecs.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .isEmpty()
+    )
+
+
+def _lloyd_assign(
+    vecs: DataFrame, cents: list, id_col: str, ids_unique: bool
+) -> DataFrame:
+    """Assignment against fixed centroids: (id, cluster, v, dist2).
+
+    Unique ids → pure projection (no shuffle). Duplicate ids → the oracle
+    semantics: one row per id, the (dist2, cluster)-argmin over all of the
+    id's rows × centroids (projection argmin first, then a per-id
+    ``min_by`` reduce — map-side combinable)."""
+    best = vecs.select(
+        id_col, F.expr(_lloyd_argmin_sql(cents)).alias("__best"), "v"
+    )
+    if ids_unique:
+        return best.select(
             id_col,
             F.col("__best.cluster").alias("cluster"),
             "v",
             F.col("__best.dist2").alias("dist2"),
         )
-    if _return_model:
-        return assigned, cents
-    return assigned.select(id_col, "cluster", "dist2")
+    return (
+        best.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct("__best.cluster", "v", "__best.dist2"),
+                F.struct("__best.dist2", "__best.cluster"),
+            ).alias("__w")
+        )
+        .select(
+            id_col,
+            F.col("__w.cluster").alias("cluster"),
+            F.col("__w.v").alias("v"),
+            F.col("__w.dist2").alias("dist2"),
+        )
+    )
 
 
 def _lloyd_argmin_sql(cents: list) -> str:
@@ -778,9 +832,16 @@ def _lloyd_argmin_sql(cents: list) -> str:
     return f"array_min(array({', '.join(parts)}))"
 
 
-def _lloyd_fit(vecs: DataFrame, k: int, n_iter: int, id_col: str) -> list:
+def _lloyd_fit(
+    vecs: DataFrame, k: int, n_iter: int, id_col: str
+) -> tuple[list, bool]:
     """Run the Lloyd iterations over the (id, v) projection; return the
-    fitted ``[(cluster, centroid), ...]`` model."""
+    fitted ``([(cluster, centroid), ...], ids_unique)`` pair. The
+    uniqueness probe runs against the PERSISTED projection (no extra
+    source scan); a duplicate-id input switches each iteration's
+    assignment to the per-id argmin reduce (the oracle semantics — see
+    :func:`_lloyd_assign`), so means average one row per id exactly as
+    the Lloyd CTE's ``a{it}`` does."""
     # persist(MEMORY_AND_DISK): Lloyd is iterative — the init collect plus
     # every mean round re-reads the vectors, so caching the projection cuts
     # n_iter+1 source scans to ~1 (the same reason MLlib's KMeans warns on
@@ -797,16 +858,23 @@ def _lloyd_fit(vecs: DataFrame, k: int, n_iter: int, id_col: str) -> list:
             (i, list(r["v"]))
             for i, r in enumerate(fit.orderBy(id_col).limit(k).collect())
         ]
+        ids_unique = _ids_unique(fit, id_col)
         for _ in range(n_iter):
             if not cents:
                 break
-            means = (
-                fit.select(
+            if ids_unique:
+                it_assigned = fit.select(
                     F.expr(_lloyd_argmin_sql(cents))["cluster"].alias(
                         "cluster"
                     ),
                     "v",
                 )
+            else:
+                it_assigned = _lloyd_assign(
+                    fit, cents, id_col, ids_unique=False
+                ).select("cluster", "v")
+            means = (
+                it_assigned
                 .select("cluster", F.posexplode("v").alias("pos", "x"))
                 .groupBy("cluster", "pos")
                 .agg(F.avg("x").alias("m"))
@@ -828,4 +896,4 @@ def _lloyd_fit(vecs: DataFrame, k: int, n_iter: int, id_col: str) -> list:
             cents = new_cents
     finally:
         fit.unpersist(blocking=False)
-    return cents
+    return cents, ids_unique

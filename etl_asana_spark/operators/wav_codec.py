@@ -136,17 +136,26 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
 
 
 def _raised_from_chunk(exc: BaseException) -> bool:
-    """True iff the exception's innermost frame lives in the stdlib RIFF
-    chunk parser (chunk.py, or wave.py where 3.11+ vendors the Chunk
-    class) — the only RuntimeError source decode_wav treats as malformed
-    input."""
+    """True iff the exception is the stdlib RIFF parser's out-of-range-seek
+    signal: a BARE (no-args) RuntimeError whose innermost frame is the
+    ``seek`` method in chunk.py or wave.py (3.11+ vendors the Chunk class
+    into wave.py). Requiring the function name and the empty args keeps
+    any OTHER RuntimeError raised inside those files — or from an
+    unrelated module that happens to share the filename — loud (r09
+    review: the basename-only check re-opened the bug-masking along a
+    filename axis)."""
+    if exc.args:
+        return False
     tb = exc.__traceback__
     while tb is not None and tb.tb_next is not None:
         tb = tb.tb_next
     if tb is None:
         return False
-    fname = tb.tb_frame.f_code.co_filename
-    return os.path.basename(fname) in ("chunk.py", "wave.py")
+    code = tb.tb_frame.f_code
+    return (
+        os.path.basename(code.co_filename) in ("chunk.py", "wave.py")
+        and code.co_name == "seek"
+    )
 
 
 def audio_signature(samples: list[int]) -> tuple[int, int, int]:
@@ -279,9 +288,17 @@ def decode_ima_adpcm(payload: bytes) -> tuple[int, list[int]]:
     # to it when present; full-block decode otherwise.
     capacity = (block_align - 4) * 2 + 1
     spb = capacity
-    if len(fmt) >= 20:
+    if len(fmt) >= 18:
         (cb,) = struct.unpack("<H", fmt[16:18])
         if cb >= 2:
+            if len(fmt) < 20:
+                # cbSize PROMISES an extension the chunk doesn't carry —
+                # decoding full blocks anyway would emit the padding-nibble
+                # garbage this field exists to prevent (r09 review).
+                raise ValueError(
+                    "IMA-ADPCM fmt declares a "
+                    f"{cb}-byte extension but the chunk is {len(fmt)} bytes"
+                )
             (spb,) = struct.unpack("<H", fmt[18:20])
             if spb < 1 or spb > capacity:
                 raise ValueError(

@@ -207,3 +207,46 @@ def test_runtimeerror_translation_is_origin_narrowed():
             wc.decode_wav(wc.encode_wav(8000, [1]))
     finally:
         wc.wave.open = real_open
+
+
+def test_fmt_extension_declared_but_truncated_raises():
+    """r09 review: cbSize promising an extension the chunk doesn't carry
+    must raise (full-block decode would emit the padding-nibble garbage
+    wSamplesPerBlock exists to prevent), not silently decode."""
+    fmt18 = struct.pack("<HHIIHHH", 0x0011, 1, 8000, 4000, 5, 4, 2)
+    data = _block(100, 4, [2, 9])
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt18)) + fmt18
+            + b"data" + struct.pack("<I", len(data)) + data)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="extension"):
+        wc.decode_ima_adpcm(payload)
+
+
+def test_runtimeerror_origin_check_requires_seek_frame_and_bare_args():
+    """r09 review: a RuntimeError raised inside wave.py but NOT by
+    Chunk.seek (or carrying a message) is a genuine bug and must not be
+    translated — the origin check keys on (filename, co_name='seek',
+    empty args), not the filename alone."""
+    import wave as _wave
+
+    def fake_wave_frame():
+        raise RuntimeError("boom with args")
+
+    fake_wave_frame.__code__ = fake_wave_frame.__code__.replace(
+        co_filename=_wave.__file__
+    )
+    try:
+        fake_wave_frame()
+    except RuntimeError as exc:
+        assert not wc._raised_from_chunk(exc)  # has args
+
+    def bare_not_seek():
+        raise RuntimeError
+
+    bare_not_seek.__code__ = bare_not_seek.__code__.replace(
+        co_filename=_wave.__file__
+    )
+    try:
+        bare_not_seek()
+    except RuntimeError as exc:
+        assert not wc._raised_from_chunk(exc)  # bare, right file, wrong fn

@@ -734,6 +734,38 @@ def test_kmeans_null_component_and_ragged_vectors(spark):
     assert out[1][1] is not None and out[4][1] is not None
 
 
+def test_kmeans_duplicate_ids_reduce_to_one_row_per_id(spark):
+    """r09 review: rows SHARING an id (upstream join fan-out) must reduce
+    to ONE output row per id via the (dist2, cluster) argmin over every
+    (row, centroid) combination — the DuckDB Lloyd CTE's ``row_number()
+    PARTITION BY vec_id`` semantics, which the old groupBy(id) argmin
+    implemented and the shuffle-free fast path must fall back from."""
+    rows = [
+        (1, [0.0, 0.0]),
+        (1, [10.0, 10.0]),   # duplicate id, different vector
+        (2, [0.1, 0.1]),
+        (3, [10.0, 10.1]),
+        (4, [0.2, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = similarity.kmeans_lloyd(emb, k=2, n_iter=2).collect()
+    assert len(out) == 4  # one row per DISTINCT id
+    by_id = {r["vec_id"]: r for r in out}
+    # id 1's winner is whichever of its two vectors lands closer to its
+    # best centroid — with clusters at ~(0,0) and ~(10,10), both vectors
+    # have dist2 ~0 to one centroid; the argmin tie-break is
+    # (dist2, cluster), deterministic.
+    assert by_id[1]["dist2"] == min(
+        r["dist2"] for r in out if r["vec_id"] == 1
+    )
+    # unique-id inputs keep the fast path and identical results
+    uniq = spark.createDataFrame(
+        [(i, v) for i, (j, v) in enumerate(rows)],
+        "vec_id bigint, embedding array<double>",
+    )
+    assert similarity.kmeans_lloyd(uniq, k=2, n_iter=2).count() == 5
+
+
 def test_kmeans_full_assignment_and_monotone_inertia(spark, sf_dir):
     """Lloyd invariants: every vector assigned exactly once; the objective
     (sum of squared distances) never increases with more iterations."""
