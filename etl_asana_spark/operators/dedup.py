@@ -1062,12 +1062,22 @@ def embedding_cosine_dups_blocked(
             )
         return s
 
+    # Explicit repartition on the cell key (r09): the verify join's LEFT
+    # side inherits the collapse checkpoint's partition count (AQE coalesces
+    # the tiny rep table to ~2 partitions), and the RIGHT side is broadcast-
+    # eligible — so without this the pair-producing join, whose OUTPUT is
+    # the candidate-pair explosion (the compute-heavy part), runs at 2-task
+    # parallelism regardless of cores. Cells ARE the documented verify
+    # shuffle keys; one cheap shuffle of n rep rows unlocks core-count
+    # parallelism for the O(pairs) dot evaluation (measured at sf0.01:
+    # 4.6 s → ~2 s steady-state).
+    n_par = max(embeddings.sparkSession.sparkContext.defaultParallelism, 8)
     a = assigned.select(
         F.col("cell").alias("cell_a"),
         F.col("id").alias("ida"),
         F.col("vec").alias("veca"),
         F.col("nrm").alias("nrma"),
-    )
+    ).repartition(n_par, "cell_a")
     b = assigned.select(
         F.col("cell").alias("cell_b"),
         F.col("id").alias("idb"),
