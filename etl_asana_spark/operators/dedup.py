@@ -1195,12 +1195,21 @@ def semantic_dedup_stats(
         base, "id", "vec", group_cols=("cluster",)
     )
 
+    # Explicit repartition on the join key (r09, same finding as
+    # embedding_cosine_dups_blocked's verify join): ``groups`` is a
+    # localCheckpoint whose partition count AQE coalesced to ~2, and the
+    # right side is broadcast-eligible — so the within-cluster pair join,
+    # whose OUTPUT is O((distinct/k)²·k) rows of cosine work, otherwise
+    # runs 2-wide regardless of cores. Parallelism is key-bound at k
+    # clusters, which is the operator's documented SemDeDup shape (k grows
+    # with the corpus on a real deployment).
+    n_par = max(vecs.sparkSession.sparkContext.defaultParallelism, 8)
     ga = groups.select(
         "cluster",
         F.col("rep").alias("rep_a"),
         F.col("vec").alias("va"),
         F.col("cnt").alias("cnt_a"),
-    )
+    ).repartition(n_par, "cluster")
     gb = groups.select(
         "cluster",
         F.col("rep").alias("rep_b"),
