@@ -734,6 +734,47 @@ def test_kmeans_null_component_and_ragged_vectors(spark):
     assert out[1][1] is not None and out[4][1] is not None
 
 
+def test_kmeans_model_cache_isolates_by_key_and_config(spark):
+    """r09: the opt-in fitted-model cache must never serve one input's
+    centroids to another — distinct model_keys, and distinct (k, n_iter)
+    under ONE key, fit independently; the same (key, config) pair is a
+    cache hit returning identical assignments; an empty-string key is
+    rejected loudly instead of silently not caching."""
+    import pytest
+
+    a = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(i, [100.0 + i, 50.0]) for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    ka, kb = "test-cache-a", "test-cache-b"
+    fit_a = similarity.kmeans_lloyd(a, k=2, n_iter=2, model_key=ka)
+    fit_b = similarity.kmeans_lloyd(b, k=2, n_iter=2, model_key=kb)
+    da = {r["vec_id"]: r["dist2"] for r in fit_a.collect()}
+    db = {r["vec_id"]: r["dist2"] for r in fit_b.collect()}
+    # b's vectors are ~100 away from a's centroids: had b been served a's
+    # cached model, its dist2 values would be ~1e4, not ~O(10).
+    assert max(db.values()) < 100.0 and max(da.values()) < 100.0
+    # cache hit: same key + config reproduces identical assignments
+    again = {
+        r["vec_id"]: r["dist2"]
+        for r in similarity.kmeans_lloyd(
+            a, k=2, n_iter=2, model_key=ka
+        ).collect()
+    }
+    assert again == da
+    # different config under the same key is a different cache entry
+    _, cents3 = similarity.kmeans_lloyd(
+        a, k=3, n_iter=1, model_key=ka, _return_model=True
+    )
+    assert len(cents3) == 3
+    with pytest.raises(ValueError, match="model_key"):
+        similarity.kmeans_lloyd(a, k=2, n_iter=1, model_key="")
+
+
 def test_kmeans_duplicate_ids_reduce_to_one_row_per_id(spark):
     """r09 review: rows SHARING an id (upstream join fan-out) must reduce
     to ONE output row per id via the (dist2, cluster) argmin over every
