@@ -668,6 +668,26 @@ def _dlit(v: float) -> str:
 _LLOYD_MODELS: dict[tuple, list] = {}
 
 
+def reset_lloyd_model_cache(model_key: str | None = None) -> int:
+    """Invalidate fitted-model cache entries; returns how many dropped.
+
+    The cache trusts ``model_key`` to pin input identity, so any code that
+    REGENERATES data under a path it previously fitted against (the
+    rehearsal scripts overwrite ``{dst}/embeddings.parquet`` between
+    configurations) must call this first or stale centroids are served
+    silently (r09 advice). ``model_key=None`` clears everything;
+    otherwise only entries fitted under that exact key are dropped (the
+    key is the first element of each cache tuple)."""
+    if model_key is None:
+        n = len(_LLOYD_MODELS)
+        _LLOYD_MODELS.clear()
+        return n
+    doomed = [k for k in _LLOYD_MODELS if k[0] == model_key]
+    for k in doomed:
+        del _LLOYD_MODELS[k]
+    return len(doomed)
+
+
 def kmeans_lloyd(
     embeddings: DataFrame,
     k: int = 8,
@@ -769,6 +789,21 @@ def _ids_unique(vecs: DataFrame, id_col: str) -> bool:
     )
 
 
+#: Inline-literal assignment threshold on Σ centroid dims (≈ k·d). The
+#: generated argmin inlines k·d double literals (~22 bytes each) into ONE
+#: expression; past ~64 KB Java's per-method bytecode and constant-pool
+#: limits push Spark off whole-stage codegen into interpreted eval (or, at
+#: the extreme, an analysis failure). 2048 doubles ≈ 45 KB of SQL text —
+#: comfortably inside codegen — and covers every catalog fit (k ≤ 16,
+#: d ≤ 64) with 2× headroom; above it the broadcast-join path is the
+#: better physical plan anyway (r09 advice: no guard existed).
+_LLOYD_INLINE_MAX_KD = 2048
+
+
+def _lloyd_inline_ok(cents: list) -> bool:
+    return sum(len(c) for _, c in cents) <= _LLOYD_INLINE_MAX_KD
+
+
 def _lloyd_assign(
     vecs: DataFrame, cents: list, id_col: str, ids_unique: bool
 ) -> DataFrame:
@@ -777,17 +812,52 @@ def _lloyd_assign(
     Unique ids → pure projection (no shuffle). Duplicate ids → the oracle
     semantics: one row per id, the (dist2, cluster)-argmin over all of the
     id's rows × centroids (projection argmin first, then a per-id
-    ``min_by`` reduce — map-side combinable)."""
-    best = vecs.select(
-        id_col, F.expr(_lloyd_argmin_sql(cents)).alias("__best"), "v"
-    )
-    if ids_unique:
-        return best.select(
-            id_col,
-            F.col("__best.cluster").alias("cluster"),
-            "v",
-            F.col("__best.dist2").alias("dist2"),
+    ``min_by`` reduce — map-side combinable).
+
+    Model size dispatch (r09 advice): the shuffle-free projection inlines
+    the whole model as literals, which only codegens while k·d stays
+    small; above ``_LLOYD_INLINE_MAX_KD`` the model ships as a BROADCAST
+    table instead (still never shuffling the vectors BY VALUE — the
+    per-id argmin reduce is one keyed shuffle, the pre-r09 shape). Both
+    paths fold dist² with the same left-to-right zip_with/aggregate sum
+    and break ties by (dist2, cluster), so results are bit-identical."""
+    if _lloyd_inline_ok(cents):
+        best = vecs.select(
+            id_col, F.expr(_lloyd_argmin_sql(cents)).alias("__best"), "v"
         )
+        if ids_unique:
+            return best.select(
+                id_col,
+                F.col("__best.cluster").alias("cluster"),
+                "v",
+                F.col("__best.dist2").alias("dist2"),
+            )
+    else:
+        cents_df = vecs.sparkSession.createDataFrame(
+            [(int(c), [None if x is None else float(x) for x in cen])
+             for c, cen in cents],
+            "cluster int, __cent array<double>",
+        )
+        best = (
+            vecs.join(F.broadcast(cents_df))
+            .select(
+                id_col,
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            "v", "__cent", lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0.0).cast("double"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist2"),
+                    F.col("cluster"),
+                ).alias("__best"),
+                "v",
+            )
+        )
+        # Unique ids still need the per-id reduce here: the broadcast
+        # join fanned every row out k ways.
+        ids_unique = False
     return (
         best.groupBy(id_col)
         .agg(
@@ -862,7 +932,7 @@ def _lloyd_fit(
         for _ in range(n_iter):
             if not cents:
                 break
-            if ids_unique:
+            if ids_unique and _lloyd_inline_ok(cents):
                 it_assigned = fit.select(
                     F.expr(_lloyd_argmin_sql(cents))["cluster"].alias(
                         "cluster"
@@ -870,8 +940,11 @@ def _lloyd_fit(
                     "v",
                 )
             else:
+                # Duplicate ids (oracle per-id reduce) or a model too big
+                # to inline (r09 advice: codegen limit) — both route
+                # through the dispatching assign.
                 it_assigned = _lloyd_assign(
-                    fit, cents, id_col, ids_unique=False
+                    fit, cents, id_col, ids_unique=ids_unique
                 ).select("cluster", "v")
             means = (
                 it_assigned

@@ -135,15 +135,38 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
         raise ValueError(f"malformed RIFF chunk structure: {exc!r}") from exc
 
 
+def _stdlib_parser_files() -> tuple[str, ...]:
+    """Absolute paths of the ACTUAL imported stdlib RIFF-parser modules:
+    ``wave.__file__`` always (3.11+ vendors the Chunk class there), plus
+    ``chunk.__file__`` where the legacy module still exists (removed in
+    3.13). Resolved lazily from the live modules — not basenames — so a
+    third-party module that happens to be called wave.py can never match
+    (r09 advice: the basename check kept a bug-masking filename axis
+    open)."""
+    files = []
+    mod_file = getattr(wave, "__file__", None)
+    if mod_file:
+        files.append(os.path.realpath(mod_file))
+    try:
+        import chunk as _chunk  # removed from the stdlib in 3.13
+
+        chunk_file = getattr(_chunk, "__file__", None)
+        if chunk_file:
+            files.append(os.path.realpath(chunk_file))
+    except ImportError:
+        pass
+    return tuple(files)
+
+
 def _raised_from_chunk(exc: BaseException) -> bool:
     """True iff the exception is the stdlib RIFF parser's out-of-range-seek
     signal: a BARE (no-args) RuntimeError whose innermost frame is the
-    ``seek`` method in chunk.py or wave.py (3.11+ vendors the Chunk class
-    into wave.py). Requiring the function name and the empty args keeps
-    any OTHER RuntimeError raised inside those files — or from an
-    unrelated module that happens to share the filename — loud (r09
-    review: the basename-only check re-opened the bug-masking along a
-    filename axis)."""
+    ``seek`` method defined in the imported ``wave`` module's file (or the
+    legacy ``chunk`` module's, pre-3.13). The frame's ``co_filename`` is
+    compared against those modules' resolved ``__file__`` paths — never a
+    basename — so a seek in any OTHER module, whatever its filename, stays
+    loud; requiring the empty args additionally keeps argumented
+    RuntimeErrors raised inside the parser itself loud (r09 advice)."""
     if exc.args:
         return False
     tb = exc.__traceback__
@@ -153,8 +176,8 @@ def _raised_from_chunk(exc: BaseException) -> bool:
         return False
     code = tb.tb_frame.f_code
     return (
-        os.path.basename(code.co_filename) in ("chunk.py", "wave.py")
-        and code.co_name == "seek"
+        code.co_name == "seek"
+        and os.path.realpath(code.co_filename) in _stdlib_parser_files()
     )
 
 

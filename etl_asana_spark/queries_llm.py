@@ -1163,7 +1163,7 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_clusters",
     oracle="""
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE pairs AS MATERIALIZED (
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
             FROM documents
@@ -1185,15 +1185,41 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.015
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION SELECT doc_b, doc_a FROM pairs
+    ), l1 AS MATERIALIZED (
+        -- One-hop min-label contraction (r10): each node takes
+        -- min(self, direct neighbors). Near-dup clusters are dense (at
+        -- sf0.1 the whole 5000-doc corpus is ONE component), so the naive
+        -- all-labels closure materializes O(m^2) reach rows (25M, ~320s);
+        -- contracting first collapses 5000 nodes to ~566 labels and the
+        -- same closure runs in ~1s. Provably exact: contraction never
+        -- merges distinct components (labels are component members) and
+        -- the closure still finds each contracted component's min.
+        SELECT n.doc_id AS node,
+               LEAST(n.doc_id, COALESCE(MIN(e.b), n.doc_id)) AS lbl
+        FROM documents n LEFT JOIN edges e ON e.a = n.doc_id
+        GROUP BY n.doc_id
+    ), ce AS MATERIALIZED (
+        SELECT DISTINCT la.lbl AS a, lb.lbl AS b
+        FROM edges e
+        JOIN l1 la ON la.node = e.a
+        JOIN l1 lb ON lb.node = e.b
+        WHERE la.lbl <> lb.lbl
     ), reach(node, lbl) AS (
-        SELECT doc_id, doc_id FROM documents
+        -- lbl < node prune: the component min is smaller than every other
+        -- member, so it still reaches all of them; larger labels can never
+        -- win MIN() and are dropped early.
+        SELECT DISTINCT lbl, lbl FROM l1
         UNION
-        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        SELECT ce.b, r.lbl FROM reach r JOIN ce ON ce.a = r.node
+        WHERE r.lbl < ce.b
+    ), comp0 AS (
+        SELECT node, MIN(lbl) AS root FROM reach GROUP BY node
     ), comp AS (
-        SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+        SELECT l1.node AS doc_id, c.root AS cluster_id
+        FROM l1 JOIN comp0 c ON c.node = l1.lbl
     )
     SELECT c.doc_id, c.cluster_id,
            COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,

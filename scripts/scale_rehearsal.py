@@ -71,6 +71,13 @@ HEADLINE = [
 def replicate(spark, src: str, dst: str, n: int, neardup: bool = False) -> None:
     from pyspark.sql import functions as F
 
+    from etl_asana_spark.operators.similarity import reset_lloyd_model_cache
+
+    # Re-writing {dst}/embeddings.parquet invalidates any model fitted
+    # against this path earlier in the process (r09 advice: the Lloyd
+    # cache trusts the path-derived model_key to pin input identity).
+    reset_lloyd_model_cache(f"{dst}:embeddings")
+
     for name, keys in TABLE_KEYS.items():
         df = spark.read.parquet(f"{src}/{name}.parquet")
         if keys and n > 1:

@@ -250,3 +250,36 @@ def test_runtimeerror_origin_check_requires_seek_frame_and_bare_args():
         bare_not_seek()
     except RuntimeError as exc:
         assert not wc._raised_from_chunk(exc)  # bare, right file, wrong fn
+
+
+def test_runtimeerror_origin_check_rejects_foreign_wave_py(tmp_path):
+    """r09 advice: the origin check compares the raising frame's file
+    against the IMPORTED wave/chunk modules' __file__, not basenames — a
+    bare RuntimeError from a ``seek`` function in some third-party module
+    that happens to live in a file called wave.py must stay loud."""
+    import wave as _wave
+
+    foreign = tmp_path / "wave.py"
+    foreign.write_text("def seek():\n    raise RuntimeError\n")
+
+    def seek():
+        raise RuntimeError
+
+    # Same basename as the stdlib module, different real path.
+    seek.__code__ = seek.__code__.replace(co_filename=str(foreign))
+    try:
+        seek()
+    except RuntimeError as exc:
+        assert not wc._raised_from_chunk(exc)
+
+    # Positive control: the ACTUAL stdlib module path still translates.
+    def seek2():
+        raise RuntimeError
+
+    seek2.__code__ = seek2.__code__.replace(
+        co_filename=_wave.__file__, co_name="seek"
+    )
+    try:
+        seek2()
+    except RuntimeError as exc:
+        assert wc._raised_from_chunk(exc)

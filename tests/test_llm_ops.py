@@ -775,6 +775,80 @@ def test_kmeans_model_cache_isolates_by_key_and_config(spark):
         similarity.kmeans_lloyd(a, k=2, n_iter=1, model_key="")
 
 
+def test_kmeans_model_cache_reset_invalidates_by_key(spark):
+    """r09 advice: regenerating data under a previously-fitted key must be
+    able to invalidate the cache — reset_lloyd_model_cache(key) drops
+    exactly that key's entries (all configs), reset() drops everything,
+    and after a reset the next fit sees the NEW data, not stale
+    centroids."""
+    key = "test-reset-key"
+    a = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(i, [500.0 + i, 300.0]) for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    similarity.kmeans_lloyd(a, k=2, n_iter=2, model_key=key)
+    similarity.kmeans_lloyd(a, k=3, n_iter=1, model_key=key)
+    assert similarity.reset_lloyd_model_cache("other-key") == 0
+    assert sum(
+        1 for k in similarity._LLOYD_MODELS if k[0] == key
+    ) == 2
+    assert similarity.reset_lloyd_model_cache(key) == 2
+    assert all(k[0] != key for k in similarity._LLOYD_MODELS)
+    # The stale-data scenario: same key, regenerated input → after reset
+    # the fit must track the new data (dist2 small), not a's centroids
+    # (dist2 would be ~5e5).
+    db = {
+        r["vec_id"]: r["dist2"]
+        for r in similarity.kmeans_lloyd(
+            b, k=2, n_iter=2, model_key=key
+        ).collect()
+    }
+    assert max(db.values()) < 100.0
+    similarity.kmeans_lloyd(a, k=2, n_iter=2, model_key="test-reset-k2")
+    assert similarity.reset_lloyd_model_cache() >= 2
+    assert not similarity._LLOYD_MODELS
+
+
+def test_kmeans_inline_guard_falls_back_to_broadcast_join(spark, monkeypatch):
+    """r09 advice: the inline-literal argmin must guard on model size
+    (codegen 64KB limit) and fall back to the broadcast-join assignment
+    above the threshold — with BIT-IDENTICAL results (same zip_with fold
+    order, same (dist2, cluster) tie rule), including NULL/ragged-vector
+    dist2 semantics and the duplicate-id per-id reduce."""
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, [1.0, None]),   # NULL component
+        (3, [5.0]),         # ragged -> NULL dist2
+        (4, [4.0, 5.0]),
+        (5, [1.1, 2.1]),
+        (6, [3.9, 5.2]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    # Duplicate id 6 (outside the k=2 init window — a dup INSIDE the
+    # window makes the orderBy(id).limit(k) init itself tie-ambiguous,
+    # which is a pre-existing property of dup-id inputs, not a path
+    # difference).
+    dup = spark.createDataFrame(
+        rows + [(6, [1.0, 2.0])], "vec_id bigint, embedding array<double>"
+    )
+
+    def snap(df):
+        return sorted(
+            (r["vec_id"], r["cluster"], r["dist2"]) for r in df.collect()
+        )
+
+    base = snap(similarity.kmeans_lloyd(emb, k=2, n_iter=3))
+    base_dup = snap(similarity.kmeans_lloyd(dup, k=2, n_iter=3))
+    assert not similarity._lloyd_inline_ok([(0, [0.0] * 3000)])
+    monkeypatch.setattr(similarity, "_LLOYD_INLINE_MAX_KD", 1)
+    assert snap(similarity.kmeans_lloyd(emb, k=2, n_iter=3)) == base
+    assert snap(similarity.kmeans_lloyd(dup, k=2, n_iter=3)) == base_dup
+
+
 def test_kmeans_duplicate_ids_reduce_to_one_row_per_id(spark):
     """r09 review: rows SHARING an id (upstream join fan-out) must reduce
     to ONE output row per id via the (dist2, cluster) argmin over every
