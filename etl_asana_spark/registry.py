@@ -22,10 +22,12 @@ filters on all other columns down to the parquet reader).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .session import ensure_engine_confs
+from .session import ensure_engine_confs, right_size_shuffle_partitions
 
 #: The driver-materialized tables (TESTDATA.md; FIXTURES.md §A).
 TABLE_NAMES: tuple[str, ...] = (
@@ -78,6 +80,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Memoized compressed-byte totals per sf_dir (an os.walk per query call
+# would be wasted syscalls; rehearsal scripts that REGENERATE a dir in
+# place call clear_cache(), which drops this too).
+_DIR_BYTES: dict[str, int] = {}
+
+
+def _input_bytes(sf_dir: str) -> int:
+    """Total on-disk bytes of the directory's data files (0 if unprobeable
+    — e.g. an object-store URI this local walk can't see; auto-sizing then
+    simply keeps the core-count floor and the operator sizes explicitly)."""
+    cached = _DIR_BYTES.get(sf_dir)
+    if cached is None:
+        total = 0
+        try:
+            for root, _dirs, files in os.walk(sf_dir):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        except OSError:
+            total = 0
+        cached = _DIR_BYTES[sf_dir] = total
+    return cached
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all registry tables (cached per session+dir)."""
     key = (id(spark), sf_dir)
@@ -91,6 +119,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # query calls, and cached LOGICAL plans re-resolve TZ-dependent
         # expressions at analysis of each new query built on top of them.
         ensure_engine_confs(spark)
+    # Volume-aware shuffle sizing (r09 verdict item 2): a fixed partition
+    # count that is right at sf0.1 spills its per-partition sorts at 100×
+    # — AQE can coalesce small partitions but never split a too-big sort.
+    # No-op at the shipped scale factors (the formula stays at the core
+    # floor) and whenever the operator pinned an explicit count.
+    right_size_shuffle_partitions(spark, _input_bytes(sf_dir))
     return cached
 
 
@@ -102,3 +136,4 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 def clear_cache() -> None:
     _CACHE.clear()
+    _DIR_BYTES.clear()

@@ -25,6 +25,7 @@ depends on who constructed the session.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import SparkSession
@@ -73,6 +74,79 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
 
 def default_parallelism(spark: SparkSession) -> int:
     return spark.sparkContext.defaultParallelism
+
+
+def _base_parallelism() -> int:
+    """The engine's core-count shuffle default (what ensure_engine_confs
+    replaces the stock 200 with)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    try:
+        return int(cpus) if cpus else (os.cpu_count() or 8)
+    except ValueError:
+        return os.cpu_count() or 8
+
+
+#: Runtime conf tagging the shuffle-partition value the ENGINE auto-set, so
+#: a later right-size can tell "we set this" from "the operator pinned it".
+_AUTO_SHUFFLE_TAG = "spark.etl_asana_spark.autoShufflePartitions"
+
+#: Parquet-compressed → in-memory-row expansion estimate. Snappy parquet on
+#: numeric-heavy columns decompresses/deserializes ~5-10×; 8 is the middle.
+#: Env-overridable for corpora with very different compressibility.
+_PARQUET_EXPANSION = float(os.environ.get("SPARK_GRAFT_PARQUET_EXPANSION", "8"))
+
+#: Target in-memory bytes per shuffle partition. 64 MiB leaves sort/agg
+#: headroom inside a per-task memory share (e.g. 8 GiB heap × 0.6 / 32
+#: concurrent tasks ≈ 150 MiB); the r09 100× rehearsal showed the failure
+#: mode this prevents — q_win_topk_group's per-partition window sort at a
+#: FIXED 32 partitions spilled into a 47.6× multiplier, while 8×cores
+#: partitions ran 0.40× of it. AQE coalesces over-split partitions back
+#: together, but it can never SPLIT a too-big sort partition upward — so
+#: the initial count must scale with input volume.
+_SHUFFLE_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SHUFFLE_TARGET_MB", "64")
+) * 1024 * 1024
+
+#: Upper bound, as a multiple of the core count, on what auto-sizing will
+#: set (scheduling overhead bound at local scale; on a real cluster cores
+#: grows with the fleet, so the cap scales with it).
+_SHUFFLE_CAP_X = int(os.environ.get("SPARK_GRAFT_SHUFFLE_CAP_X", "16"))
+
+
+def right_size_shuffle_partitions(spark: SparkSession, input_bytes: int) -> int:
+    """Scale ``spark.sql.shuffle.partitions`` with estimated input volume.
+
+    ``max(cores, input_bytes × expansion ÷ target-per-partition)``, capped
+    at ``cores × 16``. Only adjusts a value the engine itself set (the
+    stock 200, the core-count default, or a previous auto-set value — the
+    latter remembered in a tag conf); an explicit operator-pinned count is
+    respected untouched, so substrate sweeps (SWEEP_SHUFFLE=7) and cluster
+    operators keep full control. Returns the effective partition count.
+
+    At the shipped scale factors (sf0.001–sf0.1, ≤ ~18 MB parquet) the
+    formula stays at the core-count floor — plans and timings there are
+    unchanged; the knob engages exactly where the r09 100× rehearsal
+    demonstrated fixed-count sort spill (SURVEY §8)."""
+    try:
+        cur = spark.conf.get("spark.sql.shuffle.partitions")
+        base = _base_parallelism()
+        tag = None
+        try:
+            tag = spark.conf.get(_AUTO_SHUFFLE_TAG)
+        except Exception:
+            pass
+        if cur not in ("200", str(base)) and cur != tag:
+            return int(cur)
+        want = max(
+            base, math.ceil(input_bytes * _PARQUET_EXPANSION / _SHUFFLE_TARGET_BYTES)
+        )
+        want = min(want, base * _SHUFFLE_CAP_X)
+        if str(want) != cur:
+            spark.conf.set("spark.sql.shuffle.partitions", str(want))
+        spark.conf.set(_AUTO_SHUFFLE_TAG, str(want))
+        return want
+    except Exception:
+        return -1
 
 
 def build_session(

@@ -72,11 +72,13 @@ def replicate(spark, src: str, dst: str, n: int, neardup: bool = False) -> None:
     from pyspark.sql import functions as F
 
     from etl_asana_spark.operators.similarity import reset_lloyd_model_cache
+    from etl_asana_spark.operators.topk import reset_group_stats_cache
 
-    # Re-writing {dst}/embeddings.parquet invalidates any model fitted
-    # against this path earlier in the process (r09 advice: the Lloyd
-    # cache trusts the path-derived model_key to pin input identity).
+    # Re-writing {dst}/*.parquet invalidates anything fitted/probed against
+    # this path earlier in the process (r09 advice: path-derived cache keys
+    # trust the caller to pin input identity).
     reset_lloyd_model_cache(f"{dst}:embeddings")
+    reset_group_stats_cache(f"{dst}:orders")
 
     for name, keys in TABLE_KEYS.items():
         df = spark.read.parquet(f"{src}/{name}.parquet")

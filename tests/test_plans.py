@@ -298,3 +298,57 @@ def test_bucketed_join_reads_colocated_buckets(spark, sf_dir):
     # co-located bucketed scans with no exchange.
     input_subtree = text[join_idx:]
     assert "Exchange hashpartitioning" not in input_subtree
+
+
+def test_group_topk_exchange_first_branch_drops_partial(spark, sf_dir, monkeypatch):
+    """r10: topk_per_group's exchange-first strategy (chosen when the
+    map-side partial heap cannot filter — avg_group_rows <= k x scan
+    partitions, the 100 TB shape) must plan a REPARTITION_BY_COL exchange
+    with NO partial WindowGroupLimit / map-side sort, keep the FINAL heap,
+    and return exactly the declarative plan's rows."""
+    from pyspark.sql import functions as F
+
+    from etl_asana_spark.operators import topk as T
+    from etl_asana_spark.registry import load_tables
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    order_cols = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    # At test scale the table is a ~single-partition scan with ~10-row
+    # groups: the partial heap IS worth it and the decision must say so.
+    assert T.partial_limit_pays(orders, ["o_custkey"], 3)
+
+    a = T.topk_per_group(orders, ["o_custkey"], order_cols, 3)
+    plan_a = a._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan_a
+
+    monkeypatch.setattr(T, "partial_limit_pays", lambda *args, **kw: False)
+    b = T.topk_per_group(orders, ["o_custkey"], order_cols, 3)
+    plan_b = b._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_COL" in plan_b
+    assert "Partial" not in plan_b          # no map-side heap, no map-side sort
+    assert "WindowGroupLimit" in plan_b     # final heap retained
+
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert rows(a) == rows(b)
+
+
+def test_group_stats_probe_memoizes_and_resets(spark, sf_dir):
+    """The group-shape probe must hit its cache under a stats_key (one job
+    per (table, group) pair, the 100 TB contract) and drop entries on
+    reset."""
+    from etl_asana_spark.operators import topk as T
+    from etl_asana_spark.registry import load_tables
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    key = "test-topk-stats"
+    T.reset_group_stats_cache(key)
+    shape = T._group_shape(orders, ["o_custkey"], key)
+    assert shape[0] > 0 and shape[1] > 0
+    assert T._GROUP_STATS[(key, ("o_custkey",))] == shape
+    # Cache hit: a poisoned entry is returned verbatim (no re-probe).
+    T._GROUP_STATS[(key, ("o_custkey",))] = (1, 1)
+    assert T._group_shape(orders, ["o_custkey"], key) == (1, 1)
+    assert T.reset_group_stats_cache(key) == 1
+    assert (key, ("o_custkey",)) not in T._GROUP_STATS

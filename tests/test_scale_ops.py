@@ -345,3 +345,71 @@ def test_epoch_shuffle_default_buckets_scale_with_session(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_right_size_shuffle_partitions_volume_scaling(spark):
+    """r09 verdict item 2: shuffle partitions must scale with estimated
+    input volume (the 100x rehearsal's fixed-count window sort spilled to
+    a 47.6x multiplier; 8x-cores partitions ran it at 0.40x). The floor is
+    the core count, the cap 16x cores, and an operator-pinned count is
+    never touched."""
+    import math
+
+    from etl_asana_spark import session as S
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    base = S._base_parallelism()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(base))
+        # sf0.1-sized input (~18 MB parquet): stays at the core floor.
+        assert S.right_size_shuffle_partitions(spark, 17_500_000) == base
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(base)
+        # 100x sf0.1 (~1.75 GB): scales up per the bytes formula.
+        want = min(
+            max(base, math.ceil(
+                1_750_000_000 * S._PARQUET_EXPANSION / S._SHUFFLE_TARGET_BYTES
+            )),
+            base * S._SHUFFLE_CAP_X,
+        )
+        assert S.right_size_shuffle_partitions(spark, 1_750_000_000) == want
+        assert want > base
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(want)
+        # A previous AUTO value is re-adjustable (back down included).
+        assert S.right_size_shuffle_partitions(spark, 1000) == base
+        # Absurd volume hits the cores-multiple cap.
+        assert (
+            S.right_size_shuffle_partitions(spark, 10**15)
+            == base * S._SHUFFLE_CAP_X
+        )
+        # An operator-pinned count is respected verbatim.
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        assert S.right_size_shuffle_partitions(spark, 10**12) == 7
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+        try:
+            spark.conf.unset(S._AUTO_SHUFFLE_TAG)
+        except Exception:
+            pass
+
+
+def test_load_tables_auto_sizing_is_noop_at_test_scale(spark, sf_dir):
+    """At the shipped scale factors the auto-sizer must keep the core-count
+    floor — every catalog plan and hash at sf0.001–sf0.1 is unchanged by
+    the feature."""
+    from etl_asana_spark import registry
+    from etl_asana_spark import session as S
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    base = S._base_parallelism()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(base))
+        registry.load_tables(spark, sf_dir)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(base)
+        assert registry._input_bytes(sf_dir) > 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+        try:
+            spark.conf.unset(S._AUTO_SHUFFLE_TAG)
+        except Exception:
+            pass
