@@ -1575,8 +1575,8 @@ def prefix_filter_jaccard_pairs(
 
     If J(A,B) ≥ t then |A∩B| ≥ t·|A|, so B must hit one of A's
     (|A| − ⌈t·|A|⌉ + 1) globally RAREST shingles — the prefix. Shingles are
-    ranked by corpus document frequency (ties by shingle text: total,
-    deterministic order on both sides of the join); only the prefix of the
+    ranked by corpus document frequency (ties by xxhash64 of the shingle:
+    total, deterministic order on both sides of the join); only the prefix of the
     smaller-id doc joins against full shingle sets, and each surviving
     candidate pair is verified with an exact intersection count. Blocking
     on every shared shingle (the naive scheme) pairs docs through their
@@ -1620,19 +1620,23 @@ def prefix_filter_jaccard_pairs(
             "jaccard",
         )
 
+    # Shingles are xxhash64'd up front (the ngram_jaccard_pairs discipline,
+    # r10): every downstream shuffle/join moves 8-byte keys instead of
+    # unbounded strings, at the shared 2^-64 collision budget. The df
+    # ranking's tie-break becomes (df, hash) instead of (df, text) — still
+    # total and deterministic, and ranking order only changes candidate
+    # PRUNING, never the verified answer set (exact-Jaccard verify).
     sh = (
         docs.select(id_col, F.split(F.col(text_col), r"\s+").alias("toks"))
         .select(id_col, F.explode(shingles("toks", n)).alias("sh"))
+        .select(id_col, F.xxhash64("sh").alias("sh"))
         .distinct()
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "sh")
-    ranked = (
-        sh.join(freq, "sh")
-        .withColumn("rn", F.row_number().over(w))
-        .join(sizes, id_col)
-    )
+    ranked = sh.join(freq, "sh").withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy(id_col))
+    ).withColumn("rn", F.row_number().over(w))
     prefix = ranked.filter(
         F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     ).select(id_col, "sh")
@@ -1649,30 +1653,53 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
-    # Exact verification: count |A∩B| for candidates only.
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), "sh")
-    sh_b = sh.select(F.col(id_col).alias("doc_b"), "sh")
-    inter = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    # Exact verification, PPJoin-style (r10): each doc's distinct shingle
+    # hashes as ONE sorted array row, candidates join that table twice and
+    # count |A∩B| with array_intersect — O(|A|+|B|) per pair. The previous
+    # formulation re-joined candidates against the row-per-shingle table
+    # (cand ⋈ sh on doc_a alone fans every pair out by ~|A| rows before the
+    # (doc_b, sh) match), which the 10× near-dup rehearsal measured
+    # super-linear (13.2× for 10× data, 45× true pairs): the pair×shingle
+    # intermediate is the one frame that grows as candidates × doc length.
+    # Identical answers: arrays hold exactly the distinct hash set the row
+    # form held, and array_intersect counts distinct common elements.
+    arrs = sh.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("sh")).alias("arr"),
+        F.count("*").alias("n_sh"),
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+    inter = (
+        cand.join(
+            arrs.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("arr").alias("arr_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("arr").alias("arr_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-            ).alias("jaccard"),
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("inter"),
+            "n_a",
+            "n_b",
         )
-        .filter(F.col("jaccard") >= threshold)
     )
+    return inter.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def candidate_pair_counts(

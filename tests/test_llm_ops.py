@@ -909,6 +909,37 @@ def test_prefix_filter_prunes_candidates_same_answer(spark, sf_dir):
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
 
+def test_prefix_filter_matches_ngram_on_neardup_clusters(spark):
+    """r10 regression for the array-intersect verify rewrite: on an n-way
+    NEAR-dup corpus (the 10× rehearsal shape whose pair×shingle verify
+    intermediate measured 13.2× for 10× data) at a loose threshold, the
+    prefix formulation must still return EXACTLY the brute blocking
+    family's pairs, jaccard values included."""
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "red orange yellow green blue indigo violet white black grey",
+    ]
+    rows = []
+    doc_id = 0
+    for text in base:
+        for r in range(6):  # 6-way near-dup families: C(6,2)=15 true pairs
+            rows.append((doc_id, text if r == 0 else f"{text} replica{r}"))
+            doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted(
+        tuple(r)
+        for r in dedup.prefix_filter_jaccard_pairs(
+            docs, n=3, threshold=0.015
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.015).collect()
+    )
+    assert a == b and len(a) >= 45  # 3 families x 15 intra-family pairs
+
+
 def test_punct_ratio_counts_punctuation_not_its_complement(spark, sf_dir):
     """Round-4 outcome-audit regression: q_text_quality's inline n_punct
     dropped the caret from [^\\w\\s] and computed 1 - punct_ratio on BOTH
