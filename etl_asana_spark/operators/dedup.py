@@ -1710,12 +1710,15 @@ def candidate_pair_counts(
     threshold: float = 0.8,
 ) -> tuple[int, int]:
     """(prefix-filter candidates, shared-shingle-blocking candidates) — the
-    pruning measurement behind prefix_filter_jaccard_pairs' claim."""
+    pruning measurement behind prefix_filter_jaccard_pairs' claim. Shingles
+    are xxhash64'd to mirror the operator exactly (r10), so the measured
+    candidate set is the one the operator actually generates."""
     from .text import shingles
 
     sh = (
         docs.select(id_col, F.split(F.col(text_col), r"\s+").alias("toks"))
         .select(id_col, F.explode(shingles("toks", n)).alias("sh"))
+        .select(id_col, F.xxhash64("sh").alias("sh"))
         .distinct()
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))

@@ -108,6 +108,34 @@ def replicate(spark, src: str, dst: str, n: int, neardup: bool = False) -> None:
                                  F.col("__r").cast("string"))
                     ),
                 )
+            if neardup and name == "embeddings":
+                # Vector twin of the text perturbation (r10: exact-copy
+                # replication was collapsed by the embed family's
+                # duplicate-vector collapse, so replicated-scale embed
+                # timings measured nothing — the 10×/30× "flat" readings).
+                # Nudge ONE component per non-zero replica by a tiny
+                # deterministic delta: replicas stay near-identical in
+                # cosine (≫ any near-dup threshold → C(n,2) true pairs per
+                # family) but are no longer byte-identical, so the fuzzy
+                # path does real work. Kept FLOAT so the written schema
+                # matches the driver corpus.
+                delta = (F.col("__r").cast("double") * F.lit(1e-3))
+                df = df.withColumn(
+                    "embedding",
+                    F.when(F.col("__r") == 0, F.col("embedding")).otherwise(
+                        F.transform(
+                            "embedding",
+                            lambda x, i: (
+                                x.cast("double")
+                                + F.when(
+                                    i == F.pmod(F.col("__r"),
+                                                F.size("embedding")),
+                                    delta,
+                                ).otherwise(F.lit(0.0))
+                            ).cast("float"),
+                        )
+                    ),
+                )
             df = df.drop("__r")
         df.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
 
