@@ -371,6 +371,11 @@ def minhash_portable_pairs(
         )
         .filter(F.size("__hs") > 0)
     )
+    # localCheckpoint (r10): three consumers re-derive this projection —
+    # bands plus both verify sides — and the per-character poly_hash fold
+    # is the operator's single most expensive stage (10.7 s of the 22 s
+    # sf0.1 total for ONE pass). Truncating lineage materializes the
+    # signatures once; the established _collapse_groups discipline.
     sigs = base.select(
         id_col,
         "__hs",
@@ -380,7 +385,7 @@ def minhash_portable_pairs(
             ).alias(f"__mh{i}")
             for i, (a, b) in enumerate(_MINHASH_COEFFS)
         ],
-    )
+    ).localCheckpoint(eager=False)
     bands = sigs.select(
         id_col,
         F.explode(

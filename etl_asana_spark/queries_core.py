@@ -1205,31 +1205,37 @@ def _pagerank_oracle_sql(iterations: int) -> str:
     same integer-unit arithmetic the Spark operator uses
     (operators/graph.py::pagerank_units). Every per-node sum is exact
     BIGINT arithmetic, so the two engines agree bit-for-bit.
+
+    Every CTE is MATERIALIZED (r10): DuckDB inlines CTEs per REFERENCE,
+    and each iteration references its predecessor twice (the dangling-mass
+    scalar and the contrib join) — un-hinted, the pr chain re-computes
+    2^iterations times and the lineitem self-join behind ``edges`` re-runs
+    ~8 times (10.4 s at sf0.1; 0.8 s materialized, identical rows).
     """
     ctes = [
-        """edges AS (
+        """edges AS MATERIALIZED (
         SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
     )""",
-        """nodes AS (
+        """nodes AS MATERIALIZED (
         SELECT src AS id FROM edges UNION SELECT dst FROM edges
     )""",
-        """deg AS (
+        """deg AS MATERIALIZED (
         SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src
     )""",
-        """base AS (
+        """base AS MATERIALIZED (
         SELECT n.id, d.outdeg FROM nodes n LEFT JOIN deg d USING (id)
     )""",
-        """meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)""",
-        f"""pr0 AS (
+        """meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)""",
+        f"""pr0 AS MATERIALIZED (
         SELECT id, outdeg, {_PR_SCALE} // m.n AS u FROM base, meta m
     )""",
     ]
     for it in range(iterations):
         prev, cur = f"pr{it}", f"pr{it + 1}"
         ctes.append(
-            f"""{cur} AS (
+            f"""{cur} AS MATERIALIZED (
         SELECT b.id, b.outdeg,
                CAST(floor({_PR_TELEPORT_NUM!r} / CAST(m.n AS DOUBLE)) AS BIGINT)
                + CAST(floor(CAST(0.85 AS DOUBLE) * CAST(
