@@ -52,7 +52,13 @@ def _group_shape(
     df: DataFrame, group_cols: list[str], stats_key: str | None
 ) -> tuple[int, int]:
     """(n_rows, approx ndv of the group key) — one partial-agg scan job,
-    memoized under (stats_key, group_cols) when a key is given."""
+    memoized under (stats_key, group_cols) when a key is given. With
+    ``stats_key=None`` the probe job runs on EVERY call (at DataFrame
+    construction time) — fine for ad-hoc use, but repeated callers should
+    pass a key. An empty string is rejected (it would silently disable
+    memoization while looking like an opt-in — the Lloyd cache rule)."""
+    if stats_key is not None and not stats_key:
+        raise ValueError("stats_key must be non-empty or None")
     cache_key = (stats_key, tuple(group_cols)) if stats_key else None
     if cache_key is not None and cache_key in _GROUP_STATS:
         return _GROUP_STATS[cache_key]

@@ -20,6 +20,7 @@ No reference file to cite: /root/reference is an empty snapshot (SURVEY
 
 from __future__ import annotations
 
+import functools
 import io
 import os
 import struct
@@ -135,26 +136,45 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
         raise ValueError(f"malformed RIFF chunk structure: {exc!r}") from exc
 
 
+@functools.lru_cache(maxsize=1)
 def _stdlib_parser_files() -> tuple[str, ...]:
     """Absolute paths of the ACTUAL imported stdlib RIFF-parser modules:
     ``wave.__file__`` always (3.11+ vendors the Chunk class there), plus
     ``chunk.__file__`` where the legacy module still exists (removed in
-    3.13). Resolved lazily from the live modules — not basenames — so a
+    3.13). Resolved from the live modules — not basenames — so a
     third-party module that happens to be called wave.py can never match
     (r09 advice: the basename check kept a bug-masking filename axis
-    open)."""
-    files = []
-    mod_file = getattr(wave, "__file__", None)
-    if mod_file:
-        files.append(os.path.realpath(mod_file))
+    open). Each module contributes BOTH its ``__file__`` and the matching
+    source/bytecode twin (importlib cache mapping): in a sourceless or
+    frozen deployment ``__file__`` is the ``.pyc`` while a frame's
+    ``co_filename`` is the compile-time ``.py`` path — without the twin
+    the check would silently stop translating (r10 review). lru_cached:
+    the module set is invariant for the process lifetime and the fuzz path
+    routes every mutated container through this classification."""
+    mods = [wave]
     try:
         import chunk as _chunk  # removed from the stdlib in 3.13
 
-        chunk_file = getattr(_chunk, "__file__", None)
-        if chunk_file:
-            files.append(os.path.realpath(chunk_file))
+        mods.append(_chunk)
     except ImportError:
         pass
+    files: list[str] = []
+    for mod in mods:
+        mod_file = getattr(mod, "__file__", None)
+        if not mod_file:
+            continue
+        files.append(os.path.realpath(mod_file))
+        try:
+            import importlib.util as _ilu
+
+            twin = (
+                _ilu.source_from_cache(mod_file)
+                if mod_file.endswith((".pyc", ".pyo"))
+                else _ilu.cache_from_source(mod_file)
+            )
+            files.append(os.path.realpath(twin))
+        except (ValueError, ImportError):
+            pass
     return tuple(files)
 
 

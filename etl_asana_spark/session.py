@@ -61,11 +61,14 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
         # If the caller left Spark's stock 200 shuffle partitions, right-size
         # to the machine: at test scale 200 tiny partitions is scheduling
         # overhead; on a cluster an operator sets this (or AQE coalesces).
-        # An explicit non-default caller value is respected.
+        # An explicit non-default caller value is respected. The value is
+        # the NORMALIZED core count (r10 review: setting the raw env string
+        # left e.g. SPARK_GRAFT_CPUS='08' as conf '08', which the
+        # volume-sizer's engine-set allowlist then mistook for an
+        # operator-pinned value, permanently disabling auto-sizing).
         if spark.conf.get("spark.sql.shuffle.partitions") == "200":
             spark.conf.set(
-                "spark.sql.shuffle.partitions",
-                os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8),
+                "spark.sql.shuffle.partitions", str(_base_parallelism())
             )
     except Exception:
         pass
@@ -118,10 +121,14 @@ def right_size_shuffle_partitions(spark: SparkSession, input_bytes: int) -> int:
 
     ``max(cores, input_bytes × expansion ÷ target-per-partition)``, capped
     at ``cores × 16``. Only adjusts a value the engine itself set (the
-    stock 200, the core-count default, or a previous auto-set value — the
-    latter remembered in a tag conf); an explicit operator-pinned count is
-    respected untouched, so substrate sweeps (SWEEP_SHUFFLE=7) and cluster
-    operators keep full control. Returns the effective partition count.
+    core-count default ensure_engine_confs substitutes for the stock 200,
+    or a previous auto-set value — the latter remembered in a tag conf);
+    an explicit operator-pinned count is respected untouched, so substrate
+    sweeps (SWEEP_SHUFFLE=7) and cluster operators keep full control. One
+    inherent ambiguity (r10 review): an operator pinning EXACTLY the core
+    count is indistinguishable from the engine default and will be
+    auto-scaled — pin any other value to opt out. Returns the effective
+    partition count.
 
     At the shipped scale factors (sf0.001–sf0.1, ≤ ~18 MB parquet) the
     formula stays at the core-count floor — plans and timings there are
@@ -135,7 +142,11 @@ def right_size_shuffle_partitions(spark: SparkSession, input_bytes: int) -> int:
             tag = spark.conf.get(_AUTO_SHUFFLE_TAG)
         except Exception:
             pass
-        if cur not in ("200", str(base)) and cur != tag:
+        # "200" is NOT in the allowlist: ensure_engine_confs (always run
+        # first by load_tables) owns the stock-200 substitution, so a 200
+        # seen here is an explicit caller choice on a session the engine
+        # never touched — respect it (r10 review).
+        if cur != str(base) and cur != tag:
             return int(cur)
         want = max(
             base, math.ceil(input_bytes * _PARQUET_EXPANSION / _SHUFFLE_TARGET_BYTES)

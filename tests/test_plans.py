@@ -352,3 +352,22 @@ def test_group_stats_probe_memoizes_and_resets(spark, sf_dir):
     assert T._group_shape(orders, ["o_custkey"], key) == (1, 1)
     assert T.reset_group_stats_cache(key) == 1
     assert (key, ("o_custkey",)) not in T._GROUP_STATS
+
+
+def test_group_stats_probe_rejects_empty_key(spark, sf_dir):
+    """r10 review: an empty stats_key must raise (the Lloyd cache rule),
+    not silently disable memoization."""
+    import pytest
+
+    from etl_asana_spark.operators import topk as T
+    from etl_asana_spark.registry import load_tables
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    with pytest.raises(ValueError, match="stats_key"):
+        T.topk_per_group(
+            orders.select("o_custkey", "o_orderkey"),
+            ["o_custkey"],
+            [orders.o_orderkey.asc()],
+            3,
+            stats_key="",
+        )
