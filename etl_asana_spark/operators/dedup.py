@@ -1331,16 +1331,17 @@ def connected_components(
     is control flow only — per-round work is fully distributed;
     convergence is one scalar count per round.
     """
-    # Materialize the symmetric edge list ONCE: it is scanned every round,
-    # and its lineage is the caller's full pair-generation pipeline (for
-    # fuzzy dedup, a MinHash-LSH join) — without the checkpoint that whole
+    # Checkpoint the symmetric edge list: it is scanned every round, and
+    # its lineage is the caller's full pair-generation pipeline (for fuzzy
+    # dedup, a MinHash-LSH join) — without the checkpoint that whole
     # pipeline re-executes per round (measured: q_dedup_clusters ~9 s →
-    # ~4 s at sf0.01).
+    # ~4 s at sf0.01). eager=False (r10): materialization rides the probe
+    # collect below instead of being its own job.
     sym = (
         edges.selectExpr(f"{src} AS a", f"{dst} AS b")
         .union(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
         .distinct()
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     # Small-graph fast path (r07): near-dup PAIR graphs are tiny relative
     # to their corpora (241 pairs from 5k docs at sf0.1; pair volume is
@@ -1350,9 +1351,16 @@ def connected_components(
     # BOUNDED collect (≤ ~3 MB) + exact union-find on the driver — the
     # same bounded-model-state discipline as the k-means centroid collect.
     # Large graphs (a duplicate-heavy crawl) keep the fully distributed
-    # loop. count() here is cheap: sym is already checkpoint-materialized.
-    n_sym = sym.count()
-    if n_sym <= _CC_DRIVER_CUTOVER:
+    # loop. r10: the size test and the fast-path collect are ONE
+    # ``limit(cutover+1).collect()`` probe — when it returns ≤ cutover
+    # rows those rows ARE the whole edge list, so the former
+    # eager-materialize + count() + collect() trio (three blocking driver
+    # round-trips per CC call, all fixed overhead at sf scale) collapses
+    # to a single job; a large graph exits the probe early (executeTake
+    # stops at cutover+1 rows) and materializes fully at the labels
+    # checkpoint right after, each partition still computed exactly once.
+    probe = sym.limit(_CC_DRIVER_CUTOVER + 1).collect()
+    if len(probe) <= _CC_DRIVER_CUTOVER:
         parent: dict = {}
 
         def find(x):
@@ -1363,8 +1371,7 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        rows = sym.collect()
-        for a, b in rows:
+        for a, b in probe:
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)

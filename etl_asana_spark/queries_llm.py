@@ -2554,29 +2554,39 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual risk (a flip landing a value exactly on a 0.0005 edge) is the
     product of two independent boundary events — negligible, and strictly
     smaller than exposing raw units was.
-    Plan: one explode feeds the token-stats aggregation; the per-token
-    ratio table is vocabulary-sized and broadcast to the scoring join, so
-    scoring a 100 TB corpus is one shuffle (the per-doc agg) plus a
-    broadcast — the stats pass itself is the classic two-phase partial agg.
+    Plan (r10: three corpus passes → two): one explode feeds the
+    token-stats aggregation; the CORPUS totals (n_all, n_t, v) are exact
+    marginals of that vocabulary-sized table (Σc_all, Σc_t, row count), so
+    they are re-aggregated from it instead of re-tokenizing the corpus —
+    dropping a whole scan+explode pass plus the COUNT(DISTINCT token)
+    expand pair of exchanges. ``stats`` feeds both the totals and the ratio
+    projection, so it is materialized once (localCheckpoint — O(vocabulary)
+    rows, the same bounded-model discipline as the minhash signature
+    checkpoint); the ratio table is broadcast to the scoring join, so
+    scoring a 100 TB corpus is two corpus passes (stats, scoring) with one
+    shuffle each — the information-theoretic floor for this statistic
+    (the LM needs every token before any doc can be scored).
     """
     docs = load_tables(spark, sf_dir)["documents"]
     toks = docs.select(
         "doc_id", "lang", F.explode(text.ws_tokens("text")).alias("token")
     )
     stats = toks.groupBy("token").agg(
-        F.count(F.lit(1)).cast("double").alias("c_all"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .cast("double")
-        .alias("c_t"),
+        F.count(F.lit(1)).alias("c_all_l"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_t_l"),
+    ).localCheckpoint(eager=False)
+    # Exact integer marginals of the per-token counts, cast to double only
+    # at the end — identical values to counting the token stream directly.
+    tot = stats.agg(
+        F.sum("c_all_l").cast("double").alias("n_all"),
+        F.sum("c_t_l").cast("double").alias("n_t"),
+        F.count(F.lit(1)).cast("double").alias("v"),
     )
-    tot = toks.agg(
-        F.count(F.lit(1)).cast("double").alias("n_all"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .cast("double")
-        .alias("n_t"),
-        F.countDistinct("token").cast("double").alias("v"),
-    )
-    lr = stats.crossJoin(F.broadcast(tot)).select(
+    lr = stats.select(
+        "token",
+        F.col("c_all_l").cast("double").alias("c_all"),
+        F.col("c_t_l").cast("double").alias("c_t"),
+    ).crossJoin(F.broadcast(tot)).select(
         "token",
         F.floor(
             (
