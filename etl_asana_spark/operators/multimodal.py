@@ -59,6 +59,57 @@ def _optional(name: str):
     except ImportError:
         return None
 
+#: Compressed input bytes one Python decode task should own. Below this,
+#: a task's fixed cost (scheduling + Arrow channel setup + worker dispatch,
+#: paid once per mapInPandas stage per task) exceeds its decode work —
+#: measured at sf0.1 (5000 docs, 581 KB parquet, 32-core local): fanning
+#: the decode to all 32 cores ran 0.91 s, 8–16 partitions 0.64–0.76 s,
+#: 1 partition 1.45 s. 64 KiB/task lands that corpus at 9 partitions —
+#: the measured plateau. Env-overridable for corpora whose decode cost per
+#: input byte is very different (the payloads here EXPAND ~50× from
+#: compressed text to pixels; already-binary corpora may want bigger
+#: targets).
+_PY_TASK_TARGET_BYTES = int(
+    __import__("os").environ.get("SPARK_GRAFT_PY_TASK_TARGET_KB", "64")
+) * 1024
+
+
+def decode_partitions(spark, path: str, work_factor: float = 1.0) -> int:
+    """Fan-out for a Python-boundary batch decode over the file(s) at
+    ``path``: ``min(defaultParallelism, ceil(bytes × work_factor / 64 KiB))``,
+    floor 1.
+
+    Never exceeds ``defaultParallelism`` (the pre-r10 behavior, and the
+    right answer whenever the input is big enough to feed every core), so
+    at scale this is identity; it only pulls the fan-out DOWN when the
+    input is too small to amortize per-task fixed costs. ``work_factor``
+    scales the estimate for kernels whose per-input-byte compute is a
+    multiple of plain decode's (resize decodes, resamples AND re-encodes —
+    measured at sf0.1 it still wants the full fan-out where decode-only
+    kernels plateau at ~10 partitions). Unprobeable paths (object stores
+    this local walk can't see) keep the core count."""
+    import math
+    import os
+
+    try:
+        if os.path.isdir(path):
+            total = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+            )
+        else:
+            total = os.path.getsize(path)
+    except OSError:
+        total = 0
+    cores = spark.sparkContext.defaultParallelism
+    if total <= 0:
+        return cores
+    return max(
+        1, min(cores, math.ceil(total * work_factor / _PY_TASK_TARGET_BYTES))
+    )
+
+
 #: Output schema of the feature extractor — fixed contract for downstream.
 FEATURE_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, "

@@ -901,9 +901,15 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end in this PIL-less container, not the stub (row-count
     contract unchanged: one feature row per document). Decode parallelism
     is partition count, so the single-file documents table is repartitioned
-    across the cluster before the Python kernels."""
+    before the Python kernels — to a volume-derived count
+    (operators.multimodal.decode_partitions, r10): full core fan-out of a
+    tiny corpus pays more per-task fixed cost than decode (0.91 s at 32
+    partitions vs 0.64 s at 8, sf0.1), while big inputs keep the full
+    core count."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].repartition(spark.sparkContext.defaultParallelism)
+    docs = t["documents"].repartition(
+        multimodal.decode_partitions(spark, f"{sf_dir}/documents.parquet")
+    )
     media = multimodal.attach_png_payload(docs)
     feats = multimodal.extract_features(media)
     return feats.select(
@@ -947,7 +953,16 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_llm_ops.py keeps the decode-parses-as-224×224-PNG check on
     that path)."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].repartition(spark.sparkContext.defaultParallelism)
+    # work_factor=4: resize decodes, resamples AND re-encodes (the only
+    # kernel that pays a second full encode), so it saturates compute at
+    # ~4x the fan-out of the decode-only kernels (measured: at sf0.1 the
+    # decode-only keys plateau at ~10 partitions while resize still wants
+    # the full core count — 0.94 s at 32 vs 1.06 s at 10).
+    docs = t["documents"].repartition(
+        multimodal.decode_partitions(
+            spark, f"{sf_dir}/documents.parquet", work_factor=4.0
+        )
+    )
     media = multimodal.attach_png_payload(docs)
     out = multimodal.resize_media(media, 224, 224)
     return out.select(
@@ -986,7 +1001,9 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes each frame (sha256 hex) for the same canonicalizer-safety
     reason as q_multimodal_resize."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].repartition(spark.sparkContext.defaultParallelism)
+    docs = t["documents"].repartition(
+        multimodal.decode_partitions(spark, f"{sf_dir}/documents.parquet")
+    )
     media = multimodal.attach_png_payload(docs)
     frames = multimodal.sample_frames(media, n_frames=4)
     return frames.select(
@@ -1045,7 +1062,9 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation. Integer-only features mean the comparison has zero
     float-drift surface — no fixed-point serialization needed."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].repartition(spark.sparkContext.defaultParallelism)
+    docs = t["documents"].repartition(
+        multimodal.decode_partitions(spark, f"{sf_dir}/documents.parquet")
+    )
     media = multimodal.attach_wav_payload(docs)
     return multimodal.extract_audio_features(media)
 

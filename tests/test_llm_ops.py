@@ -1786,3 +1786,45 @@ def test_portable_hll_estimate_register_sum_is_exact(spark):
         else raw
     )
     assert got == expected
+
+
+def test_decode_partitions_volume_rule(spark, sf_dir, tmp_path):
+    """r10 fan-out rule: tiny inputs get sub-core fan-out, big inputs keep
+    the core count, work_factor scales the estimate, unprobeable paths
+    fall back to the core count (the pre-r10 behavior)."""
+    from etl_asana_spark.operators import multimodal
+
+    cores = spark.sparkContext.defaultParallelism
+    target = multimodal._PY_TASK_TARGET_BYTES
+
+    one = tmp_path / "one.bin"
+    one.write_bytes(b"x" * (target // 2))
+    assert multimodal.decode_partitions(spark, str(one)) == 1
+
+    # work_factor multiplies the partition estimate (before the core cap)
+    assert multimodal.decode_partitions(spark, str(one), work_factor=6.0) == min(
+        cores, 3
+    )
+
+    big = tmp_path / "big.bin"
+    big.write_bytes(b"x" * (target * (cores + 5)))
+    assert multimodal.decode_partitions(spark, str(big)) == cores
+
+    # directories sum their files
+    d = tmp_path / "dir"
+    d.mkdir()
+    (d / "a").write_bytes(b"x" * target)
+    (d / "b").write_bytes(b"x" * target)
+    assert multimodal.decode_partitions(spark, str(d)) == min(cores, 2)
+
+    # unprobeable path: keep the core count, never raise
+    assert (
+        multimodal.decode_partitions(spark, str(tmp_path / "missing.bin"))
+        == cores
+    )
+
+    # the registered multimodal keys still produce one feature row per doc
+    # through the rule (partitioning must not change results)
+    fn = catalog.queries()["q_multimodal"]
+    docs = load_tables(spark, sf_dir)["documents"]
+    assert fn(spark, sf_dir).count() == docs.count()
