@@ -46,7 +46,9 @@ def pagerank(
     a uniform start. Parallel edges are legal and count once each (a node
     linking twice sends twice the weight, matching the multigraph reading).
     """
-    edges = edges.select("src", "dst")
+    # Edge list checkpointed FIRST — same rationale as pagerank_units
+    # (r10): setup references it three times, the loop once per superstep.
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     vertices = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -64,7 +66,6 @@ def pagerank(
         # frame with the output schema, never a ZeroDivisionError on 1/n.
         return base.select("id", F.lit(0.0).alias("rank"))
     ranks = base.withColumn("rank", F.lit(1.0 / n))
-    edges = edges.localCheckpoint(eager=False)  # scanned every superstep
 
     for it in range(iterations):
         contribs = (
@@ -122,7 +123,14 @@ def pagerank_units(
     — bounded absolute error ~1e-9 of total mass per superstep at the
     default scale, irrelevant for ranking and shared exactly by the oracle.
     """
-    edges = edges.select("src", "dst")
+    # Materialize the edge list FIRST (r10): the caller's edge pipeline can
+    # be expensive (q_graph_pagerank's lineitem self-join + distinct), and
+    # it is referenced three times just to set up (vertices' union reads it
+    # twice, outdeg once) plus once per superstep. Checkpointed up front it
+    # computes exactly once; previously the checkpoint came after ``base``,
+    # so the setup job re-derived the pair pipeline per reference (modulo
+    # exchange reuse) and the loop's lazy checkpoint re-ran it once more.
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     vertices = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -132,15 +140,14 @@ def pagerank_units(
         F.count("*").alias("outdeg")
     )
     # base is joined every superstep — materialize it once instead of
-    # re-deriving vertices⋈outdeg from the raw edges each round (the count()
-    # below forces it anyway).
+    # re-deriving vertices⋈outdeg from the checkpointed edges each round
+    # (the count() below forces it anyway).
     base = vertices.join(outdeg, "id", "left").localCheckpoint(eager=True)
     n = base.count()
     if n == 0:
         # Same empty-graph guard as pagerank(): schema-correct empty frame.
         return base.select("id", F.lit(0).cast("long").alias("rank_units"))
     ranks = base.withColumn("u", F.lit(int(scale // n)).cast("long"))
-    edges = edges.localCheckpoint(eager=False)
     # Teleport term: floor((1-d)*scale / n) — evaluated as the same double
     # expression the SQL oracle uses (constant for the whole run).
     teleport = F.floor(
@@ -197,5 +204,16 @@ def pagerank_units(
             )
         ranks = stepped.select("id", "outdeg", "u")
         if (it + 1) % _CHECKPOINT_EVERY == 0 and it + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            # eager=False when dangling-free (r10): each superstep then
+            # references the previous rank vector exactly ONCE (the
+            # contribs join — the dangling subtree, the second reference,
+            # is gone), so the lazy checkpoint still computes every
+            # intermediate exactly once but the whole recurrence executes
+            # as ONE submitted job instead of one blocking job per
+            # superstep. The plan is truncated at checkpoint-creation time
+            # either way (LogicalRDD), so optimizer growth stays bounded.
+            # The dangling path keeps eager=True: its two same-job
+            # references to a lazily-cached RDD can race partition
+            # computation between the contribs and dmass stages.
+            ranks = ranks.localCheckpoint(eager=not dangling_free)
     return ranks.select("id", F.col("u").alias("rank_units"))
