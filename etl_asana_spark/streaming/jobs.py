@@ -37,16 +37,62 @@ _STAGE_DIRS: dict[str, str] = {}
 #: registered key's DuckDB oracle can embed the same absolute path.
 STORIES_FIXTURE = str(FIXTURES_DIR / "stories.ndjson")
 
-#: State-store partition count for the bounded demo/test runs. Stateful
-#: operators create one state store per shuffle partition per micro-batch;
-#: at test volume (≤100 k rows/run) 32 partitions means the wall clock is
-#: dominated by empty state-store commits, not data. Production tuning is the
-#: opposite direction: size partitions so per-key state fits executor memory.
+#: Fallback state-store partition count for the bounded demo/test runs when
+#: the stream's input volume cannot be probed. Stateful operators create one
+#: state store per shuffle partition per micro-batch; at test volume
+#: (≤100 k rows/run) 32 partitions means the wall clock is dominated by
+#: empty state-store commits, not data. Production tuning is the opposite
+#: direction: size partitions so per-key state fits executor memory.
 _STREAM_SHUFFLE_PARTITIONS = "8"
+
+#: Compressed input bytes per state partition for volume-derived sizing
+#: (r10). Every shuffle partition costs ~40-90 ms of state-store commit
+#: overhead PER MICRO-BATCH regardless of data (HDFS-backed store: snapshot
+#: + delta file per store per batch; a stream-stream join keeps FOUR stores
+#: per partition) — measured on q_stream_stream_join at sf0.01:
+#: 16 partitions 4.39 s, 8 → 3.34 s, 4 → 2.06 s, 2 → 1.91 s for an
+#: identical 40-row result. So a bounded drain should open only as many
+#: stores as the input volume can fill.
+_STREAM_TARGET_BYTES = 16 * 1024 * 1024
+
+
+def _stream_partitions(spark: SparkSession, input_path: str | None) -> str:
+    """State-partition count for a bounded drain over ``input_path``:
+    ``clamp(ceil(bytes / 16 MiB), 2, defaultParallelism)``.
+
+    Floor 2 keeps multi-partition state sharding exercised (the semantics
+    the demo keys exist to prove); the core cap matches the engine's batch
+    default at local scale — a production deployment sizes state fan-out
+    explicitly, and ``SPARK_GRAFT_STREAM_PARTITIONS`` pins the count for
+    substrate sweeps / operators either way. Results are partition-count
+    invariant by construction (dsum fixed-point aggregation; r9's
+    SWEEP_SHUFFLE=7 full-catalog sweep is the standing evidence)."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if env:
+        return env
+    if not input_path:
+        return _STREAM_SHUFFLE_PARTITIONS
+    try:
+        if os.path.isdir(input_path):
+            total = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(input_path)
+                for f in files
+            )
+        else:
+            total = os.path.getsize(input_path)
+    except OSError:
+        total = 0
+    if total <= 0:
+        return _STREAM_SHUFFLE_PARTITIONS
+    import math
+
+    cores = spark.sparkContext.defaultParallelism
+    return str(max(2, min(cores, math.ceil(total / _STREAM_TARGET_BYTES))))
 
 
 @contextlib.contextmanager
-def _stream_shuffle(spark: SparkSession):
+def _stream_shuffle(spark: SparkSession, input_path: str | None = None):
     """Temporarily right-size shuffle partitions for a bounded stateful run.
 
     The partition count is pinned into the (fresh, per-run) checkpoint at
@@ -55,7 +101,7 @@ def _stream_shuffle(spark: SparkSession):
     """
     key = "spark.sql.shuffle.partitions"
     before = spark.conf.get(key)
-    spark.conf.set(key, _STREAM_SHUFFLE_PARTITIONS)
+    spark.conf.set(key, _stream_partitions(spark, input_path))
     try:
         yield
     finally:
@@ -159,7 +205,9 @@ def _retry_drain(run_once):
 LAST_DRAIN_STATS: dict[str, object] = {}
 
 
-def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+def _run_to_memory(
+    df: DataFrame, mode: str, input_path: str | None = None
+) -> DataFrame:
     """Run a streaming plan to completion (AvailableNow) into a memory sink."""
     import time
 
@@ -168,7 +216,7 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     def drain() -> DataFrame:
         name = f"sink_{uuid.uuid4().hex[:12]}"
         t0 = time.perf_counter()
-        with _stream_shuffle(spark):
+        with _stream_shuffle(spark, input_path):
             query = (
                 df.writeStream.format("memory")
                 .queryName(name)
@@ -231,7 +279,11 @@ def tumbling_counts_stream(
     batch-twin property can be checked across configurations, not just the
     catalog key's defaults.
     """
-    return _run_to_memory(plan_tumbling(spark, sf_dir, window, watermark), "append")
+    return _run_to_memory(
+        plan_tumbling(spark, sf_dir, window, watermark),
+        "append",
+        input_path=_events_stream_dir(sf_dir),
+    )
 
 
 def plan_sliding(
@@ -265,7 +317,11 @@ def sliding_counts_stream(
     knob to watch on a 100 TB/day stream. ``window``/``slide`` are exposed
     so the oracle-differential fuzz can hit odd alignment ratios, not just
     the catalog key's 4:1 default."""
-    return _run_to_memory(plan_sliding(spark, sf_dir, window, slide), "append")
+    return _run_to_memory(
+        plan_sliding(spark, sf_dir, window, slide),
+        "append",
+        input_path=_events_stream_dir(sf_dir),
+    )
 
 
 def plan_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,7 +335,9 @@ def plan_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#59 Stateful exact dedup across micro-batches, state bounded by the
     watermark (dropDuplicatesWithinWatermark)."""
-    return _run_to_memory(plan_dedup(spark, sf_dir), "append")
+    return _run_to_memory(
+        plan_dedup(spark, sf_dir), "append", input_path=_events_stream_dir(sf_dir)
+    )
 
 
 def plan_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,7 +364,11 @@ def plan_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#60 Stream-static join: enrich the event stream with a static dim
     (broadcast per micro-batch; the static side never becomes state)."""
-    return _run_to_memory(plan_static_join(spark, sf_dir), "append")
+    return _run_to_memory(
+        plan_static_join(spark, sf_dir),
+        "append",
+        input_path=_events_stream_dir(sf_dir),
+    )
 
 
 def sessionize_stream(spark: SparkSession, sf_dir: str,
@@ -324,6 +386,14 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
     Scale: state is 3 scalars per active user key, sharded by the groupBy
     hash across executors; eviction is watermark-driven, so state size is
     bounded by (active users in the gap window), not history length.
+
+    This drain keeps the pinned partition count rather than the
+    volume-derived one (r10): the per-group work here is a PYTHON kernel
+    (applyInPandasWithState), so the drain is compute-bound, not
+    store-commit-bound — shrinking to 2 state partitions serializes the
+    Python work and measured SLOWER (2.97 s vs 2.46 s at sf0.01) even as
+    every JVM-stateful drain sped up. Same asymmetry as the multimodal
+    resize work_factor.
     """
     return _run_to_memory(plan_session(spark, sf_dir, gap_minutes), "update")
 
@@ -442,7 +512,7 @@ def upsert_drain(spark: SparkSession, sf_dir: str, ckpt: str, target: str) -> No
         # keep-rule, so replays of a batch cannot change the answer.
         newest.write.mode("append").parquet(target)
 
-    with _stream_shuffle(spark):
+    with _stream_shuffle(spark, _events_stream_dir(sf_dir)):
         query = (
             ev.writeStream.foreachBatch(upsert)
             .option("checkpointLocation", ckpt)
@@ -484,7 +554,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarks advance — without the time bound the state would grow
     forever. Per-key state shards across executors on user_id.
     """
-    return _run_to_memory(plan_stream_stream(spark, sf_dir), "append")
+    return _run_to_memory(
+        plan_stream_stream(spark, sf_dir),
+        "append",
+        input_path=_events_stream_dir(sf_dir),
+    )
 
 
 def plan_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,7 +609,7 @@ def sync_token_source_stream(spark: SparkSession) -> DataFrame:
     # exactly processAllAvailable() on a running query.
     def drain() -> DataFrame:
         name = f"sink_{uuid.uuid4().hex[:12]}"
-        with _stream_shuffle(spark):
+        with _stream_shuffle(spark, STORIES_FIXTURE):
             query = (
                 agg.writeStream.format("memory")
                 .queryName(name)

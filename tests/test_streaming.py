@@ -1109,3 +1109,33 @@ spark.stop()
     add_file2()
     _drain_once(plan, spark, staged, mode, ckpt, sink)
     assert _sink_rows(spark, sink) == expected
+
+
+def test_stream_partitions_volume_rule(spark, tmp_path, monkeypatch):
+    """r10 state-partition sizing: volume-derived with floor 2 and core
+    cap, env pin wins, unprobeable input falls back to the static pin."""
+    from etl_asana_spark.streaming import jobs
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_PARTITIONS", raising=False)
+    cores = spark.sparkContext.defaultParallelism
+
+    small = tmp_path / "small.parquet"
+    small.write_bytes(b"x" * 1024)
+    assert jobs._stream_partitions(spark, str(small)) == "2"
+
+    big = tmp_path / "big.bin"
+    big.write_bytes(b"x" * (jobs._STREAM_TARGET_BYTES * (cores + 3)))
+    assert jobs._stream_partitions(spark, str(big)) == str(cores)
+
+    # no probe-able path: the static pin
+    assert (
+        jobs._stream_partitions(spark, None) == jobs._STREAM_SHUFFLE_PARTITIONS
+    )
+    assert (
+        jobs._stream_partitions(spark, str(tmp_path / "missing"))
+        == jobs._STREAM_SHUFFLE_PARTITIONS
+    )
+
+    # operator pin beats the rule (substrate sweeps)
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PARTITIONS", "7")
+    assert jobs._stream_partitions(spark, str(big)) == "7"
