@@ -24,6 +24,7 @@ Fuzzy families, all linear-ish by blocking (never all-pairs at scale):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -1298,10 +1299,17 @@ def semantic_dedup_stats(
 
 
 #: connected_components switches to an exact driver-side union-find when
-#: the symmetric edge list is at most this many rows (≤ ~3 MB collected):
-#: below it, the distributed loop's 2-jobs-per-round fixed overhead costs
-#: more than the entire computation.
-_CC_DRIVER_CUTOVER = 100_000
+#: the symmetric edge list is at most this many rows: below it, the
+#: distributed loop's 2-jobs-per-round fixed overhead costs more than the
+#: entire computation. 300k rows ≈ 9 MB collected / ~0.2 s of union-find —
+#: comfortably bounded driver work (the rule: O(model)-sized collects
+#: only), and raising it from the r07 100k converted q_dedup_clusters'
+#: sf0.1 graph (188k sym edges, one giant component at threshold 0.015)
+#: from a 3-round distributed loop to one collect: 5.29 → 3.96 s measured
+#: (r10). Env knob for clusters with a different driver-memory budget.
+_CC_DRIVER_CUTOVER = int(
+    os.environ.get("SPARK_GRAFT_CC_CUTOVER", str(300_000))
+)
 
 
 def connected_components(
@@ -1337,9 +1345,18 @@ def connected_components(
     # pipeline re-executes per round (measured: q_dedup_clusters ~9 s →
     # ~4 s at sf0.01). eager=False (r10): materialization rides the probe
     # collect below instead of being its own job.
+    # Symmetric closure via one generator over each edge row (r10), not a
+    # union of two projections: the union referenced the caller's pair
+    # pipeline TWICE in one plan — exchange reuse dedupes the shuffles, but
+    # every post-shuffle stage of the pair aggregation still ran twice and
+    # the plan carried two copies of the subtree. explode reads each edge
+    # once and emits both directions in the same pass.
     sym = (
-        edges.selectExpr(f"{src} AS a", f"{dst} AS b")
-        .union(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
+        edges.selectExpr(
+            f"explode(array(named_struct('a', {src}, 'b', {dst}),"
+            f" named_struct('a', {dst}, 'b', {src}))) AS e"
+        )
+        .select("e.a", "e.b")
         .distinct()
     ).localCheckpoint(eager=False)
 
