@@ -38,6 +38,8 @@ codecs, which genuinely need ffmpeg.
 from __future__ import annotations
 
 import importlib
+import math
+import os
 import struct
 import wave
 from collections.abc import Iterator
@@ -45,6 +47,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..fsutil import local_input_bytes
 from . import avi_codec, jpeg_codec, png_codec, wav_codec
 
 
@@ -70,7 +73,7 @@ def _optional(name: str):
 #: compressed text to pixels; already-binary corpora may want bigger
 #: targets).
 _PY_TASK_TARGET_BYTES = int(
-    __import__("os").environ.get("SPARK_GRAFT_PY_TASK_TARGET_KB", "64")
+    os.environ.get("SPARK_GRAFT_PY_TASK_TARGET_KB", "64")
 ) * 1024
 
 
@@ -88,20 +91,7 @@ def decode_partitions(spark, path: str, work_factor: float = 1.0) -> int:
     measured at sf0.1 it still wants the full fan-out where decode-only
     kernels plateau at ~10 partitions). Unprobeable paths (object stores
     this local walk can't see) keep the core count."""
-    import math
-    import os
-
-    try:
-        if os.path.isdir(path):
-            total = sum(
-                os.path.getsize(os.path.join(root, f))
-                for root, _dirs, files in os.walk(path)
-                for f in files
-            )
-        else:
-            total = os.path.getsize(path)
-    except OSError:
-        total = 0
+    total = local_input_bytes(path)
     cores = spark.sparkContext.defaultParallelism
     if total <= 0:
         return cores
