@@ -30,10 +30,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: Memoized (n_rows, ndv_group) probe results. Keyed by caller-supplied
-#: ``stats_key`` (same contract as the Lloyd model cache: pass one only for
-#: deterministic snapshot inputs; see reset_group_stats_cache).
-_GROUP_STATS: dict[tuple, tuple[int, int]] = {}
+#: Memoized (n_rows, ndv_group, n_scan_partitions) probe results. Keyed by
+#: caller-supplied ``stats_key`` (same contract as the Lloyd model cache:
+#: pass one only for deterministic snapshot inputs; see
+#: reset_group_stats_cache). The partition count is memoized alongside the
+#: probe because reading it (``df.rdd.getNumPartitions()``) compiles the
+#: full physical plan — paying that per query CONSTRUCTION regressed the
+#: r10 gate bench 0.54 → 0.89 s while buying nothing (the count is a
+#: function of the same snapshot input the probe is keyed on).
+_GROUP_STATS: dict[tuple, tuple[int, int, int]] = {}
 
 
 def reset_group_stats_cache(stats_key: str | None = None) -> int:
@@ -50,10 +55,11 @@ def reset_group_stats_cache(stats_key: str | None = None) -> int:
 
 def _group_shape(
     df: DataFrame, group_cols: list[str], stats_key: str | None
-) -> tuple[int, int]:
-    """(n_rows, approx ndv of the group key) — one partial-agg scan job,
-    memoized under (stats_key, group_cols) when a key is given. With
-    ``stats_key=None`` the probe job runs on EVERY call (at DataFrame
+) -> tuple[int, int, int]:
+    """(n_rows, approx ndv of the group key, n_scan_partitions) — one
+    partial-agg scan job plus one plan compile for the partition count,
+    memoized together under (stats_key, group_cols) when a key is given.
+    With ``stats_key=None`` both run on EVERY call (at DataFrame
     construction time) — fine for ad-hoc use, but repeated callers should
     pass a key. An empty string is rejected (it would silently disable
     memoization while looking like an opt-in — the Lloyd cache rule)."""
@@ -66,7 +72,11 @@ def _group_shape(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct(F.struct(*group_cols)).alias("g"),
     ).collect()[0]
-    shape = (int(row["n"]), max(1, int(row["g"])))
+    shape = (
+        int(row["n"]),
+        max(1, int(row["g"])),
+        max(1, df.rdd.getNumPartitions()),
+    )
     if cache_key is not None:
         _GROUP_STATS[cache_key] = shape
     return shape
@@ -80,9 +90,11 @@ def partial_limit_pays(
 ) -> bool:
     """True iff the map-side partial top-k heap would actually filter rows:
     ``avg_group_rows > k × n_scan_partitions`` (a group must exceed k rows
-    inside a single input partition for the heap to drop anything)."""
-    n_rows, ndv = _group_shape(df, group_cols, stats_key)
-    n_parts = max(1, df.rdd.getNumPartitions())
+    inside a single input partition for the heap to drop anything). On a
+    memoized stats_key hit this touches no Spark API at all — in
+    particular not ``df.rdd``, whose logical→physical compile per call was
+    the r10 q_win_topk_group bench regression."""
+    n_rows, ndv, n_parts = _group_shape(df, group_cols, stats_key)
     return (n_rows / ndv) > float(k) * n_parts
 
 

@@ -345,13 +345,37 @@ def test_group_stats_probe_memoizes_and_resets(spark, sf_dir):
     key = "test-topk-stats"
     T.reset_group_stats_cache(key)
     shape = T._group_shape(orders, ["o_custkey"], key)
-    assert shape[0] > 0 and shape[1] > 0
+    assert shape[0] > 0 and shape[1] > 0 and shape[2] > 0
     assert T._GROUP_STATS[(key, ("o_custkey",))] == shape
     # Cache hit: a poisoned entry is returned verbatim (no re-probe).
-    T._GROUP_STATS[(key, ("o_custkey",))] = (1, 1)
-    assert T._group_shape(orders, ["o_custkey"], key) == (1, 1)
+    T._GROUP_STATS[(key, ("o_custkey",))] = (1, 1, 1)
+    assert T._group_shape(orders, ["o_custkey"], key) == (1, 1, 1)
     assert T.reset_group_stats_cache(key) == 1
     assert (key, ("o_custkey",)) not in T._GROUP_STATS
+
+
+def test_partial_limit_pays_cache_hit_touches_no_spark_api():
+    """r11: on a memoized stats_key hit, partial_limit_pays must not touch
+    the DataFrame at all — in particular not df.rdd, whose per-call
+    physical-plan compile was the r10 q_win_topk_group bench regression
+    (driver 0.54 -> 0.89 s per construction)."""
+    from etl_asana_spark.operators import topk as T
+
+    class Boom:
+        """Any attribute access (df.agg, df.rdd, ...) fails the test."""
+
+        def __getattribute__(self, name):
+            raise AssertionError(f"cache hit touched DataFrame.{name}")
+
+    key = "test-topk-cache-hit"
+    T.reset_group_stats_cache(key)
+    # Shape where the partial pays (10 rows/group, 1 partition, k=3) and
+    # one where it does not (1 row/group over 32 partitions).
+    T._GROUP_STATS[(key, ("g",))] = (1000, 100, 1)
+    assert T.partial_limit_pays(Boom(), ["g"], 3, stats_key=key) is True
+    T._GROUP_STATS[(key, ("g",))] = (1000, 1000, 32)
+    assert T.partial_limit_pays(Boom(), ["g"], 3, stats_key=key) is False
+    assert T.reset_group_stats_cache(key) == 1
 
 
 def test_group_stats_probe_rejects_empty_key(spark, sf_dir):
