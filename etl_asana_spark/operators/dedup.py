@@ -1373,9 +1373,12 @@ def connected_components(
     # rows those rows ARE the whole edge list, so the former
     # eager-materialize + count() + collect() trio (three blocking driver
     # round-trips per CC call, all fixed overhead at sf scale) collapses
-    # to a single job; a large graph exits the probe early (executeTake
-    # stops at cutover+1 rows) and materializes fully at the labels
-    # checkpoint right after, each partition still computed exactly once.
+    # to a single job; a large graph stops ACCUMULATING at cutover+1 rows,
+    # but the probe job itself still materializes every partition of the
+    # lazy checkpoint (LocalRDDCheckpointData.doCheckpoint computes the
+    # missing partitions when the probe job finishes), so the labels
+    # derivation right after reads cached partitions — each computed
+    # exactly once, at the probe, not at the labels checkpoint (r10 advice).
     probe = sym.limit(_CC_DRIVER_CUTOVER + 1).collect()
     if len(probe) <= _CC_DRIVER_CUTOVER:
         parent: dict = {}
@@ -1398,9 +1401,20 @@ def connected_components(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         out = [(n, find(n)) for n in parent]
-        return edges.sparkSession.createDataFrame(
-            out, schema=sym.select(F.col("a").alias("node"),
-                                   F.col("b").alias("component")).schema
+        spark = edges.sparkSession
+        schema = sym.select(
+            F.col("a").alias("node"), F.col("b").alias("component")
+        ).schema
+        # Bounded slice count (r11): createDataFrame over a local list
+        # parallelizes into defaultParallelism slices — 32 near-empty tasks
+        # for a label table this small, re-dispatched by every consumer
+        # stage. ~50k rows per slice keeps the task count proportional to
+        # the (bounded) data instead of to the core count.
+        n_slices = max(1, min(
+            spark.sparkContext.defaultParallelism, 1 + len(out) // 50_000
+        ))
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(out, n_slices), schema=schema
         )
 
     labels = (
@@ -1494,6 +1508,7 @@ def dedup_clusters_collapsed(
     pairable: Column,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pre_collapsed: bool = False,
 ) -> DataFrame:
     """:func:`dedup_clusters` without ever materializing member-level pairs.
 
@@ -1521,8 +1536,35 @@ def dedup_clusters_collapsed(
     granularity) pair frame with columns (doc_a, doc_b) over a frame with
     the caller's ``id_col``/``text_col`` schema; ``pairable`` is evaluated
     against the group's shared text exposed as column ``vec``.
+
+    ``pre_collapsed=True`` (r11) declares the caller already removed
+    byte-identical texts (e.g. curate_corpus clusters the output of its own
+    exact-dedup stage): groups/membership become NARROW identity
+    projections — every doc is its own singleton group — skipping
+    ``_collapse_exact``'s two full-text shuffles (the groupBy on the text
+    bytes and the join back on them), which at corpus scale are the two
+    heaviest exchanges of the whole build (guide §2.4: remove shuffles the
+    data's provenance proves redundant). Output is bit-identical for
+    distinct-text input; if the promise is broken the n-gram family still
+    CLUSTERS correctly (identical texts pair at Jaccard 1.0 through the
+    naive join) — the flag only forfeits the quadratic-multiplicity
+    protection the collapse exists to provide.
     """
-    groups, membership = _collapse_exact(docs, id_col, text_col)
+    if pre_collapsed:
+        groups = docs.select(
+            F.col(id_col).alias("rep"),
+            F.col(text_col).alias("vec"),
+            F.lit(1).alias("cnt"),
+        )
+        # _collapse_exact drops NULL-vec docs from membership (they are
+        # outside the pairing domain); mirror that so both paths feed the
+        # member labeling identically — NULL-text docs fall out as
+        # singletons at the caller-facing left join below either way.
+        membership = docs.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("rep")
+        )
+    else:
+        groups, membership = _collapse_exact(docs, id_col, text_col)
     reps = groups.select(
         F.col("rep").alias(id_col), F.col("vec").alias(text_col)
     )
@@ -1551,10 +1593,17 @@ def dedup_clusters_collapsed(
             "cluster_size",
             F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
         )
-        .withColumn(
-            "is_canonical",
-            F.col(id_col) == F.min(id_col).over(Window.partitionBy("cluster_id")),
-        )
+        # is_canonical = (id == cluster label), provably identical to the
+        # min-id window (r11): every cluster label this operator produces
+        # IS the minimum member id of its cluster — CC labels are the
+        # smallest reachable rep, reps are the min member id of their
+        # group, and unpairable/unlabeled docs carry their own id. Writing
+        # it as a comparison instead of min().over(...) lets Catalyst PRUNE
+        # the whole member-level window exchange+sort for consumers that
+        # never read cluster_size (curate_corpus's canonical semi-join) —
+        # the differential tests against dedup_clusters (which keeps the
+        # naive window form) pin the equivalence.
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
     )
 
 
@@ -1564,6 +1613,7 @@ def ngram_dedup_clusters(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    pre_collapsed: bool = False,
 ) -> DataFrame:
     """:func:`dedup_clusters_collapsed` specialized to the n-gram Jaccard
     family, deriving the rep-pair function AND the matching ``pairable``
@@ -1587,6 +1637,7 @@ def ngram_dedup_clusters(
         & F.lit(threshold <= 1.0),
         id_col=id_col,
         text_col=text_col,
+        pre_collapsed=pre_collapsed,
     )
 
 

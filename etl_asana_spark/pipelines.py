@@ -225,7 +225,15 @@ def curate_corpus(
     # exact-copy multiplicity — stage 2 already dropped exact dups here, but
     # the operator must not rely on that to be safe at corpus scale.
     t_build = time.perf_counter()
-    clusters = ngram_dedup_clusters(exact, n=3, threshold=jaccard_threshold)
+    # pre_collapsed: stage 2 just removed byte-identical texts (xxhash64
+    # grouping), so the cluster operator's own exact-collapse would re-pay
+    # two full-text shuffles to rediscover all-singleton groups (r11,
+    # guide §2.4 — measured: the collapse groupBy+join were the heaviest
+    # exchanges of the fuzzy build). Bit-identical output on distinct-text
+    # input; see dedup_clusters_collapsed.
+    clusters = ngram_dedup_clusters(
+        exact, n=3, threshold=jaccard_threshold, pre_collapsed=True
+    )
     if count_funnel:
         stage_seconds["fuzzy_dedup_build"] = round(
             time.perf_counter() - t_build, 4
