@@ -870,6 +870,299 @@ def _collapse_exact(
     return groups, membership
 
 
+#: Verify-path selector for the embed family (r11, guide §4.2): ``auto``
+#: prices the verify driver-side from the SAME bounded cell collect the
+#: blocking already does (Σ nᵢ·nⱼ pair dots over surviving cell pairs ×
+#: vector width = exact MAC count, zero extra jobs) and switches from the
+#: codegen'd per-pair dot to the Arrow-batched BLAS kernel once the work
+#: amortizes the Python-worker round-trip. ``jvm``/``arrow`` force a path
+#: (A/B + differential tests).
+_EMBED_VERIFY_MODES = ("auto", "jvm", "arrow")
+
+#: Last gate decision (diagnostic; see embedding_cosine_dups_blocked).
+_LAST_EMBED_VERIFY: dict = {}
+
+
+def _embed_verify_mode() -> tuple[str, int]:
+    mode = os.environ.get("SPARK_GRAFT_EMBED_VERIFY", "auto").lower()
+    if mode not in _EMBED_VERIFY_MODES:
+        raise ValueError(
+            "SPARK_GRAFT_EMBED_VERIFY must be one of "
+            f"{_EMBED_VERIFY_MODES}, got {mode!r}"
+        )
+    min_macs = int(float(os.environ.get(
+        "SPARK_GRAFT_EMBED_VERIFY_MIN_MACS", "2e8"
+    )))
+    return mode, min_macs
+
+
+def _arrow_pair_verify(
+    assigned: DataFrame, edge_df: DataFrame, dim: int, threshold: float
+) -> DataFrame:
+    """Candidate-pair cosine verify as one BLAS matmul per cell pair.
+
+    Same answer set as the JVM join + per-pair dot (the blocked verify's
+    other branch) up to float-summation order: the matmul accumulates
+    partial products in BLAS blocking order instead of the fold's strict
+    index order, so a cosine can differ from the JVM value in the last
+    ulp — which only matters for a pair sitting within ~1e-15 of the
+    threshold (the shipped corpora have ≥1e-3 margins, differential-tested
+    bit-equal after the queries' ROUND(8)). Spark filter semantics are
+    replicated exactly: NaN cosines KEPT (NaN > any threshold), zero
+    denominators dropped (try_divide NULL), vectors containing NULL
+    elements dropped (NULL poisons the JVM fold), same-cell pairs deduped
+    by id order.
+
+    Scale shape (guide §4.2/§2.3): each cell's vectors cross the Python
+    boundary once per incident cell-pair edge as Arrow batches — the same
+    fan-out the JVM join's exchange pays — while the O(pairs) dot work
+    runs as level-3 BLAS instead of per-pair scalar expression eval. The
+    score matrix is chunked to ≤2²⁴ doubles so one oversized cell pair
+    bounds memory, never OOMs the worker.
+    """
+    members = assigned.filter(F.col("vec").isNotNull())
+    # Distinct column names per side: both derive from the same plan, and
+    # identically-named columns would trip the ambiguous-self-join check
+    # at the cogroup.
+    lt = members.select(
+        F.col("cell").alias("cell_a"),
+        F.col("id").alias("ida"),
+        F.col("vec").alias("veca"),
+        F.col("nrm").alias("nrma"),
+    ).join(F.broadcast(edge_df), "cell_a")
+    rt = members.select(
+        F.col("cell").alias("cell_b"),
+        F.col("id").alias("idb"),
+        F.col("vec").alias("vecb"),
+        F.col("nrm").alias("nrmb"),
+    ).join(F.broadcast(edge_df), "cell_b")
+    id_dt = assigned.schema["id"].dataType.simpleString()
+
+    def verify(left, right):
+        import numpy as np
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [
+                pa.field("rep_a", left.schema.field("ida").type),
+                pa.field("rep_b", right.schema.field("idb").type),
+                pa.field("cos", pa.float64()),
+            ]
+        )
+        if left.num_rows == 0 or right.num_rows == 0:
+            return out_schema.empty_table()
+
+        def unpack(tbl, vec_col, nrm_col, id_col):
+            vec = tbl.column(vec_col).combine_chunks()
+            vals = vec.flatten()  # respects slice offsets, no null lists
+            n = len(vec)
+            if vals.null_count:
+                # A NULL element poisons the JVM fold to a NULL cosine,
+                # which the threshold filter drops — exclude those rows
+                # (zeroing keeps the matmul shape without NaN leakage).
+                bad = np.asarray(vals.is_null()).reshape(n, dim).any(axis=1)
+            else:
+                bad = np.zeros(n, dtype=bool)
+            m = np.asarray(
+                vals.to_numpy(zero_copy_only=False), dtype=np.float64
+            ).reshape(n, dim)
+            if bad.any():
+                m[bad] = 0.0
+            nrm = np.asarray(
+                tbl.column(nrm_col)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            )
+            ids = tbl.column(id_col).combine_chunks()
+            return m, nrm, ~bad, ids
+
+        ma, na_, va, ids_a = unpack(left, "veca", "nrma", "ida")
+        mb, nb_, vb, ids_b = unpack(right, "vecb", "nrmb", "idb")
+        same_cell = (
+            left.column("cell_a")[0].as_py() == left.column("cell_b")[0].as_py()
+        )
+        if same_cell:
+            ids_a_np = ids_a.to_numpy(zero_copy_only=False)
+            ids_b_np = ids_b.to_numpy(zero_copy_only=False)
+        ii_parts, jj_parts, cos_parts = [], [], []
+        step = max(1, (1 << 24) // max(1, ma.shape[0]))
+        for j0 in range(0, mb.shape[0], step):
+            mbj = mb[j0 : j0 + step]
+            s = ma @ mbj.T
+            denom = np.outer(na_, nb_[j0 : j0 + step])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = s / denom
+            keep = ((cos >= threshold) | np.isnan(cos)) & (denom != 0.0)
+            keep &= va[:, None] & vb[None, j0 : j0 + step]
+            if same_cell:
+                keep &= ids_a_np[:, None] < ids_b_np[None, j0 : j0 + step]
+            ii, jj = np.nonzero(keep)
+            if len(ii):
+                ii_parts.append(ii)
+                jj_parts.append(jj + j0)
+                cos_parts.append(cos[ii, jj])
+        if not ii_parts:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "rep_a": ids_a.take(pa.array(np.concatenate(ii_parts))),
+                "rep_b": ids_b.take(pa.array(np.concatenate(jj_parts))),
+                "cos": pa.array(np.concatenate(cos_parts), type=pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        lt.groupBy("cell_a", "cell_b")
+        .cogroup(rt.groupBy("cell_a", "cell_b"))
+        .applyInArrow(verify, f"rep_a {id_dt}, rep_b {id_dt}, cos double")
+    )
+
+
+def _arrow_cluster_pair_stats(
+    groups: DataFrame, threshold: float
+) -> DataFrame:
+    """Within-cluster rep-pair matching as one BLAS matmul per cluster —
+    the batched twin of ``semantic_dedup_stats``'s JVM pair join.
+
+    Input: the collapse's ``groups`` frame (cluster, rep, vec, cnt).
+    Output: matched pairs (cluster, rep_a, rep_b, cnt_a, cnt_b) with
+    ``rep_a < rep_b`` — exactly the columns the stats arithmetic consumes
+    (the pair cosine itself is never read downstream).
+
+    Pair semantics replicate the JVM ``cosine(va, vb) >= threshold``
+    filter: NaN cosines kept, zero-norm denominators dropped (try_divide
+    NULL), NULL vectors and vectors containing NULL elements dropped (the
+    fold poisons to NULL), and — because ``zip_with`` null-pads unequal
+    lengths into a NULL dot — pairs only ever match BETWEEN equal-length
+    vectors, which the kernel expresses by blocking each cluster's rows by
+    vector length and matmul'ing within a block. Cosine values differ from
+    the JVM fold only in float-summation order (BLAS blocking vs strict
+    index order), so the threshold decision can flip only for a pair
+    within ~1e-15 of the cut — the registered corpus margin is 5.1e-6
+    (q_dedup_semantic docstring), differential-tested identical.
+    """
+    lt = groups.select(
+        "cluster",
+        F.col("rep").alias("rep_a"),
+        F.col("vec").alias("va"),
+        F.col("cnt").alias("cnt_a"),
+    ).filter(F.col("va").isNotNull())
+    rt = groups.select(
+        "cluster",
+        F.col("rep").alias("rep_b"),
+        F.col("vec").alias("vb"),
+        F.col("cnt").alias("cnt_b"),
+    ).filter(F.col("vb").isNotNull())
+    cl_dt = groups.schema["cluster"].dataType.simpleString()
+    rep_dt = groups.schema["rep"].dataType.simpleString()
+    cnt_dt = groups.schema["cnt"].dataType.simpleString()
+
+    def verify(left, right):
+        import numpy as np
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [
+                pa.field("cluster", left.schema.field("cluster").type),
+                pa.field("rep_a", left.schema.field("rep_a").type),
+                pa.field("rep_b", right.schema.field("rep_b").type),
+                pa.field("cnt_a", left.schema.field("cnt_a").type),
+                pa.field("cnt_b", right.schema.field("cnt_b").type),
+            ]
+        )
+        if left.num_rows == 0 or right.num_rows == 0:
+            return out_schema.empty_table()
+
+        def unpack(tbl, vec_col, rep_col):
+            vec = tbl.column(vec_col).combine_chunks()
+            offs = np.asarray(vec.offsets)
+            lens = np.diff(offs)
+            vals = vec.flatten()
+            if vals.null_count:
+                elem_ok = ~np.asarray(vals.is_null())
+            else:
+                elem_ok = None
+            flat = np.asarray(
+                vals.to_numpy(zero_copy_only=False), dtype=np.float64
+            )
+            reps = np.asarray(
+                tbl.column(rep_col)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            return flat, offs - offs[0], lens, elem_ok, reps
+
+        fa, offa, la, oka, reps_a = unpack(left, "va", "rep_a")
+        fb, offb, lb, okb, reps_b = unpack(right, "vb", "rep_b")
+
+        def block(flat, offs, elem_ok, length, idx):
+            # Rows of one length as a dense (n, length) matrix + validity.
+            if length == 0:
+                m = np.zeros((len(idx), 0))
+                ok = np.ones(len(idx), dtype=bool)
+            else:
+                starts = offs[idx]
+                gather = starts[:, None] + np.arange(length)[None, :]
+                m = flat[gather]
+                ok = (
+                    np.ones(len(idx), dtype=bool)
+                    if elem_ok is None
+                    else elem_ok[gather].all(axis=1)
+                )
+                m[~ok] = 0.0
+            nrm = np.sqrt((m * m).sum(axis=1))
+            return m, nrm, ok
+
+        ii_parts, jj_parts = [], []
+        for length in np.intersect1d(np.unique(la), np.unique(lb)):
+            ia = np.nonzero(la == length)[0]
+            ib = np.nonzero(lb == length)[0]
+            ma, na_, va_ok = block(fa, offa, oka, int(length), ia)
+            mb, nb_, vb_ok = block(fb, offb, okb, int(length), ib)
+            step = max(1, (1 << 24) // max(1, ma.shape[0]))
+            for j0 in range(0, mb.shape[0], step):
+                mbj = mb[j0 : j0 + step]
+                s = ma @ mbj.T
+                denom = np.outer(na_, nb_[j0 : j0 + step])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = s / denom
+                keep = ((cos >= threshold) | np.isnan(cos)) & (denom != 0.0)
+                keep &= va_ok[:, None] & vb_ok[None, j0 : j0 + step]
+                keep &= (
+                    reps_a[ia][:, None] < reps_b[ib][None, j0 : j0 + step]
+                )
+                ii, jj = np.nonzero(keep)
+                if len(ii):
+                    ii_parts.append(ia[ii])
+                    jj_parts.append(ib[jj + j0])
+        if not ii_parts:
+            return out_schema.empty_table()
+        ii = pa.array(np.concatenate(ii_parts))
+        jj = pa.array(np.concatenate(jj_parts))
+        return pa.table(
+            {
+                "cluster": left.column("cluster").combine_chunks().take(ii),
+                "rep_a": left.column("rep_a").combine_chunks().take(ii),
+                "rep_b": right.column("rep_b").combine_chunks().take(jj),
+                "cnt_a": left.column("cnt_a").combine_chunks().take(ii),
+                "cnt_b": right.column("cnt_b").combine_chunks().take(jj),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        lt.groupBy("cluster")
+        .cogroup(rt.groupBy("cluster"))
+        .applyInArrow(
+            verify,
+            f"cluster {cl_dt}, rep_a {rep_dt}, rep_b {rep_dt}, "
+            f"cnt_a {cnt_dt}, cnt_b {cnt_dt}",
+        )
+    )
+
+
 def embedding_cosine_dups_blocked(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -1004,6 +1297,10 @@ def embedding_cosine_dups_blocked(
             # they decide whether the verify dot may unroll (see below).
             F.min(F.size("vec")).alias("dmin"),
             F.max(F.size("vec")).alias("dmax"),
+            # member count per cell: with the edge list this prices the
+            # verify EXACTLY (Σ nᵢ·nⱼ candidate dots) driver-side, zero
+            # extra jobs — the r11 JVM-vs-Arrow verify decision input.
+            F.count(F.lit(1)).alias("n_members"),
         )
     )
 
@@ -1021,6 +1318,7 @@ def embedding_cosine_dups_blocked(
     cells = [(row["cell"], row["centroid"], row["r"]) for row in rows]
     dmins = [row["dmin"] for row in rows if row["dmin"] is not None]
     dmaxs = [row["dmax"] for row in rows if row["dmax"] is not None]
+    counts = {row["cell"]: int(row["n_members"] or 0) for row in rows}
     edges = []
     for i, (ci, vi, ri) in enumerate(cells):
         for cj, vj, rj in cells[i:]:
@@ -1035,6 +1333,14 @@ def embedding_cosine_dups_blocked(
                 edges.append((min(ci, cj), max(ci, cj)))
     spark = embeddings.sparkSession
     edge_df = spark.createDataFrame(edges or [], "cell_a int, cell_b int")
+    # Exact verify cost, priced from the same bounded collect: candidate
+    # pair-dot count over the SURVIVING cell pairs only.
+    pair_dots = sum(
+        counts.get(ca, 0) * (counts.get(ca, 0) - 1) // 2
+        if ca == cb
+        else counts.get(ca, 0) * counts.get(cb, 0)
+        for ca, cb in edges
+    )
 
     # The embedding width, known driver-side from the same bounded collect —
     # lets the verify's dot unroll into codegen'd arithmetic (see docstring).
@@ -1049,6 +1355,36 @@ def embedding_cosine_dups_blocked(
     homogeneous = bool(dmins) and min(dmins) == max(dmaxs)
     dim = dmaxs[0] if homogeneous else 0
     unroll = homogeneous and dim <= 256
+
+    # r11 (guide §4.2): above the measured crossover, the per-pair dot —
+    # even codegen'd — loses to one BLAS matmul per cell pair; the MAC
+    # count is known exactly driver-side, so the switch costs no probe.
+    # The Arrow kernel needs a rectangular matrix (homogeneous widths) and
+    # numpy-orderable ids; anything else keeps the always-correct JVM path.
+    from pyspark.sql.types import NumericType
+
+    verify_mode, verify_min_macs = _embed_verify_mode()
+    id_numeric = isinstance(assigned.schema["id"].dataType, NumericType)
+    arrow_ok = homogeneous and dim >= 1 and id_numeric
+    if verify_mode == "arrow" and not arrow_ok:
+        raise ValueError(
+            "SPARK_GRAFT_EMBED_VERIFY=arrow requires homogeneous vector "
+            "widths and a numeric id column"
+        )
+    use_arrow = verify_mode == "arrow" or (
+        verify_mode == "auto"
+        and arrow_ok
+        and pair_dots * dim >= verify_min_macs
+    )
+    # Observability for tests/A-Bs: what the gate saw and chose (plan-time
+    # diagnostic only, never consulted by the computation).
+    _LAST_EMBED_VERIFY.update(
+        mode=verify_mode,
+        pair_dots=pair_dots,
+        dim=dim,
+        arrow_ok=arrow_ok,
+        use_arrow=use_arrow,
+    )
 
     def dot_unrolled(ca: str, cb: str):
         """Left-to-right Σ aᵢ·bᵢ as a plain expression tree: the identical
@@ -1077,39 +1413,47 @@ def embedding_cosine_dups_blocked(
     # shuffle keys; one cheap shuffle of n rep rows unlocks core-count
     # parallelism for the O(pairs) dot evaluation (measured at sf0.01:
     # 4.6 s → ~2 s steady-state).
-    n_par = max(embeddings.sparkSession.sparkContext.defaultParallelism, 8)
-    a = assigned.select(
-        F.col("cell").alias("cell_a"),
-        F.col("id").alias("ida"),
-        F.col("vec").alias("veca"),
-        F.col("nrm").alias("nrma"),
-    ).repartition(n_par, "cell_a")
-    b = assigned.select(
-        F.col("cell").alias("cell_b"),
-        F.col("id").alias("idb"),
-        F.col("vec").alias("vecb"),
-        F.col("nrm").alias("nrmb"),
-    )
     # Cross-cell pairs match exactly once (edge has cell_a < cell_b);
     # same-cell pairs dedupe on id order. These are REPRESENTATIVE pairs —
     # one per distinct-vector pair.
-    rep_pairs = (
-        a.join(F.broadcast(edge_df), "cell_a")
-        .join(b, "cell_b")
-        .filter((F.col("cell_a") != F.col("cell_b")) | (F.col("ida") < F.col("idb")))
-        .select(
-            F.col("ida").alias("rep_a"),
-            F.col("idb").alias("rep_b"),
-            # cosine via precomputed norms; bit-symmetric in the pair order:
-            # per-element products commute and the accumulation order is the
-            # element index either way.
-            F.try_divide(
-                (dot_unrolled if unroll else dot)("veca", "vecb"),
-                F.col("nrma") * F.col("nrmb"),
-            ).alias("cos"),
+    if use_arrow:
+        rep_pairs = _arrow_pair_verify(assigned, edge_df, dim, threshold)
+    else:
+        n_par = max(
+            embeddings.sparkSession.sparkContext.defaultParallelism, 8
         )
-        .filter(F.col("cos") >= threshold)
-    )
+        a = assigned.select(
+            F.col("cell").alias("cell_a"),
+            F.col("id").alias("ida"),
+            F.col("vec").alias("veca"),
+            F.col("nrm").alias("nrma"),
+        ).repartition(n_par, "cell_a")
+        b = assigned.select(
+            F.col("cell").alias("cell_b"),
+            F.col("id").alias("idb"),
+            F.col("vec").alias("vecb"),
+            F.col("nrm").alias("nrmb"),
+        )
+        rep_pairs = (
+            a.join(F.broadcast(edge_df), "cell_a")
+            .join(b, "cell_b")
+            .filter(
+                (F.col("cell_a") != F.col("cell_b"))
+                | (F.col("ida") < F.col("idb"))
+            )
+            .select(
+                F.col("ida").alias("rep_a"),
+                F.col("idb").alias("rep_b"),
+                # cosine via precomputed norms; bit-symmetric in the pair
+                # order: per-element products commute and the accumulation
+                # order is the element index either way.
+                F.try_divide(
+                    (dot_unrolled if unroll else dot)("veca", "vecb"),
+                    F.col("nrma") * F.col("nrmb"),
+                ).alias("cos"),
+            )
+            .filter(F.col("cos") >= threshold)
+        )
 
     # Expand rep pairs to member pairs: every member of group A pairs with
     # every member of group B at the rep pair's cosine (the member vectors
@@ -1154,6 +1498,7 @@ def semantic_dedup_stats(
     id_col: str = "vec_id",
     vec_col: str = "v",
     cluster_col: str = "cluster",
+    batched_verify: bool = False,
 ) -> DataFrame:
     """Per-cluster SemDeDup stats without enumerating duplicate pairs.
 
@@ -1209,27 +1554,36 @@ def semantic_dedup_stats(
     # runs 2-wide regardless of cores. Parallelism is key-bound at k
     # clusters, which is the operator's documented SemDeDup shape (k grows
     # with the corpus on a real deployment).
-    n_par = max(vecs.sparkSession.sparkContext.defaultParallelism, 8)
-    ga = groups.select(
-        "cluster",
-        F.col("rep").alias("rep_a"),
-        F.col("vec").alias("va"),
-        F.col("cnt").alias("cnt_a"),
-    ).repartition(n_par, "cluster")
-    gb = groups.select(
-        "cluster",
-        F.col("rep").alias("rep_b"),
-        F.col("vec").alias("vb"),
-        F.col("cnt").alias("cnt_b"),
-    )
-    rep_pairs = (
-        ga.join(gb, "cluster")
-        .filter(F.col("rep_a") < F.col("rep_b"))
-        .withColumn("cos", cosine("va", "vb"))
-        .filter(F.col("cos") >= threshold)
-        .select("cluster", "rep_a", "rep_b", "cnt_a", "cnt_b")
-        .localCheckpoint(eager=False)
-    )
+    if batched_verify:
+        # r11 (guide §4.2): one BLAS matmul per cluster instead of an
+        # interpreted HOF cosine per rep pair — the caller opts in above a
+        # volume threshold (the pair count is quadratic in distinct reps,
+        # so toy inputs never amortize the Python worker round-trip).
+        rep_pairs = _arrow_cluster_pair_stats(
+            groups, threshold
+        ).localCheckpoint(eager=False)
+    else:
+        n_par = max(vecs.sparkSession.sparkContext.defaultParallelism, 8)
+        ga = groups.select(
+            "cluster",
+            F.col("rep").alias("rep_a"),
+            F.col("vec").alias("va"),
+            F.col("cnt").alias("cnt_a"),
+        ).repartition(n_par, "cluster")
+        gb = groups.select(
+            "cluster",
+            F.col("rep").alias("rep_b"),
+            F.col("vec").alias("vb"),
+            F.col("cnt").alias("cnt_b"),
+        )
+        rep_pairs = (
+            ga.join(gb, "cluster")
+            .filter(F.col("rep_a") < F.col("rep_b"))
+            .withColumn("cos", cosine("va", "vb"))
+            .filter(F.col("cos") >= threshold)
+            .select("cluster", "rep_a", "rep_b", "cnt_a", "cnt_b")
+            .localCheckpoint(eager=False)
+        )
     # Self-matching groups: the cosine is still COMPUTED (once per distinct
     # vector) and the threshold applied, so zero vectors (NULL cosine) and
     # threshold > self-cosine edge cases behave exactly like the naive

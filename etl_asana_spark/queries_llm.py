@@ -2345,6 +2345,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min |cos − 0.28| = 5.1e-6 within clusters at both gate scales).
     Recall vs the clusterless all-pairs scan and drop-idempotence remain
     property-tested."""
+    import os
+
+    from .fsutil import local_input_bytes
     from .operators.dedup import semantic_dedup_stats
     from .operators.similarity import kmeans_lloyd
 
@@ -2355,7 +2358,20 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = t["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).join(assigned, "vec_id")
-    return semantic_dedup_stats(vecs, threshold=0.28).orderBy("cluster")
+    # Batched (BLAS) verify above a volume threshold (r11, guide §4.2):
+    # the within-cluster pair count is quadratic in distinct reps, so a
+    # big corpus amortizes the Python boundary where the gate-scale corpus
+    # (0.8 MB at sf0.1) never does — same volume-derived pattern as the
+    # multimodal fan-out and streaming state sizing. Results are
+    # differential-tested identical either way (margin 5.1e-6 vs ~1e-15
+    # summation-order drift; see semantic_dedup_stats).
+    min_bytes = int(float(os.environ.get(
+        "SPARK_GRAFT_SEMANTIC_VERIFY_MIN_BYTES", "4194304"
+    )))
+    batched = local_input_bytes(f"{sf_dir}/embeddings.parquet") >= min_bytes
+    return semantic_dedup_stats(
+        vecs, threshold=0.28, batched_verify=batched
+    ).orderBy("cluster")
 
 
 @register(

@@ -208,6 +208,114 @@ def test_embed_dedup_blocked_equals_all_pairs_with_exact_duplicates(spark, sf_di
     )
 
 
+def test_embed_arrow_verify_matches_jvm(spark, sf_dir, monkeypatch):
+    """r11: the Arrow-batched BLAS verify must return the SAME pair set as
+    the codegen'd per-pair dot (cos values may differ in float summation
+    order only — bounded at 1e-10 here, ~1e-15 in practice), and the auto
+    gate must keep the JVM path at gate-scale MAC counts."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    rows = {}
+    for mode in ("jvm", "arrow"):
+        monkeypatch.setenv("SPARK_GRAFT_EMBED_VERIFY", mode)
+        rows[mode] = sorted(
+            (r["id_a"], r["id_b"], r["cos"])
+            for r in dedup.embedding_cosine_dups_blocked(
+                e, threshold=0.45
+            ).collect()
+        )
+    assert [r[:2] for r in rows["jvm"]] == [r[:2] for r in rows["arrow"]]
+    assert rows["jvm"]  # non-empty at every shipped SF
+    for (_, _, cj), (_, _, ca) in zip(rows["jvm"], rows["arrow"]):
+        assert abs(cj - ca) < 1e-10
+    # auto prices the verify from the bounded cell collect and stays JVM
+    # below the MAC threshold (every shipped SF).
+    monkeypatch.delenv("SPARK_GRAFT_EMBED_VERIFY", raising=False)
+    dedup.embedding_cosine_dups_blocked(e, threshold=0.45)
+    d = dedup._LAST_EMBED_VERIFY
+    assert d["mode"] == "auto" and d["arrow_ok"] and not d["use_arrow"]
+    assert d["pair_dots"] > 0 and d["dim"] == 64
+
+
+def test_embed_arrow_verify_null_and_nan_semantics(spark, monkeypatch):
+    """The Arrow kernel must replicate Spark filter semantics exactly:
+    NULL vector -> dropped, NULL element -> dropped (fold poisons to
+    NULL), NaN element -> KEPT (NaN cosine compares greater than any
+    threshold), zero vector -> dropped (try_divide NULL)."""
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),          # pairs with 0 at cos 1.0
+            (2, None),                # NULL vector: no pairs
+            (3, [1.0, None]),         # NULL element: no pairs
+            (4, [nan, 0.0]),          # NaN: pairs with everything non-NULL
+            (5, [0.0, 0.0]),          # zero vector: try_divide NULL
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {}
+    for mode in ("jvm", "arrow"):
+        monkeypatch.setenv("SPARK_GRAFT_EMBED_VERIFY", mode)
+        rows[mode] = sorted(
+            (r["id_a"], r["id_b"])
+            for r in dedup.embedding_cosine_dups_blocked(
+                df, threshold=0.9
+            ).collect()
+        )
+    assert rows["jvm"] == rows["arrow"]
+    assert (0, 1) in rows["jvm"]
+    assert all(4 in p for p in rows["jvm"] if p != (0, 1))
+    # NULL vector / NULL element never pair (fold poisons to NULL). The
+    # zero vector drops against finite partners (denominator exactly 0 ->
+    # try_divide NULL) but KEEPS (4, 5): its denominator against the NaN
+    # vector is NaN·0 = NaN, and a NaN cosine passes any threshold.
+    assert not any(2 in p or 3 in p for p in rows["jvm"])
+    assert [p for p in rows["jvm"] if 5 in p] == [(4, 5)]
+
+
+def test_semantic_batched_verify_matches_jvm(spark, sf_dir):
+    """r11: semantic_dedup_stats(batched_verify=True) is integer-identical
+    to the JVM pair join — including on a corpus with planted exact
+    duplicates and a cluster-spanning ragged/NULL mix."""
+    from etl_asana_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    assigned = kmeans_lloyd(emb, k=16, n_iter=2).select("vec_id", "cluster")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).join(assigned, "vec_id")
+    a = sorted(
+        tuple(r) for r in dedup.semantic_dedup_stats(vecs, 0.28).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in dedup.semantic_dedup_stats(
+            vecs, 0.28, batched_verify=True
+        ).collect()
+    )
+    assert a == b and a
+    # degenerate mix: ragged lengths only pair within equal lengths, NULL
+    # vectors and NULL elements drop, NaN keeps — all inside one cluster.
+    nan = float("nan")
+    mix = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 7), (1, [1.0, 0.0], 7),
+            (2, [1.0], 7), (3, [1.0], 7),       # short pair: matches
+            (4, None, 7), (5, [1.0, None], 7),  # dropped
+            (6, [nan, 0.0], 7),                 # NaN: kept vs equal length
+        ],
+        "vec_id bigint, v array<double>, cluster int",
+    )
+    a = sorted(tuple(r) for r in dedup.semantic_dedup_stats(mix, 0.9).collect())
+    b = sorted(
+        tuple(r)
+        for r in dedup.semantic_dedup_stats(
+            mix, 0.9, batched_verify=True
+        ).collect()
+    )
+    assert a == b and a
+
+
 def test_embed_dedup_plan_has_no_nested_loop(spark, sf_dir):
     """q_dedup_embed (round-3 re-registration) must never BNLJ/Cartesian —
     the whole point of the blocked pipeline."""
