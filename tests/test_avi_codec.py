@@ -47,6 +47,7 @@ def test_demux_error_paths_raise_for_tier_fallthrough():
         ac.encode_mjpeg_avi([], 8, 8)
 
 
+@pytest.mark.slow  # ~9 s real-codec tier; opt-in (r11, see pytest.ini)
 def test_sample_frames_takes_the_real_avi_tier(spark):
     """The fan-out kernel must return ACTUAL evenly-spaced DECODED frames
     for an AVI payload — rgb24 bytes, the same representation the PyAV

@@ -9,6 +9,8 @@ and require bit-identical doubles.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_asana_spark.functions.parity import davg, dsum
@@ -72,6 +74,7 @@ def test_salted_paths_reproduce_across_runs(spark, sf_dir):
     assert runs[0] == runs[1]
 
 
+@pytest.mark.slow  # ~13 s accumulator battery; opt-in (r11, see pytest.ini)
 def test_split_accumulator_equals_wide_decimal(spark):
     """The split two-BIGINT accumulator (parity.dsum's hot path) must compute
     the IDENTICAL double as the wide DECIMAL(38,0) single-accumulator form it

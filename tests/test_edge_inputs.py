@@ -127,6 +127,7 @@ def test_window_rank_single_row_group(spark):
 import pytest as _pytest
 
 
+@_pytest.mark.slow  # ~2-3 min/shape: full-catalog battery, opt-in (r11)
 @_pytest.mark.parametrize("shape", [0, 1, "nullcols", "unicode"])
 def test_every_catalog_key_survives_degenerate_corpus(
     spark, sf_dir, tmp_path_factory, shape

@@ -118,6 +118,7 @@ def test_hostile_corpus_margins_are_safe(hostile_dir):
         assert min_margin > 1e-9, (k, n_iter, min_margin)
 
 
+@pytest.mark.slow  # ~13 s hostile-corpus sweep; opt-in (r11, see pytest.ini)
 def test_embedding_keys_match_oracles_on_hostile_corpus(spark, hostile_dir):
     qs = catalog.queries()
     oracles = catalog.oracle_sql()

@@ -4,6 +4,7 @@ signatures for determinism and metric invariants."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_asana_spark import catalog
@@ -167,6 +168,7 @@ def test_batched_cosine_matches_hof_exact(spark, sf_dir):
     assert ids(hof) == ids(batched)
 
 
+@pytest.mark.slow  # ~38 s 3-threshold all-pairs battery; opt-in (r11, see pytest.ini)
 def test_embed_dedup_blocked_equals_all_pairs(spark, sf_dir):
     """The triangle-inequality blocked pipeline is EXACT: identical answer
     set (ids and cos values) to the plain all-pairs join, at several
@@ -180,6 +182,7 @@ def test_embed_dedup_blocked_equals_all_pairs(spark, sf_dir):
         assert sorted(map(key, ap)) == sorted(map(key, bl)), thr
 
 
+@pytest.mark.slow  # ~40 s duplicate-planted battery; opt-in (r11, see pytest.ini)
 def test_embed_dedup_blocked_equals_all_pairs_with_exact_duplicates(spark, sf_dir):
     """Round-4 regression (found by scripts/scale_rehearsal.py): a corpus
     where vectors have byte-identical copies made the within-cell verify
@@ -208,6 +211,7 @@ def test_embed_dedup_blocked_equals_all_pairs_with_exact_duplicates(spark, sf_di
     )
 
 
+@pytest.mark.slow  # ~25 s dual-path differential; opt-in (r11, see pytest.ini)
 def test_embed_arrow_verify_matches_jvm(spark, sf_dir, monkeypatch):
     """r11: the Arrow-batched BLAS verify must return the SAME pair set as
     the codegen'd per-pair dot (cos values may differ in float summation
@@ -273,6 +277,7 @@ def test_embed_arrow_verify_null_and_nan_semantics(spark, monkeypatch):
     assert [p for p in rows["jvm"] if 5 in p] == [(4, 5)]
 
 
+@pytest.mark.slow  # ~25 s dual-path differential; opt-in (r11, see pytest.ini)
 def test_semantic_batched_verify_matches_jvm(spark, sf_dir):
     """r11: semantic_dedup_stats(batched_verify=True) is integer-identical
     to the JVM pair join — including on a corpus with planted exact
@@ -748,6 +753,19 @@ def test_pca_reduce_shape_and_variance_order(spark, sf_dir):
     assert variances[0] > 0
 
 
+def test_pca_moments_arrow_path_is_bit_identical(spark, sf_dir, monkeypatch):
+    """r11: the mapInArrow (numpy syrk) moment pass must produce the SAME
+    fixed-point q_emb_pca output as the explode/codegen pass — the
+    serialization rounds at 1e-6 with ~1000x margin-probed headroom over
+    summation-order drift, so any difference is a real bug."""
+    q = catalog.queries()["q_emb_pca"]
+    rows = {}
+    for mode in ("jvm", "arrow"):
+        monkeypatch.setenv("SPARK_GRAFT_PCA_MOMENTS", mode)
+        rows[mode] = sorted(tuple(r) for r in q(spark, sf_dir).collect())
+    assert rows["jvm"] == rows["arrow"] and rows["jvm"]
+
+
 def test_pca_power_reduce_tolerates_nonfinite_components(spark):
     """pca_power_reduce emits its projection as generated SQL text (r7);
     double literals have no NaN/Infinity syntax, so non-finite moments must
@@ -921,6 +939,7 @@ def test_kmeans_model_cache_reset_invalidates_by_key(spark):
     assert not similarity._LLOYD_MODELS
 
 
+@pytest.mark.slow  # ~12 s wide-model fit; opt-in (r11, see pytest.ini)
 def test_kmeans_inline_guard_falls_back_to_broadcast_join(spark, monkeypatch):
     """r09 advice: the inline-literal argmin must guard on model size
     (codegen 64KB limit) and fall back to the broadcast-join assignment
@@ -1089,6 +1108,7 @@ def test_unshingleable_count_measures_exclusion(spark):
     assert sigs.loc[3, "simhash"] == sigs.loc[3, "simhash"]
 
 
+@pytest.mark.slow  # ~15 s naive-enumeration differential; opt-in (r11, see pytest.ini)
 def test_semantic_dedup_stats_equal_naive_enumeration(spark, sf_dir):
     """Round-4: q_dedup_semantic's collapsed per-cluster stats must be
     integer-identical to the naive within-cluster self-join's
@@ -1132,6 +1152,7 @@ def test_semantic_dedup_stats_equal_naive_enumeration(spark, sf_dir):
             assert (r["n_dup_pairs"], r["n_to_drop"]) == exp, r["cluster"]
 
 
+@pytest.mark.slow  # ~14 s all-pairs recall battery; opt-in (r11, see pytest.ini)
 def test_semantic_dedup_pairs_subset_of_all_pairs(spark, sf_dir):
     """SemDeDup's within-cluster pairs must be a subset of the clusterless
     all-pairs scan at the same threshold (precision 1.0 by construction),
@@ -1239,6 +1260,7 @@ def test_scrub_dup_spans_token_accounting(spark, sf_dir):
             assert r["cleaned_text"] == originals[doc_id]
 
 
+@pytest.mark.slow  # ~90 s adversarial corpus battery; opt-in (r11, see pytest.ini)
 def test_embed_dedup_blocked_adversarial_vectors(spark):
     """Degenerate vectors must behave identically in the blocked and
     all-pairs forms: zero vectors (NULL cosine via try_divide), NaN/Inf
@@ -1358,6 +1380,7 @@ def test_png_resize_real_path_emits_valid_resampled_pngs(spark, sf_dir):
         assert pix == png_codec.resize_nearest(sw, sh, sbpp, spix, 12, 9)
 
 
+@pytest.mark.slow  # ~45 s ragged-width battery; opt-in (r11, see pytest.ini)
 def test_embed_dedup_blocked_handles_mixed_width_vectors(spark):
     """Round-4 review find: the unrolled verify dot took its width from
     the FIRST collected cell, so a mixed-width corpus computed truncated
@@ -1478,6 +1501,7 @@ def test_fixed_point_join_degenerate_tokens(spark):
     assert got == "500000|nan|inf|-inf|null|0"
 
 
+@pytest.mark.slow  # ~17 s duplicate battery; opt-in (r11, see pytest.ini)
 def test_text_dedup_collapse_equals_naive_on_duplicate_heavy_corpus(spark):
     """The exact-duplicate collapse (collapse=True, the production default)
     must be bit-identical to the naive formulation for all three text
@@ -1534,6 +1558,7 @@ def test_text_dedup_collapse_equals_naive_on_duplicate_heavy_corpus(spark):
         assert len(got) > 0, f"{fn.__name__}: degenerate test corpus"
 
 
+@pytest.mark.slow  # ~18 s boundary battery; opt-in (r11, see pytest.ini)
 def test_text_dedup_collapse_equals_naive_at_threshold_boundary(spark):
     """Collapse≡naive must hold AT the self-distance boundary, where the
     families' naive filters differ in strictness: approxSimilarityJoin

@@ -9,6 +9,8 @@ stress case, not a happy path.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -54,6 +56,7 @@ def test_upsert_keeps_exactly_max_version_per_key(spark, rows):
 
 @settings(**_SETTINGS)
 @given(rows=_ROWS)
+@pytest.mark.slow  # ~9 s property battery; opt-in (r11, see pytest.ini)
 def test_dedup_exact_idempotent(spark, rows):
     df = spark.createDataFrame(rows, "k int, v int, payload int")
     once = dedup_exact(df, keys=["k"], order_by=["v", "payload"])

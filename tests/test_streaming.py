@@ -228,6 +228,7 @@ def test_stream_session_matches_batch_session_window(spark, sf_dir):
     assert must_emit <= emitted
 
 
+@pytest.mark.slow  # ~9 s dual drain; opt-in (r11, see pytest.ini)
 def test_stream_stream_join_equals_batch_join(spark, sf_dir):
     """Inner stream-stream joins emit a match as soon as both rows have
     arrived; the single-file AvailableNow drain is one micro-batch, so the
@@ -255,6 +256,7 @@ def test_stream_stream_join_equals_batch_join(spark, sf_dir):
     assert canonical_rows(out) == canonical_rows(batch)
 
 
+@pytest.mark.slow  # ~10 s full-feed drain; opt-in (r11, see pytest.ini)
 def test_sync_token_source_drains_full_feed(spark, sf_dir):
     """The asana_events streaming source (7-line polls) must deliver every
     fixture story exactly once across micro-batches."""
@@ -274,6 +276,7 @@ def test_sync_token_source_drains_full_feed(spark, sf_dir):
     assert sum(got.values()) == len(stories)
 
 
+@pytest.mark.slow  # ~10 s directory drain; opt-in (r11, see pytest.ini)
 def test_stream_source_accepts_directory_shaped_events(spark, sf_dir, tmp_path):
     """Round-4 regression (found by scripts/scale_rehearsal.py): a
     production-shaped events table — a DIRECTORY of part-files, which is
@@ -295,6 +298,7 @@ def test_stream_source_accepts_directory_shaped_events(spark, sf_dir, tmp_path):
     assert canonical_rows(got) == canonical_rows(ref)
 
 
+@pytest.mark.slow  # ~30 s boundary drains; opt-in (r11, see pytest.ini)
 def test_session_timeout_boundary_is_strictly_greater(spark):
     """Pins the emission strictness the q_stream_session oracle encodes:
     an event-time timeout fires only when the final watermark advances
@@ -343,6 +347,7 @@ def test_session_timeout_boundary_is_strictly_greater(spark):
     assert got == [(1, datetime(2024, 1, 1, 10, 5), 2)]
 
 
+@pytest.mark.slow  # ~12 s multi-layout drains; opt-in (r11, see pytest.ini)
 def test_bounded_drain_is_layout_invariant(spark, sf_dir, tmp_path):
     """Round-4 regression (found by scripts/fragmentation_rehearsal.py): a
     bounded replay's answer must not depend on how many part files the
@@ -381,6 +386,7 @@ def test_bounded_drain_is_layout_invariant(spark, sf_dir, tmp_path):
     assert canonical_rows(got) == canonical_rows(ref)
 
 
+@pytest.mark.slow  # ~16 s timeout drains; opt-in (r11, see pytest.ini)
 def test_session_unarmable_timeout_emits_final_session(spark, tmp_path):
     """Round-4 regression (found by scripts/fragmentation_rehearsal.py): in
     a genuinely incremental multi-batch run, a user's rows can arrive after
@@ -437,6 +443,7 @@ def test_session_unarmable_timeout_emits_final_session(spark, tmp_path):
                     datetime(2024, 1, 1, 10, 5), 2)}
 
 
+@pytest.mark.slow  # ~35 s restart battery; opt-in (r11, see pytest.ini)
 def test_checkpoint_restart_is_incremental_and_exactly_once(spark, tmp_path):
     """The production shape of incremental sync (SURVEY §3.3): a CRON of
     bounded AvailableNow runs sharing ONE checkpoint + file sink. Run 2
@@ -531,6 +538,7 @@ def test_checkpoint_restart_is_incremental_and_exactly_once(spark, tmp_path):
     assert sink_rows() == after_run2
 
 
+@pytest.mark.slow  # ~22 s restart battery; opt-in (r11, see pytest.ini)
 def test_sessionize_state_survives_checkpoint_restart(spark, tmp_path):
     """Stateful restart recovery: an OPEN session's state (start, last, n)
     must round-trip through the state store across two bounded runs
@@ -608,6 +616,7 @@ def test_sessionize_state_survives_checkpoint_restart(spark, tmp_path):
                     datetime(2024, 1, 1, 10, 25), 3)}
 
 
+@pytest.mark.slow  # ~18 s late-data drains; opt-in (r11, see pytest.ini)
 def test_sessionize_late_row_widens_session_start(spark, tmp_path):
     """Round-5 ADVICE regression: a late-but-undropped row with
     ``t < start_us`` merging into live state was counted in ``n_events``
@@ -690,6 +699,7 @@ _STREAM_KEYS = [
 
 
 @pytest.mark.parametrize("key", _STREAM_KEYS)
+@pytest.mark.slow  # ~30 s 8-key provider matrix; opt-in (r11, see pytest.ini)
 def test_streaming_results_are_state_store_provider_agnostic(
     spark, sf_dir, key
 ):
@@ -872,7 +882,17 @@ def _recovery_plans():
     ]
 
 
-@pytest.mark.parametrize("name", [p[0] for p in _recovery_plans()])
+@pytest.mark.parametrize(
+    "name",
+    [
+        # tumbling stays as the default-selection representative; the
+        # rest of the recovery matrix is opt-in (r11, see pytest.ini).
+        p[0]
+        if p[0] == "tumbling"
+        else pytest.param(p[0], marks=pytest.mark.slow)
+        for p in _recovery_plans()
+    ],
+)
 def test_stop_after_batch0_restart_equals_uninterrupted(
     spark, sf_dir, tmp_path, tmp_path_factory, events_split, name
 ):
@@ -890,7 +910,10 @@ def test_stop_after_batch0_restart_equals_uninterrupted(
     assert _sink_rows(spark, sink) == expected
 
 
-@pytest.mark.parametrize("name", ["tumbling", "stream_stream"])
+@pytest.mark.parametrize(
+    "name",
+    ["tumbling", pytest.param("stream_stream", marks=pytest.mark.slow)],
+)
 def test_torn_commit_replay_is_exactly_once(
     spark, sf_dir, tmp_path, tmp_path_factory, events_split, name
 ):
@@ -950,6 +973,7 @@ def test_upsert_crash_recovery_equals_uninterrupted(
     assert merged(target) == expected
 
 
+@pytest.mark.slow  # ~11 s crash battery; opt-in (r11, see pytest.ini)
 def test_sync_source_crash_recovery_resumes_from_token(spark, tmp_path):
     """#56 sync-token source: one AvailableNow run against the simple
     stream reader polls ONCE (batch_lines rows), so run 1 IS the
@@ -999,6 +1023,7 @@ def test_sync_source_crash_recovery_resumes_from_token(spark, tmp_path):
 
 
 @pytest.mark.parametrize("name", ["tumbling", "session"])
+@pytest.mark.slow  # ~10 s provider crash battery; opt-in (r11, see pytest.ini)
 def test_crash_recovery_under_rocksdb_provider(
     spark, sf_dir, tmp_path, tmp_path_factory, events_split, name
 ):
@@ -1061,6 +1086,7 @@ def test_torn_commit_replay_under_rocksdb_provider(
             spark.conf.set(conf, before)
 
 
+@pytest.mark.slow  # ~39 s subprocess crash matrix; opt-in (r11, see pytest.ini)
 def test_crash_recovery_across_processes(
     spark, sf_dir, tmp_path, tmp_path_factory, events_split
 ):

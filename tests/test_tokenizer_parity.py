@@ -64,6 +64,7 @@ def test_probe_corpus_is_actually_messy(probe, messy_dir):
     assert row[0] > 50 and row[1] > 50 and row[2] > 20, row
 
 
+@pytest.mark.slow  # ~22 s messy-corpus sweep; opt-in (r11, see pytest.ini)
 def test_tokenizing_keys_match_oracles_on_messy_corpus(spark, messy_dir):
     qs = catalog.queries()
     oracles = catalog.oracle_sql()

@@ -15,6 +15,8 @@ stream, the late row neither re-opens it nor double-emits it.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import tempfile
 import time
@@ -36,6 +38,7 @@ def _write_batch(spark, directory: str, name: str, rows: list[tuple], mtime: int
     os.utime(path, (mtime, mtime))
 
 
+@pytest.mark.slow  # ~28 s eviction drains; opt-in (r11, see pytest.ini)
 def test_late_rows_after_eviction_are_dropped(spark):
     base = tempfile.mkdtemp(prefix="late_")
     now = int(time.time())
