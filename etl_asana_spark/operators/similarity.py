@@ -545,11 +545,17 @@ def pca_power_reduce(
     tiny, ship it to the data" pattern shared with kmeans_lloyd); the
     d-term projection is generated JVM codegen, no Python anywhere.
     """
+    import os
+
     import numpy as np
 
     x = embeddings.filter(F.col(vec_col).isNotNull())
-    d_row = x.select(F.max(F.size(vec_col)).alias("d")).first()
-    d = d_row["d"]
+    # The row count rides the width probe's single scan job for free — it
+    # prices the moment pass (n·d² MACs) for the JVM-vs-Arrow gate below.
+    probe = x.select(
+        F.max(F.size(vec_col)).alias("d"), F.count(F.lit(1)).alias("n")
+    ).first()
+    d, n_probe = probe["d"], int(probe["n"])
     if d is None:
         return embeddings.sparkSession.createDataFrame(
             [], f"{id_col} bigint, reduced array<double>"
@@ -564,22 +570,90 @@ def pca_power_reduce(
     # the row count as (0, 0) — j=0 is free because Gramian indices are
     # 1-based (SQL sequence). Partial agg combines map-side, so the
     # exchange carries ~d²/2 rows per partition regardless of n.
-    prods = F.expr(
-        "concat("
-        " flatten(transform(sequence(1, __d), i -> "
-        "  transform(sequence(i, __d), j -> "
-        "   struct(i AS i, j AS j, element_at(__e, i) * element_at(__e, j) AS p)))),"
-        " transform(sequence(1, __d), i -> "
-        "  struct(i AS i, 0 AS j, element_at(__e, i) AS p)),"
-        " array(struct(0 AS i, 0 AS j, CAST(1.0 AS DOUBLE) AS p)))"
+    #
+    # r11 (guide §4.2): above SPARK_GRAFT_PCA_MOMENTS_MIN_MACS the same
+    # moments come from one numpy syrk per Arrow batch (mapInArrow) —
+    # identical reduction tree up to float-summation order, which the
+    # oracle parity argument already absorbs (the proj CTE's unordered SQL
+    # sum rests on the margin probe's ~1000× fixed-point headroom, not on
+    # matching order). The per-row work drops from d(d+1)/2 exploded
+    # structs through codegen'd agg to a BLAS rank-k update; the exchange
+    # shrinks from ~d²/2 rows per partition to the same rows ONCE per
+    # partition. Default threshold keeps every shipped SF on the explode
+    # path (externally hash-checked configurations stay byte-stable);
+    # SPARK_GRAFT_PCA_MOMENTS=jvm|arrow forces a path for A/Bs.
+    mode = os.environ.get("SPARK_GRAFT_PCA_MOMENTS", "auto").lower()
+    if mode not in ("auto", "jvm", "arrow"):
+        raise ValueError(
+            "SPARK_GRAFT_PCA_MOMENTS must be auto, jvm or arrow, "
+            f"got {mode!r}"
+        )
+    min_macs = int(float(os.environ.get(
+        "SPARK_GRAFT_PCA_MOMENTS_MIN_MACS", "2e8"
+    )))
+    use_arrow = mode == "arrow" or (
+        mode == "auto" and n_probe * d * d >= min_macs
     )
-    moments = (
-        x.select(e.alias("__e"), F.lit(d).alias("__d"))
-        .select(F.explode(prods).alias("c"))
-        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
-        .agg(F.sum("c.p").alias("s"))
-        .collect()
-    )
+    if use_arrow:
+
+        def partial_moments(batches):
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            g = np.zeros((d, d))
+            mu = np.zeros(d)
+            n = 0
+            for rb in batches:
+                arr = rb.column(0)
+                n += len(arr)
+                vals = arr.flatten()
+                if vals.null_count:
+                    # NULL elements contribute nothing to a SUM that
+                    # skips NULLs; a zero contributes exactly nothing to
+                    # the same sums — bit-equivalent fill. (NaN data
+                    # values propagate identically in both engines.)
+                    vals = pc.fill_null(vals, 0.0)
+                m = np.asarray(vals, dtype=np.float64).reshape(-1, d)
+                g += m.T @ m
+                mu += m.sum(axis=0)
+            iu = np.triu_indices(d)
+            yield pa.record_batch(
+                {
+                    "i": np.concatenate(
+                        [iu[0] + 1, np.arange(1, d + 1), [0]]
+                    ).astype("int32"),
+                    "j": np.concatenate(
+                        [iu[1] + 1, np.zeros(d, dtype=int), [0]]
+                    ).astype("int32"),
+                    "s": np.concatenate([g[iu], mu, [float(n)]]),
+                }
+            )
+
+        moments = (
+            x.select(e.alias("__e"))
+            .mapInArrow(partial_moments, "i int, j int, s double")
+            .groupBy("i", "j")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )
+    else:
+        prods = F.expr(
+            "concat("
+            " flatten(transform(sequence(1, __d), i -> "
+            "  transform(sequence(i, __d), j -> "
+            "   struct(i AS i, j AS j, element_at(__e, i) * element_at(__e, j) AS p)))),"
+            " transform(sequence(1, __d), i -> "
+            "  struct(i AS i, 0 AS j, element_at(__e, i) AS p)),"
+            " array(struct(0 AS i, 0 AS j, CAST(1.0 AS DOUBLE) AS p)))"
+        )
+        moments = (
+            x.select(e.alias("__e"), F.lit(d).alias("__d"))
+            .select(F.explode(prods).alias("c"))
+            .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+            .agg(F.sum("c.p").alias("s"))
+            .collect()
+        )
     n = next((int(r["s"]) for r in moments if r["i"] == 0 and r["j"] == 0), 0)
     if n == 0:
         return embeddings.sparkSession.createDataFrame(
