@@ -2606,10 +2606,20 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(text.ws_tokens("text")).alias("token")
     )
+    # eager=True (r11, r10 advice): ``stats`` is consumed by TWO
+    # independently-submitted subtrees — the broadcast totals build and
+    # the stream-side ratio projection. graph.py's edge checkpoint keeps
+    # eager=True for exactly this pattern: two jobs racing to materialize
+    # a LAZY localCheckpoint can hit the partition-computation race on
+    # lazily-cached RDDs. This spot happened to be safe only because the
+    # broadcast exchange runs as a separate job before the stream stage
+    # launches — an ordering a refactor could silently lose. Cost is nil:
+    # the materialization job runs either way (cold-JVM A/B at sf0.1:
+    # ckpt/nockpt/old3 all tie within the ±0.5 s host noise floor).
     stats = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("c_all_l"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_t_l"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     # Exact integer marginals of the per-token counts, cast to double only
     # at the end — identical values to counting the token stream directly.
     tot = stats.agg(
