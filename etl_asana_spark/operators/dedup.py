@@ -306,6 +306,110 @@ _MINHASH_COEFFS = (
 )
 
 
+def _arrow_minhash_signatures(
+    pre: DataFrame, id_col: str, shingle_col: str = "__sh"
+) -> DataFrame:
+    """MinHash signature stage as vectorized numpy over Arrow batches —
+    the batched twin of the ``poly_hash % P`` / ``array_min(transform)``
+    projection in :func:`minhash_portable_pairs`.
+
+    Input: (id, shingle strings) — tokenization and shingling stay JVM
+    codegen, so no string-splitting semantics are re-implemented here;
+    only the per-character fold moves (it is an interpreted HOF in the
+    JVM — the minhash family's single most expensive stage, r10 measured
+    10.7 s of the 22 s sf0.1 pass).
+
+    Exactness: ALL integer arithmetic, bit-identical by construction —
+    Spark's ``split(s, '')`` + ``ascii`` folds CODE POINTS (verified
+    empirically incl. astral chars), which is exactly Python ``ord``
+    iteration / UTF-32 units; Horner steps stay < 2^47 and permutation
+    steps < 2^62, exact in int64; ``array_distinct`` keeps first
+    occurrence, as does the vectorized drop_duplicates. The empty string
+    folds to 0 in both (split('','') yields [''] and ascii('') = 0).
+    Output column names/types match the JVM ``sigs`` frame so every
+    downstream consumer (banding, both verify sides) is unchanged.
+    """
+    id_dt = pre.schema[id_col].dataType.simpleString()
+    n_coeffs = len(_MINHASH_COEFFS)
+    coeffs = tuple(_MINHASH_COEFFS)
+    p_mod = _MINHASH_P
+
+    def signatures(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        mh_names = [f"__mh{i}" for i in range(n_coeffs)]
+
+        for rb in batches:
+            ids = rb.column(0)
+            sh = rb.column(1)
+            n_docs = rb.num_rows
+            if n_docs == 0:
+                continue
+            doc_counts = np.diff(np.asarray(sh.offsets))
+            vals = sh.flatten()
+            n_sh = len(vals)
+            if n_sh == 0:
+                hs_col = pa.ListArray.from_arrays(
+                    np.zeros(n_docs + 1, dtype=np.int32),
+                    pa.array([], type=pa.int64()),
+                )
+                yield pa.record_batch(
+                    {id_col: ids, "__hs": hs_col}
+                    | {m: pa.array(np.zeros(n_docs, dtype=np.int64)) for m in mh_names}
+                )
+                continue
+            # per-shingle code-point Horner fold, vectorized ACROSS
+            # shingles (one numpy pass per character position)
+            lens = np.asarray(pc.utf8_length(vals), dtype=np.int64)
+            joined = "".join(vals.to_pylist())
+            cps = np.frombuffer(
+                joined.encode("utf-32-le"), dtype="<u4"
+            ).astype(np.int64)
+            starts = np.zeros(n_sh, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            h = np.zeros(n_sh, dtype=np.int64)
+            mod = 1 << 40
+            for k in range(int(lens.max())):
+                act = lens > k
+                idx = starts[act] + k
+                h[act] = (h[act] * 131 + cps[idx]) % mod
+            hs = h % p_mod
+            # distinct per doc, first occurrence preserved
+            doc_idx = np.repeat(np.arange(n_docs), doc_counts)
+            dd = pd.DataFrame({"d": doc_idx, "h": hs}).drop_duplicates()
+            counts = np.zeros(n_docs, dtype=np.int64)
+            vc = dd["d"].value_counts(sort=False)
+            counts[vc.index.to_numpy()] = vc.to_numpy()
+            offsets = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            hvals = dd["h"].to_numpy()
+            hs_col = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(hvals, type=pa.int64()),
+            )
+            # five LCG permutation minima per doc (empty docs -> 0; they
+            # are dropped by the size(__hs) > 0 filter downstream, same
+            # domain as the JVM path)
+            cols = {id_col: ids, "__hs": hs_col}
+            nonempty = counts > 0
+            seg = offsets[:-1][nonempty]
+            for m, (a, b) in zip(mh_names, coeffs):
+                t = (hvals * a + b) % p_mod
+                out = np.zeros(n_docs, dtype=np.int64)
+                if len(seg):
+                    out[nonempty] = np.minimum.reduceat(t, seg)
+                cols[m] = pa.array(out)
+            yield pa.record_batch(cols)
+
+    mh_schema = ", ".join(f"__mh{i} bigint" for i in range(n_coeffs))
+    return pre.mapInArrow(
+        signatures, f"{id_col} {id_dt}, __hs array<bigint>, {mh_schema}"
+    )
+
+
 def minhash_portable_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -313,6 +417,7 @@ def minhash_portable_pairs(
     jaccard_threshold: float = 0.5,
     shingle_n: int = 3,
     collapse: bool = True,
+    batched_sig: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with an ENGINE-NEUTRAL hash family — the
     SQL-oracle-checkable twin of :func:`minhash_lsh_pairs` (same upgrade
@@ -348,7 +453,7 @@ def minhash_portable_pairs(
             docs, id_col, text_col,
             naive_fn=lambda reps: minhash_portable_pairs(
                 reps, id_col, text_col, jaccard_threshold, shingle_n,
-                collapse=False,
+                collapse=False, batched_sig=batched_sig,
             ),
             pairable=_run_split_size("vec") >= shingle_n,
             payload=F.lit(0.0), payload_name="jaccard_dist",
@@ -361,32 +466,51 @@ def minhash_portable_pairs(
     toks = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
     )
-    base = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), toks.alias("__toks"))
-        .select(
-            id_col,
-            F.array_distinct(
-                F.transform(shingles("__toks", shingle_n), lambda s: poly_hash(s) % p)
-            ).alias("__hs"),
-        )
-        .filter(F.size("__hs") > 0)
-    )
     # localCheckpoint (r10): three consumers re-derive this projection —
     # bands plus both verify sides — and the per-character poly_hash fold
     # is the operator's single most expensive stage (10.7 s of the 22 s
     # sf0.1 total for ONE pass). Truncating lineage materializes the
     # signatures once; the established _collapse_groups discipline.
-    sigs = base.select(
-        id_col,
-        "__hs",
-        *[
-            F.array_min(
-                F.transform("__hs", lambda x: (x * F.lit(a) + F.lit(b)) % p)
-            ).alias(f"__mh{i}")
-            for i, (a, b) in enumerate(_MINHASH_COEFFS)
-        ],
-    ).localCheckpoint(eager=False)
+    #
+    # batched_sig (r11, guide §4.2): the fold is an interpreted HOF per
+    # character; callers opt in above a volume threshold to compute the
+    # SAME signatures as vectorized numpy over Arrow batches
+    # (_arrow_minhash_signatures — bit-identical integer arithmetic;
+    # tokenize/shingle stay JVM either way).
+    if batched_sig:
+        pre = docs.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col), toks.alias("__toks")
+        ).select(id_col, shingles("__toks", shingle_n).alias("__sh"))
+        sigs = (
+            _arrow_minhash_signatures(pre, id_col)
+            .filter(F.size("__hs") > 0)
+            .localCheckpoint(eager=False)
+        )
+    else:
+        base = (
+            docs.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col), toks.alias("__toks"))
+            .select(
+                id_col,
+                F.array_distinct(
+                    F.transform(
+                        shingles("__toks", shingle_n),
+                        lambda s: poly_hash(s) % p,
+                    )
+                ).alias("__hs"),
+            )
+            .filter(F.size("__hs") > 0)
+        )
+        sigs = base.select(
+            id_col,
+            "__hs",
+            *[
+                F.array_min(
+                    F.transform("__hs", lambda x: (x * F.lit(a) + F.lit(b)) % p)
+                ).alias(f"__mh{i}")
+                for i, (a, b) in enumerate(_MINHASH_COEFFS)
+            ],
+        ).localCheckpoint(eager=False)
     bands = sigs.select(
         id_col,
         F.explode(

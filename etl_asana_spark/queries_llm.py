@@ -119,8 +119,32 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``minhash_lsh_pairs`` (MLlib, xxhash64) stays the library fast path;
     its precision remains property-checked vs exact shingle Jaccard in
     tests, and the two families' candidate recall is compared there too."""
+    import os
+
+    from .fsutil import local_input_bytes
+
     t = load_tables(spark, sf_dir)
-    return dedup.minhash_portable_pairs(t["documents"], jaccard_threshold=0.5)
+    # Batched signature stage above a volume threshold (r11, guide §4.2):
+    # the per-character poly_hash fold is an interpreted HOF — the
+    # family's dominant cost — and its numpy twin is bit-identical exact
+    # integer arithmetic (differential-tested incl. the messy/unicode
+    # corpora). Same volume-derived pattern as q_dedup_semantic; env
+    # override for A/Bs.
+    mode = os.environ.get("SPARK_GRAFT_MINHASH_SIG", "auto").lower()
+    if mode not in ("auto", "jvm", "arrow"):
+        raise ValueError(
+            f"SPARK_GRAFT_MINHASH_SIG must be auto, jvm or arrow, got {mode!r}"
+        )
+    min_bytes = int(float(os.environ.get(
+        "SPARK_GRAFT_MINHASH_SIG_MIN_BYTES", "4194304"
+    )))
+    batched = mode == "arrow" or (
+        mode == "auto"
+        and local_input_bytes(f"{sf_dir}/documents.parquet") >= min_bytes
+    )
+    return dedup.minhash_portable_pairs(
+        t["documents"], jaccard_threshold=0.5, batched_sig=batched
+    )
 
 
 def _simhash_oracle_sql(max_hamming: int = 8) -> str:

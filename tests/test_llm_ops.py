@@ -37,6 +37,41 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert len(exact & ivf) >= 3  # nprobe=4/16 recall floor, fixed seed
 
 
+def test_minhash_batched_signatures_are_bit_identical(spark, sf_dir):
+    """r11: the Arrow signature stage (vectorized code-point Horner fold +
+    LCG minima in numpy, exact int64 arithmetic) must produce the SAME
+    pair set as the interpreted-HOF JVM fold — including on an astral/
+    multi-whitespace adversarial corpus (tokenize/shingle stay JVM, so
+    only the per-character fold semantics are at stake, and Spark's
+    split('')+ascii folds CODE POINTS, which ord() matches exactly)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    adv = spark.createDataFrame(
+        [
+            (1, "\U0001F600 emoji soup \U0001F600 emoji soup again"),
+            (2, "\U0001F600 emoji soup \U0001F600 emoji soup again!"),
+            (3, "tab\tand\nnewline  and   runs of spaces here twice over"),
+            (4, "tab\tand\nnewline  and   runs of spaces here twice more"),
+            (5, ""), (6, None), (7, "short one"),
+        ],
+        "doc_id bigint, text string",
+    ).withColumn("lang", F.lit("en"))
+    for corpus, thresholds in ((docs, (0.5,)), (adv, (0.2, 0.5))):
+        for thr in thresholds:
+            a = sorted(
+                tuple(r)
+                for r in dedup.minhash_portable_pairs(
+                    corpus, jaccard_threshold=thr
+                ).collect()
+            )
+            b = sorted(
+                tuple(r)
+                for r in dedup.minhash_portable_pairs(
+                    corpus, jaccard_threshold=thr, batched_sig=True
+                ).collect()
+            )
+            assert a == b, thr
+
+
 def test_minhash_pairs_are_true_near_dups(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(t["documents"], jaccard_threshold=0.5).collect()
