@@ -623,8 +623,88 @@ def simhash_signatures(
     )
 
 
+def _arrow_simhash_signatures(
+    pre: DataFrame, id_col: str, toks_col: str = "__toks"
+) -> DataFrame:
+    """40-bit SimHash signatures as vectorized numpy over Arrow batches —
+    the batched twin of :func:`simhash_portable_signatures`'s interpreted
+    HOF pipeline (per-character token folds, 3-token shingle folds,
+    40 vote counters per shingle).
+
+    Input: (id, token array) — tokenization stays JVM codegen. All
+    arithmetic is exact int64 (token folds < 2^47, shingle steps < 2^47,
+    vote counts < 2^31), and the character fold is the same code-point
+    Horner as :func:`_arrow_minhash_signatures`, so signatures are
+    bit-identical to the JVM expression. Domain rule preserved: a NULL
+    token array (NULL text upstream) or fewer than 3 tokens yields a NULL
+    signature.
+    """
+    id_dt = pre.schema[id_col].dataType.simpleString()
+
+    def signatures(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        mod = 1 << 40
+        bit_weights = (np.int64(1) << np.arange(40, dtype=np.int64))
+
+        for rb in batches:
+            ids = rb.column(0)
+            toks = rb.column(1)
+            n_docs = rb.num_rows
+            if n_docs == 0:
+                continue
+            null_doc = np.asarray(toks.is_null()) if toks.null_count else (
+                np.zeros(n_docs, dtype=bool)
+            )
+            tok_counts = np.diff(np.asarray(toks.offsets))
+            tok_counts = np.where(null_doc, 0, tok_counts)
+            vals = toks.flatten()
+            sig = np.zeros(n_docs, dtype=np.int64)
+            has_sig = (~null_doc) & (tok_counts >= 3)
+            if len(vals) and has_sig.any():
+                lens = np.asarray(pc.utf8_length(vals), dtype=np.int64)
+                cps = np.frombuffer(
+                    "".join(vals.to_pylist()).encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                starts = np.zeros(len(vals), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                th = np.zeros(len(vals), dtype=np.int64)
+                for k in range(int(lens.max())):
+                    act = lens > k
+                    th[act] = (th[act] * 131 + cps[starts[act] + k]) % mod
+                doc_idx = np.repeat(np.arange(n_docs), tok_counts)
+                if len(th) >= 3:
+                    win_ok = doc_idx[:-2] == doc_idx[2:]
+                    sh = (
+                        ((th[:-2] * 131 + th[1:-1]) % mod) * 131 + th[2:]
+                    ) % mod
+                    sh = sh[win_ok]
+                    sh_doc = doc_idx[:-2][win_ok]
+                    if len(sh):
+                        bits = (
+                            ((sh[:, None] >> np.arange(40)) & 1) * 2 - 1
+                        ).astype(np.int32)
+                        # per-doc vote sums over contiguous doc segments
+                        counts = np.bincount(sh_doc, minlength=n_docs)
+                        nz = counts > 0
+                        seg = np.zeros(n_docs, dtype=np.int64)
+                        np.cumsum(counts[:-1], out=seg[1:])
+                        votes = np.add.reduceat(bits, seg[nz], axis=0)
+                        packed = ((votes >= 0) * bit_weights).sum(axis=1)
+                        sig[nz] = packed
+            out = pa.array(sig, type=pa.int64(), mask=~has_sig)
+            yield pa.record_batch({id_col: ids, "simhash": out})
+
+    return pre.mapInArrow(signatures, f"{id_col} {id_dt}, simhash bigint")
+
+
 def simhash_portable_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batched_sig: bool = False,
 ) -> DataFrame:
     """40-bit SimHash over poly-hash shingle hashes — the ENGINE-NEUTRAL
     twin of :func:`simhash_signatures` (which stays the 64-bit xxhash64
@@ -648,6 +728,16 @@ def simhash_portable_signatures(
     — unlike the 64-bit twin, whose repeated xxhash64 is one codegen call.
     """
     mod = 1 << 40
+    # batched_sig (r11, guide §4.2): every stage below is an interpreted
+    # HOF (token folds, shingle folds, 40 vote counters per shingle);
+    # above a volume threshold the caller opts into the numpy twin —
+    # bit-identical integer arithmetic, tokenization stays JVM.
+    if batched_sig:
+        toks = F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+        )
+        pre = docs.select(F.col(id_col), toks.alias("__toks"))
+        return _arrow_simhash_signatures(pre, id_col)
     th_expr = (
         f"transform(filter(split({text_col}, '\\\\s+'), t -> t != ''),"
         f" t -> aggregate(split(t, ''), 0L,"
@@ -688,6 +778,7 @@ def simhash_portable_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     collapse: bool = True,
+    batched_sig: bool = False,
 ) -> DataFrame:
     """:func:`simhash_pairs` over the portable 40-bit signatures: 4×10-bit
     band candidates (pigeonhole: Hamming ≤ 3 always shares a band — same
@@ -701,15 +792,16 @@ def simhash_portable_pairs(
         return _collapsed_pairs(
             docs, id_col, text_col,
             naive_fn=lambda reps: simhash_portable_pairs(
-                reps, id_col, text_col, max_hamming, collapse=False
+                reps, id_col, text_col, max_hamming, collapse=False,
+                batched_sig=batched_sig,
             ),
             pairable=_run_split_size("vec") >= 3,
             payload=F.lit(0).cast("int"), payload_name="hamming",
             emit_intra=max_hamming >= 0,
         )
-    sigs = simhash_portable_signatures(docs, id_col, text_col).filter(
-        F.col("simhash").isNotNull()
-    )
+    sigs = simhash_portable_signatures(
+        docs, id_col, text_col, batched_sig=batched_sig
+    ).filter(F.col("simhash").isNotNull())
     bands = sigs.select(
         id_col,
         "simhash",

@@ -213,8 +213,30 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     path as q_dedup_minhash this round and q_text_fingerprint in r5).
     ``simhash_pairs`` (64-bit xxhash64) stays the library fast path;
     Hamming invariants for both families remain property-tested."""
+    import os
+
+    from .fsutil import local_input_bytes
+
     t = load_tables(spark, sf_dir)
-    return dedup.simhash_portable_pairs(t["documents"], max_hamming=8)
+    # Batched signature stage above a volume threshold — same rationale,
+    # gate pattern and bit-identical integer-arithmetic argument as
+    # q_dedup_minhash (this round); shares the minhash env knobs so the
+    # two portable-hash families flip together.
+    mode = os.environ.get("SPARK_GRAFT_MINHASH_SIG", "auto").lower()
+    if mode not in ("auto", "jvm", "arrow"):
+        raise ValueError(
+            f"SPARK_GRAFT_MINHASH_SIG must be auto, jvm or arrow, got {mode!r}"
+        )
+    min_bytes = int(float(os.environ.get(
+        "SPARK_GRAFT_MINHASH_SIG_MIN_BYTES", "4194304"
+    )))
+    batched = mode == "arrow" or (
+        mode == "auto"
+        and local_input_bytes(f"{sf_dir}/documents.parquet") >= min_bytes
+    )
+    return dedup.simhash_portable_pairs(
+        t["documents"], max_hamming=8, batched_sig=batched
+    )
 
 
 @register(

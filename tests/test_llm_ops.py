@@ -72,6 +72,39 @@ def test_minhash_batched_signatures_are_bit_identical(spark, sf_dir):
             assert a == b, thr
 
 
+def test_simhash_batched_signatures_are_bit_identical(spark, sf_dir):
+    """r11: the Arrow simhash stage (token folds -> shingle folds -> 40
+    vote counters in numpy, exact int64) must produce byte-equal
+    signatures AND pairs vs the interpreted-HOF expression, including the
+    NULL-text / short-doc NULL-signature domain rule and astral chars."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sig = lambda df, b: sorted(
+        (r[0], r[1])
+        for r in dedup.simhash_portable_signatures(
+            df, batched_sig=b
+        ).collect()
+    )
+    assert sig(docs, False) == sig(docs, True)
+    adv = spark.createDataFrame(
+        [
+            (1, "\U0001F600 emoji soup \U0001F600 emoji soup again"),
+            (2, None), (3, ""), (4, "two toks"),
+            (5, "tab\tand\nnewline  runs   everywhere now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    a = sig(adv, False)
+    assert a == sig(adv, True)
+    assert a[1][1] is None and a[2][1] is None and a[3][1] is None
+    pairs = lambda b: sorted(
+        tuple(r)
+        for r in dedup.simhash_portable_pairs(
+            docs, max_hamming=8, batched_sig=b
+        ).collect()
+    )
+    assert pairs(False) == pairs(True)
+
+
 def test_minhash_pairs_are_true_near_dups(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(t["documents"], jaccard_threshold=0.5).collect()
