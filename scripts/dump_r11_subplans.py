@@ -132,6 +132,54 @@ def main() -> int:
         .agg(F.sum("s").alias("s"))
     )
     write("q_emb_pca_moments_arrow", arrow_moments)
+
+    # --- minhash / simhash signature stages (behind lazy checkpoints) ----
+    from etl_asana_spark.operators.text import poly_hash, shingles
+
+    docs = t["documents"]
+    p = F.lit(dedup._MINHASH_P)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda tk: tk != F.lit(""))
+    base = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", toks.alias("__toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    shingles("__toks", 3), lambda s: poly_hash(s) % p
+                )
+            ).alias("__hs"),
+        )
+        .filter(F.size("__hs") > 0)
+    )
+    jvm_sigs = base.select(
+        "doc_id",
+        "__hs",
+        *[
+            F.array_min(
+                F.transform("__hs", lambda h: (h * F.lit(a) + F.lit(b)) % p)
+            ).alias(f"__mh{i}")
+            for i, (a, b) in enumerate(dedup._MINHASH_COEFFS)
+        ],
+    )
+    write("q_dedup_minhash_sigs_jvm", jvm_sigs)
+    pre = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", toks.alias("__toks")
+    ).select("doc_id", shingles("__toks", 3).alias("__sh"))
+    write(
+        "q_dedup_minhash_sigs_arrow",
+        dedup._arrow_minhash_signatures(pre, "doc_id").filter(
+            F.size("__hs") > 0
+        ),
+    )
+    write(
+        "q_dedup_simhash_sigs_jvm",
+        dedup.simhash_portable_signatures(docs),
+    )
+    write(
+        "q_dedup_simhash_sigs_arrow",
+        dedup.simhash_portable_signatures(docs, batched_sig=True),
+    )
     return 0
 
 
