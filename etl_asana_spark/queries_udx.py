@@ -224,10 +224,20 @@ def q_win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A NON-associative linear recurrence — the operator class plain windows
     cannot express (no partial aggregation exists; the naive closed form
-    overflows (1−α)^{−t}). The scalable shape is exactly this: one shuffle
-    on the key, then an Arrow-batched sequential fold per group
-    (applyInPandas + pandas ewm) — each user's history is bounded, the
-    fleet of groups is what scales out.
+    overflows (1−α)^{−t}). The scalable shape: one shuffle on the key,
+    then an Arrow-batched sequential fold per group.
+
+    r11 (guide §4.3): the previous ``groupBy.applyInPandas`` paid one
+    Python call + pandas frame build + pandas sort PER USER (1 500 calls
+    at sf0.1 — ≈2 ms each dominated the query). Now the per-group sort is
+    one JVM ``sortWithinPartitions`` after the same hash exchange, only
+    the three needed columns cross the Arrow boundary (ts stays in the
+    JVM — the sort already encoded it), and ONE ``mapInPandas`` kernel
+    per partition runs pandas' Cython grouped ewm over whole batches
+    (:func:`_ema_batches`, which carries the recurrence exactly across
+    Arrow batch boundaries). Same floats: pandas applies the identical
+    ewm kernel per group, and the carry row reproduces the kernel state
+    bit-for-bit (proven by the differential test and the kernel test).
 
     Oracle-checked despite the fixpoint: the DuckDB oracle steps the SAME
     recurrence through a recursive CTE, advancing every user one event per
@@ -240,18 +250,77 @@ def q_win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir)
 
-    def ema(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        out = pdf[["user_id", "event_id", "value"]].copy()
-        out["ema"] = pdf["value"].ewm(alpha=0.2, adjust=False).mean()
-        return out
-
     return (
         t["events"]
-        .select("user_id", "event_id", "ts", "value")
-        .groupBy("user_id")
-        .applyInPandas(
-            ema, schema="user_id long, event_id long, value double, ema double"
+        .select("user_id", "ts", "event_id", "value")
+        .repartition("user_id")
+        # NULLS LAST matches the pandas sort_values(na_position="last")
+        # the per-group path used (no shipped ts/event_id is NULL; the
+        # rule is pinned so the orders agree wherever they CAN differ).
+        .sortWithinPartitions(
+            F.col("user_id").asc(),
+            F.col("ts").asc_nulls_last(),
+            F.col("event_id").asc_nulls_last(),
+        )
+        .select("user_id", "event_id", "value")
+        .mapInPandas(
+            _ema_batches,
+            schema="user_id long, event_id long, value double, ema double",
         )
         .withColumn("ema", F.round("ema", 6))
     )
+
+
+def _ema_batches(batches):
+    """Partition-wise EMA kernel for :func:`q_win_ema`.
+
+    Input batches are slices of ONE partition, sorted by
+    (user_id, ts, event_id), so each user's rows are contiguous and a
+    user can only straddle a batch boundary at the batch head. The
+    recurrence state of an ewm(adjust=False) kernel between valid points
+    is exactly its last output value, so prepending the carried
+    (user, last_ema) as a synthetic first row and dropping it afterwards
+    continues the fold bit-for-bit (tests/test_udx_extra.py pins this
+    against an unsplit reference).
+
+    Grouped ewm runs in pandas' Cython window kernel once per batch —
+    no per-group Python dispatch, no per-group frame builds. NaN values
+    inside a group (impossible for the catalog's events snapshots, and
+    outside the oracle-checked domain — the recursive CTE would poison
+    the tail to NULL instead) would make the kernel state richer than
+    one float only when a NaN-bearing group also straddles a batch
+    boundary; NULL user_ids keep their own group (``dropna=False``),
+    matching Spark's grouping semantics.
+    """
+    last_user = None
+    last_ema = None
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        prepended = (
+            last_user is not None and pdf["user_id"].iloc[0] == last_user
+        )
+        if prepended:
+            head = pd.DataFrame(
+                {
+                    "user_id": pd.array([last_user], dtype=pdf["user_id"].dtype),
+                    "event_id": pd.array([0], dtype=pdf["event_id"].dtype),
+                    "value": pd.array([last_ema], dtype=pdf["value"].dtype),
+                }
+            )
+            pdf = pd.concat([head, pdf], ignore_index=True)
+        ema = (
+            pdf.groupby("user_id", sort=False, dropna=False)["value"]
+            .ewm(alpha=0.2, adjust=False)
+            .mean()
+            .reset_index(level=0, drop=True)
+            .sort_index()  # restore row order whatever the group order
+            .to_numpy()
+        )
+        out = pdf.copy()
+        out["ema"] = ema
+        if prepended:
+            out = out.iloc[1:]
+        last_user = pdf["user_id"].iloc[-1]
+        last_ema = ema[-1]
+        yield out

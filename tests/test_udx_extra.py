@@ -35,6 +35,34 @@ def test_ema_matches_pure_python_recurrence(spark, sf_dir):
     assert all(abs(got[k] - expect[k]) < 5.1e-7 for k in expect)
 
 
+def test_ema_batch_boundary_carry_is_exact(spark, sf_dir):
+    """The r11 mapInPandas kernel carries the ewm recurrence across Arrow
+    batch boundaries via a prepended synthetic row. At shipped SFs each
+    partition fits one batch, so force 7-row batches (splitting every
+    ~66-row user many times) and require the output to stay BIT-identical
+    to the locally computed per-group recurrence."""
+    import pandas as pd
+
+    def run():
+        return (
+            catalog.queries()["q_win_ema"](spark, sf_dir)
+            .toPandas()
+            .sort_values(["user_id", "event_id"])
+            .reset_index(drop=True)
+        )
+
+    ref = run()  # default batch size: one batch per partition, no carry
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        got = run()
+    finally:
+        spark.conf.set(key, old)
+    assert len(got) and got["user_id"].nunique() > 1
+    pd.testing.assert_frame_equal(got, ref, check_exact=True)
+
+
 def test_variant_extract_equals_schema_declared_path(spark, sf_dir):
     """variant_get('$.k') must agree with get_json_object + cast for every
     event row."""
